@@ -1,0 +1,81 @@
+"""Sketch kernels: pure numpy, Arrow-friendly, Spark-agnostic.
+
+Every sketch satisfies the guava-probably ProbabilisticFilter-derived
+contract (SURVEY.md §2): create / put / merge (putAll) / is_compatible /
+to_bytes / from_bytes / error introspection; filters add might_contain and
+(cuckoo only) remove.
+"""
+
+from dataclasses import dataclass, field
+
+from .base import (
+    FUNNEL_LONG,
+    FUNNEL_NONE,
+    FUNNEL_UTF8,
+    IncompatibleSketchError,
+    Sketch,
+    hash_column,
+)
+from .bloom import BloomSketch, bloom_geometry
+from .cms import CmsSketch, cms_geometry
+from .cuckoo import CuckooSketch, cuckoo_geometry
+from .hll import HllSketch
+from .kll import KllSketch
+from .tdigest import TDigestSketch
+
+_KINDS = {
+    "bloom": BloomSketch,
+    "cuckoo": CuckooSketch,
+    "hll": HllSketch,
+    "cms": CmsSketch,
+    "kll": KllSketch,
+    "tdigest": TDigestSketch,
+}
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """Picklable sketch factory — what Spark closures capture.
+
+    kind: bloom | cuckoo | hll | cms | kll | tdigest
+    params: constructor kwargs (capacity/fpp, p, epsilon/delta, k, ...)
+    """
+
+    kind: str
+    params: dict = field(default_factory=dict)
+
+    def create(self) -> Sketch:
+        cls = _KINDS.get(self.kind)
+        if cls is None:
+            raise ValueError(f"unknown sketch kind '{self.kind}' (have {sorted(_KINDS)})")
+        return cls(**self.params)
+
+    def __hash__(self):
+        return hash((self.kind, tuple(sorted(self.params.items()))))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, SketchSpec)
+            and self.kind == other.kind
+            and self.params == other.params
+        )
+
+
+__all__ = [
+    "Sketch",
+    "SketchSpec",
+    "BloomSketch",
+    "CuckooSketch",
+    "HllSketch",
+    "CmsSketch",
+    "KllSketch",
+    "TDigestSketch",
+    "IncompatibleSketchError",
+    "bloom_geometry",
+    "cuckoo_geometry",
+    "cms_geometry",
+    "hash_column",
+    "FUNNEL_UTF8",
+    "FUNNEL_LONG",
+    "FUNNEL_NONE",
+]

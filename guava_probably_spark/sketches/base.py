@@ -1,0 +1,223 @@
+"""Sketch contract + binary serialization format.
+
+The contract mirrors guava-probably's ``ProbabilisticFilter`` interface
+(reference: bdupras/guava-probably
+``src/main/java/com/duprasville/guava/probably/ProbabilisticFilter.java`` —
+semantics only, see SURVEY.md §0/§2 rows 1-16) generalized to all six sketch
+kinds required by the north rule: put/put_all (insert), might_contain
+(membership, filters only), merge (``putAll(filter)``), is_compatible,
+expected_fpp / error introspection, writeTo/readFrom (``to_bytes`` /
+``from_bytes``), copy, equals.
+
+Serialized form (little-endian):
+
+    magic  b"GPSK" | version u8 | kind u8 | funnel u8 | reserved u8
+    | params (kind-specific, fixed struct) | payload (numpy buffers)
+
+``is_compatible`` is exactly header-equality of (kind, funnel, params) on a
+*different* instance — the Spark merge path raises on incompatible blobs.
+"""
+
+from __future__ import annotations
+
+import struct
+from abc import ABC, abstractmethod
+
+import numpy as np
+
+MAGIC = b"GPSK"
+VERSION = 1
+
+KIND_BLOOM = 1
+KIND_CUCKOO = 2
+KIND_HLL = 3
+KIND_CMS = 4
+KIND_KLL = 5
+KIND_TDIGEST = 6
+
+# Funnels: how an element column is reduced to hashable bytes.  The funnel id
+# is part of filter compatibility, mirroring Guava Funnel identity semantics
+# (SURVEY.md §1.1).
+FUNNEL_NONE = 0   # value sketches (KLL / t-digest): raw float64, no hashing
+FUNNEL_UTF8 = 1   # string/binary column: raw UTF-8 bytes (Funnels.stringFunnel)
+FUNNEL_LONG = 2   # integer column: 8-byte little-endian (Funnels.longFunnel)
+
+_REGISTRY: dict[int, type["Sketch"]] = {}
+
+
+def register_kind(cls: type["Sketch"]) -> type["Sketch"]:
+    _REGISTRY[cls.KIND] = cls
+    return cls
+
+
+class IncompatibleSketchError(ValueError):
+    pass
+
+
+class Sketch(ABC):
+    """Mergeable sketch: create / update / merge / serialize / estimate."""
+
+    KIND: int = 0
+
+    def __init__(self, funnel: int = FUNNEL_NONE):
+        self.funnel = funnel
+
+    # -- abstract core ------------------------------------------------------
+    @abstractmethod
+    def _params_tuple(self) -> tuple:
+        """Geometry parameters; equality of these gates compatibility."""
+
+    @abstractmethod
+    def _params_bytes(self) -> bytes: ...
+
+    @abstractmethod
+    def _payload_bytes(self) -> bytes: ...
+
+    @classmethod
+    @abstractmethod
+    def _from_parts(cls, funnel: int, params: bytes, payload: bytes) -> "Sketch": ...
+
+    @abstractmethod
+    def merge(self, other: "Sketch") -> "Sketch":
+        """In-place merge (guava-probably ``putAll(ProbabilisticFilter)``).
+
+        Raises IncompatibleSketchError unless ``self.is_compatible(other)``.
+        Returns self.
+        """
+
+    # -- contract surface ----------------------------------------------------
+    def is_compatible(self, other: "Sketch") -> bool:
+        """Same kind, same funnel, identical geometry, different instance."""
+        return (
+            other is not self
+            and type(other) is type(self)
+            and other.funnel == self.funnel
+            and other._params_tuple() == self._params_tuple()
+        )
+
+    def _check_compatible(self, other: "Sketch") -> None:
+        if not self.is_compatible(other):
+            raise IncompatibleSketchError(
+                f"cannot merge {type(self).__name__}{self._params_tuple()} "
+                f"with {type(other).__name__}{getattr(other, '_params_tuple', lambda: '?')()}"
+            )
+
+    def to_bytes(self) -> bytes:
+        params = self._params_bytes()
+        payload = self._payload_bytes()
+        header = MAGIC + struct.pack("<BBBB", VERSION, self.KIND, self.funnel, 0)
+        return header + struct.pack("<I", len(params)) + params + payload
+
+    @staticmethod
+    def from_bytes(blob: bytes) -> "Sketch":
+        if blob[:4] != MAGIC:
+            raise ValueError("not a GPSK sketch blob")
+        version, kind, funnel, _ = struct.unpack_from("<BBBB", blob, 4)
+        if version != VERSION:
+            raise ValueError(f"unsupported sketch version {version}")
+        (plen,) = struct.unpack_from("<I", blob, 8)
+        params = blob[12 : 12 + plen]
+        payload = blob[12 + plen :]
+        cls = _REGISTRY.get(kind)
+        if cls is None:
+            raise ValueError(f"unknown sketch kind {kind}")
+        return cls._from_parts(funnel, params, payload)
+
+    def copy(self) -> "Sketch":
+        return Sketch.from_bytes(self.to_bytes())
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Sketch) and self.to_bytes() == other.to_bytes()
+
+    def __hash__(self) -> int:
+        return hash(self.to_bytes())
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}{self._params_tuple()}"
+
+
+# ---------------------------------------------------------------------------
+# Column ingestion: pyarrow / pandas / python values -> hash inputs
+# ---------------------------------------------------------------------------
+
+def _import_pa():
+    import pyarrow as pa
+
+    return pa
+
+
+def column_to_hash_input(values) -> tuple[int, tuple]:
+    """Normalize a column batch to (funnel, hash-input).
+
+    Returns (FUNNEL_UTF8, (data_u8, offsets_i64)) for string/binary input or
+    (FUNNEL_LONG, u64_values) for integer input.  Nulls are dropped (a null
+    element is never inserted / probed true), matching the reference's
+    null-hostile API (guava-probably NPEs on null; we skip, documented).
+    """
+    pa = _import_pa()
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if not isinstance(values, pa.Array):
+        if isinstance(values, (list, tuple)):
+            if values and isinstance(values[0], bytes):
+                values = pa.array(values, type=pa.large_binary())
+            else:
+                values = pa.array(values)
+        else:  # pandas Series / numpy array
+            values = pa.Array.from_pandas(values)
+    values = values.drop_null()
+
+    t = values.type
+    if pa.types.is_integer(t):
+        v = values.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return FUNNEL_LONG, v.astype(np.uint64)
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        arr = values.cast(pa.large_binary())
+        if arr.offset != 0:  # normalize slices
+            arr = pa.concat_arrays([arr])
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int64)[: len(arr) + 1]
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.zeros(0, np.uint8)
+        )
+        return FUNNEL_UTF8, (data, offsets)
+    raise TypeError(f"unhashable column type for sketch funnel: {t}")
+
+
+def hash_column(values, expected_funnel: int | None = None):
+    """Hash a column batch with murmur3_x64_128 → (funnel, h1, h2)."""
+    from .hashing import hash128_bytes, hash128_u64
+
+    funnel, inp = column_to_hash_input(values)
+    if expected_funnel is not None and funnel != expected_funnel:
+        raise IncompatibleSketchError(
+            f"column funnel {funnel} != sketch funnel {expected_funnel}"
+        )
+    if funnel == FUNNEL_LONG:
+        h1, h2 = hash128_u64(inp)
+    else:
+        data, offsets = inp
+        h1, h2 = hash128_bytes(data, offsets)
+    return funnel, h1, h2
+
+
+def element_to_hash(value) -> tuple[int, int, int]:
+    """Single-element convenience (guava-style put(e)/mightContain(e))."""
+    from .hashing import hash128_scalar
+
+    if isinstance(value, (int, np.integer)):
+        h1, h2 = hash128_scalar(int(np.uint64(value % (1 << 64))).to_bytes(8, "little"))
+        return FUNNEL_LONG, h1, h2
+    if isinstance(value, str):
+        value = value.encode("utf-8")
+    if isinstance(value, bytes):
+        h1, h2 = hash128_scalar(value)
+        return FUNNEL_UTF8, h1, h2
+    raise TypeError(f"unhashable element: {type(value)}")

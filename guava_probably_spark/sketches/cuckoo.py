@@ -1,0 +1,393 @@
+"""Cuckoo filter — deletable membership sketch, semi-sort bucket encoding.
+
+From-scratch vectorized re-expression of guava-probably's ``CuckooFilter``
+semantics (reference: bdupras/guava-probably
+``src/main/java/com/duprasville/guava/probably/{CuckooFilter,CuckooTable,
+CuckooStrategies}.java`` — semantics only, SURVEY.md §0/§2 rows 1-18,
+§3.1-3.3) per Fan et al., "Cuckoo Filter: Practically Better Than Bloom",
+CoNEXT 2014:
+
+- geometry: b entries/bucket (default 4), f = ⌈log2(2b/fpp)⌉ fingerprint
+  bits, m = ⌈capacity/(α_b·b)⌉ buckets with load factor α = {2: 0.84,
+  4: 0.955, 8: 0.98}; m is arbitrary (NOT a power of two) — enabled by an
+  involutive alt-index in the spirit of the reference's
+  MURMUR128_BEALDUPRAS_32 strategy.
+- hash pipeline: one murmur3_x64_128 per element; i1 = h1 mod m;
+  fp = low f bits of h2, 0 remapped to 1 (0 = empty-slot sentinel);
+  alt(i, fp) = (offset(fp) − i) mod m with offset(fp) = fmix64(fp·ODD) mod m
+  — an involution for ARBITRARY m: alt(alt(i, fp), fp) == i.  (Our
+  arithmetic differs from the reference's — we designed our own involution —
+  but the contract property is identical and hypothesis-tested.)
+- insert: try i1, then i2; if both full, evict-and-kick random walk up to
+  MAX_KICKS=500; on exhaustion the kick chain is ROLLED BACK and put returns
+  False — a failed put leaves the filter semantically unchanged, preserving
+  the zero-false-negative guarantee for everything previously inserted.
+- remove: deletes one matching fingerprint from i1 or i2 (reference hazard
+  applies: only remove elements known to have been added).
+- merge (putAll(filter)): walk the other table's occupied slots and re-insert
+  each fingerprint at (bucket, alt(bucket, fp)) — no original elements needed
+  (the distributive-merge enabler, SURVEY.md §3.3).  Returns success flag;
+  overflowing entries are counted and reported.
+- serialization: semi-sort bucket encoding when b == 4 and 5 ≤ f ≤ 17 (Fan
+  et al. §5): per bucket, fingerprints sorted, the 4 high nibbles (only 3876
+  nondecreasing 4-tuples) are codebook-encoded into 12 bits + 4·(f−4)-bit
+  remainders — saving ~1 bit per entry vs raw packing.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .base import (
+    FUNNEL_UTF8,
+    KIND_CUCKOO,
+    Sketch,
+    element_to_hash,
+    hash_column,
+    register_kind,
+)
+from .hashing import _fmix64, _fmix64_s
+
+MAX_KICKS = 500
+_ODD = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+_LOAD_FACTOR = {2: 0.84, 4: 0.955, 8: 0.98}
+
+
+def cuckoo_geometry(capacity: int, fpp: float, b: int | None = None) -> tuple[int, int, int]:
+    """(m buckets, b entries/bucket, f bits/entry) per Fan et al. sizing."""
+    if not (0.0 < fpp < 1.0):
+        raise ValueError("fpp must be in (0, 1)")
+    if b is None:
+        b = 4  # optimal across practical fpp range (Fan et al. §5.1)
+    if b not in _LOAD_FACTOR:
+        raise ValueError("entries per bucket must be one of {2, 4, 8}")
+    f = max(2, int(math.ceil(math.log2(2.0 * b / fpp))))
+    alpha = _LOAD_FACTOR[b]
+    m = max(2, int(math.ceil(capacity / (alpha * b))))
+    return m, b, f
+
+
+# --- semi-sort codebook: all nondecreasing 4-tuples of nibbles (3876 < 2^12)
+def _build_codebook() -> tuple[np.ndarray, np.ndarray]:
+    decode = []
+    encode = np.full(16 ** 4, -1, dtype=np.int16)
+    code = 0
+    for a in range(16):
+        for bb in range(a, 16):
+            for c in range(bb, 16):
+                for d in range(c, 16):
+                    decode.append((a, bb, c, d))
+                    encode[(a << 12) | (bb << 8) | (c << 4) | d] = code
+                    code += 1
+    return encode, np.array(decode, dtype=np.uint32)
+
+
+_ENCODE_LUT, _DECODE_LUT = _build_codebook()
+
+
+@register_kind
+class CuckooSketch(Sketch):
+    KIND = KIND_CUCKOO
+
+    def __init__(
+        self,
+        capacity: int,
+        fpp: float = 0.032,
+        b: int | None = None,
+        funnel: int = FUNNEL_UTF8,
+    ):
+        super().__init__(funnel)
+        self.capacity = int(capacity)
+        self.design_fpp = float(fpp)
+        self.m, self.b, self.f = cuckoo_geometry(self.capacity, self.design_fpp, b)
+        dtype = np.uint16 if self.f <= 16 else np.uint32
+        self.table = np.zeros((self.m, self.b), dtype=dtype)
+        self.occ = np.zeros(self.m, dtype=np.int8)
+        self._count = 0
+        self._rng = np.random.default_rng(0xC0FFEE)
+
+    # ------------------------------------------------------------------ hash
+    def _fingerprints(self, h2: np.ndarray) -> np.ndarray:
+        fp = h2 & np.uint64((1 << self.f) - 1)
+        return np.where(fp == 0, np.uint64(1), fp)  # 0 = empty sentinel
+
+    def _alt(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        """Involutive alternate bucket for arbitrary m: (offset(fp) − i) mod m."""
+        with np.errstate(over="ignore"):
+            m = np.uint64(self.m)
+            off = _fmix64(fp.astype(np.uint64) * _ODD) % m
+            return (off + m - i.astype(np.uint64) % m) % m
+
+    def _alt_scalar(self, i: int, fp: int) -> int:
+        off = _fmix64_s((fp * int(_ODD)) & ((1 << 64) - 1)) % self.m
+        return (off + self.m - i % self.m) % self.m
+
+    def _index_fp(self, h1: np.ndarray, h2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        i1 = (h1 % np.uint64(self.m)).astype(np.int64)
+        fp = self._fingerprints(h2).astype(self.table.dtype)
+        return i1, fp
+
+    # ------------------------------------------------------------- placement
+    def _place_vectorized(self, tgt: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Try to place each fp into bucket tgt[i] (no eviction). Returns
+        placed mask. Intra-batch bucket contention resolved by ranking."""
+        n = len(tgt)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        order = np.argsort(tgt, kind="stable")
+        st = tgt[order]
+        uniq, start_idx, counts = np.unique(st, return_index=True, return_counts=True)
+        ranks = np.arange(n) - np.repeat(start_idx, counts)
+        free = (self.b - self.occ[st]).astype(np.int64)
+        can = ranks < free
+        slots = self.occ[st].astype(np.int64) + ranks
+        self.table[st[can], slots[can]] = fps[order][can]
+        placed_per_bucket = np.minimum(
+            counts, np.maximum(self.b - self.occ[uniq].astype(np.int64), 0)
+        )
+        self.occ[uniq] += placed_per_bucket.astype(np.int8)
+        placed = np.zeros(n, dtype=bool)
+        placed[order] = can
+        self._count += int(can.sum())
+        return placed
+
+    def _kick_insert(self, i: int, fp: int) -> bool:
+        """Sequential evict-and-kick with full rollback on failure."""
+        alt = self._alt_scalar(i, fp)
+        for b_ in (i, alt):
+            if self.occ[b_] < self.b:
+                self.table[b_, self.occ[b_]] = fp
+                self.occ[b_] += 1
+                self._count += 1
+                return True
+        chain: list[tuple[int, int, int]] = []  # (bucket, slot, evicted fp)
+        cur_i, cur_fp = i, fp
+        for _ in range(MAX_KICKS):
+            j = int(self._rng.integers(self.b))
+            victim = int(self.table[cur_i, j])
+            chain.append((cur_i, j, victim))
+            self.table[cur_i, j] = cur_fp
+            cur_fp = victim
+            cur_i = self._alt_scalar(cur_i, victim)
+            if self.occ[cur_i] < self.b:
+                self.table[cur_i, self.occ[cur_i]] = cur_fp
+                self.occ[cur_i] += 1
+                self._count += 1
+                return True
+        # saturated: roll the chain back so the filter is unchanged
+        for bucket, slot, old_fp in reversed(chain):
+            self.table[bucket, slot] = old_fp
+        return False
+
+    def put_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        i1, fp = self._index_fp(h1, h2)
+        return self._insert(i1, fp)
+
+    def _insert(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        n = len(i1)
+        success = np.zeros(n, dtype=bool)
+        if n == 0:
+            return success
+        placed = self._place_vectorized(i1, fp)
+        success |= placed
+        rest = ~placed
+        if rest.any():
+            i2 = self._alt(i1[rest].astype(np.uint64), fp[rest]).astype(np.int64)
+            placed2 = self._place_vectorized(i2, fp[rest])
+            success[np.nonzero(rest)[0][placed2]] = True
+            # sequential kick loop for the contended residue
+            residue = np.nonzero(rest)[0][~placed2]
+            for k in residue:
+                success[k] = self._kick_insert(int(i1[k]), int(fp[k]))
+        return success
+
+    # --------------------------------------------------------------- queries
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        i1, fp = self._index_fp(h1, h2)
+        found1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        i2 = self._alt(i1.astype(np.uint64), fp).astype(np.int64)
+        found2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return found1 | found2
+
+    def update(self, values) -> np.ndarray:
+        _, h1, h2 = hash_column(values, self.funnel)
+        return self.put_hashes(h1, h2)
+
+    def might_contain_batch(self, values) -> np.ndarray:
+        _, h1, h2 = hash_column(values, self.funnel)
+        return self.contains_hashes(h1, h2)
+
+    # ---------------------------------------------------------------- delete
+    def remove_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Remove one matching fingerprint per element; True if found.
+        Sequential (delete is order-sensitive; not the distributed hot path —
+        SURVEY.md §2 row 7)."""
+        i1, fp = self._index_fp(h1, h2)
+        i2 = self._alt(i1.astype(np.uint64), fp).astype(np.int64)
+        out = np.zeros(len(i1), dtype=bool)
+        for k in range(len(i1)):
+            out[k] = self._remove_one(int(i1[k]), int(i2[k]), int(fp[k]))
+        return out
+
+    def _remove_one(self, i1: int, i2: int, fp: int) -> bool:
+        for b_ in (i1, i2):
+            occ = int(self.occ[b_])
+            row = self.table[b_, :occ]
+            hits = np.nonzero(row == fp)[0]
+            if len(hits):
+                j = int(hits[0])
+                self.table[b_, j] = self.table[b_, occ - 1]  # compact: swap last
+                self.table[b_, occ - 1] = 0
+                self.occ[b_] -= 1
+                self._count -= 1
+                return True
+        return False
+
+    def remove(self, e) -> bool:
+        _, h1, h2 = element_to_hash(e)
+        return bool(
+            self.remove_hashes(np.array([h1], np.uint64), np.array([h2], np.uint64))[0]
+        )
+
+    def remove_all(self, elements) -> bool:
+        _, h1, h2 = hash_column(list(elements), self.funnel)
+        return bool(self.remove_hashes(h1, h2).all())
+
+    # -- guava-style scalar surface -------------------------------------------
+    def put(self, e) -> bool:
+        _, h1, h2 = element_to_hash(e)
+        return bool(self.put_hashes(np.array([h1], np.uint64), np.array([h2], np.uint64))[0])
+
+    def put_all(self, elements) -> bool:
+        return bool(self.update(list(elements)).all())
+
+    def might_contain(self, e) -> bool:
+        _, h1, h2 = element_to_hash(e)
+        return bool(
+            self.contains_hashes(np.array([h1], np.uint64), np.array([h2], np.uint64))[0]
+        )
+
+    def contains_all(self, elements) -> bool:
+        return bool(self.might_contain_batch(list(elements)).all())
+
+    # ----------------------------------------------------------------- merge
+    def merge(self, other: "CuckooSketch") -> "CuckooSketch":
+        ok, overflow = self.merge_counted(other)
+        if not ok:
+            raise OverflowError(
+                f"cuckoo merge overflow: {overflow} fingerprints did not fit "
+                f"(combined load exceeds capacity {self.capacity})"
+            )
+        return self
+
+    def merge_counted(self, other: "CuckooSketch") -> tuple[bool, int]:
+        """putAll(filter): fingerprint walk + re-insert (SURVEY.md §3.3).
+        Returns (all_fit, overflow_count)."""
+        self._check_compatible(other)
+        mask = np.arange(other.b)[None, :] < other.occ[:, None]
+        buckets, slots = np.nonzero(mask)
+        fps = other.table[buckets, slots]
+        success = self._insert(buckets.astype(np.int64), fps)
+        overflow = int((~success).sum())
+        return overflow == 0, overflow
+
+    # --------------------------------------------------------- introspection
+    def fpp(self) -> float:
+        return self.design_fpp
+
+    def expected_fpp(self) -> float:
+        """Expected FPP at current load: 1 − (1 − 2^−f)^(2b·load)."""
+        load = self._count / float(self.m * self.b)
+        return 1.0 - (1.0 - 2.0 ** -self.f) ** (2.0 * self.b * load)
+
+    @property
+    def size(self) -> int:
+        return self._count  # exact live-entry count (reference row 11)
+
+    def load_factor(self) -> float:
+        return self._count / float(self.m * self.b)
+
+    def is_empty(self) -> bool:
+        return self._count == 0
+
+    def clear(self) -> None:
+        self.table[:] = 0
+        self.occ[:] = 0
+        self._count = 0
+
+    # --------------------------------------------------------- serialization
+    def _params_tuple(self) -> tuple:
+        return (self.capacity, round(self.design_fpp, 12), self.m, self.b, self.f)
+
+    def _params_bytes(self) -> bytes:
+        return struct.pack(
+            "<qdqBBq", self.capacity, self.design_fpp, self.m, self.b, self.f, self._count
+        )
+
+    def _semisort_active(self) -> bool:
+        return self.b == 4 and 5 <= self.f <= 17
+
+    def _payload_bytes(self) -> bytes:
+        if not self._semisort_active():
+            return self.table.tobytes()
+        # semi-sort: per bucket sort fps; encode sorted high nibbles via
+        # codebook (12 bits) + 4 remainders of (f-4) bits each
+        srt = np.sort(self.table, axis=1).astype(np.uint64)  # zeros (empty) first
+        r = self.f - 4
+        high = (srt >> np.uint64(r)).astype(np.int64)  # 4 bits each, nondecreasing
+        low = srt & np.uint64((1 << r) - 1)
+        key = (high[:, 0] << 12) | (high[:, 1] << 8) | (high[:, 2] << 4) | high[:, 3]
+        code = _ENCODE_LUT[key].astype(np.uint64)
+        word = code
+        shift = 12
+        for j in range(4):
+            word = word | (low[:, j] << np.uint64(shift))
+            shift += r
+        nbytes = (12 + 4 * r + 7) // 8
+        by = word.astype("<u8").view(np.uint8).reshape(self.m, 8)[:, :nbytes]
+        return np.ascontiguousarray(by).tobytes()
+
+    @classmethod
+    def _from_parts(cls, funnel: int, params: bytes, payload: bytes) -> "CuckooSketch":
+        capacity, fpp, m, b, f, count = struct.unpack("<qdqBBq", params)
+        sk = cls.__new__(cls)
+        Sketch.__init__(sk, funnel)
+        sk.capacity, sk.design_fpp, sk.m, sk.b, sk.f = capacity, fpp, m, b, f
+        sk._count = count
+        sk._rng = np.random.default_rng(0xC0FFEE)
+        dtype = np.uint16 if f <= 16 else np.uint32
+        if not (b == 4 and 5 <= f <= 17):
+            sk.table = np.frombuffer(payload, dtype=dtype).reshape(m, b).copy()
+        else:
+            r = f - 4
+            nbytes = (12 + 4 * r + 7) // 8
+            raw = np.frombuffer(payload, dtype=np.uint8).reshape(m, nbytes)
+            wide = np.zeros((m, 8), dtype=np.uint8)
+            wide[:, :nbytes] = raw
+            word = wide.reshape(-1).view("<u8")
+            code = (word & np.uint64(0xFFF)).astype(np.int64)
+            highs = _DECODE_LUT[code]  # (m, 4)
+            fps = np.empty((m, 4), dtype=np.uint64)
+            shift = 12
+            lowmask = np.uint64((1 << r) - 1)
+            for j in range(4):
+                low = (word >> np.uint64(shift)) & lowmask
+                fps[:, j] = (highs[:, j].astype(np.uint64) << np.uint64(r)) | low
+                shift += r
+            # sorted ascending ⇒ zeros (empty) first; flip for compactness
+            sk.table = fps[:, ::-1].astype(dtype)
+        sk.occ = (sk.table != 0).sum(axis=1).astype(np.int8)
+        return sk
+
+
+def cuckoo_for_longs(capacity: int, fpp: float = 0.032, b: int | None = None) -> CuckooSketch:
+    from .base import FUNNEL_LONG
+
+    return CuckooSketch(capacity, fpp, b, funnel=FUNNEL_LONG)
+
+
+def cuckoo_for_strings(capacity: int, fpp: float = 0.032, b: int | None = None) -> CuckooSketch:
+    return CuckooSketch(capacity, fpp, b, funnel=FUNNEL_UTF8)

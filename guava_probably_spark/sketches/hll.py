@@ -1,0 +1,139 @@
+"""HyperLogLog — dense registers, 64-bit hash, linear-counting correction.
+
+North-rule extension sketch (SURVEY.md §2.2; not present in guava-probably).
+Published algorithm: Flajolet–Fuss–Gandouet–Meunier 2007, with the 64-bit
+hash treatment of Heule et al. 2013 (HLL++: no large-range correction needed).
+
+- m = 2^p registers; idx = top p bits of h1; rho = (#leading zeros of the
+  remaining 64−p bits) + 1
+- update: register[idx] = max(register[idx], rho)  → merge = elementwise max
+  (associative, commutative, idempotent → blobs byte-equal across merge
+  orders/partitionings)
+- estimate: alpha_m·m²/Σ2^(−M_j); if E ≤ 2.5m and V>0: m·ln(m/V)
+- relative standard error σ = 1.04/√m (the BASELINE.md bound)
+- serialized registers are 6-bit packed ("dense, 6-bit registers",
+  BASELINE.json north star); in-memory uint8 for vectorized max.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .base import FUNNEL_UTF8, KIND_HLL, Sketch, element_to_hash, hash_column, register_kind
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _leading_zero_rho(w: np.ndarray, width: int) -> np.ndarray:
+    """rho = position of leftmost 1-bit in the top `width` bits of w, else width+1.
+
+    Vectorized via bit-smearing + popcount (exact, no float log2 hazards).
+    """
+    v = w.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        v |= v >> np.uint64(s)
+    # popcount via unpackbits on the byte view
+    pop = np.unpackbits(v.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+    clz = 64 - pop  # leading zeros in the full 64-bit word
+    rho = np.minimum(clz, width) + 1
+    return rho.astype(np.uint8)
+
+
+@register_kind
+class HllSketch(Sketch):
+    KIND = KIND_HLL
+
+    def __init__(self, p: int = 14, funnel: int = FUNNEL_UTF8):
+        if not 4 <= p <= 18:
+            raise ValueError("precision p must be in [4, 18]")
+        super().__init__(funnel)
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    # -- serialization: 6-bit packed registers (4 regs -> 3 bytes) ----------
+    def _params_tuple(self) -> tuple:
+        return (self.p,)
+
+    def _params_bytes(self) -> bytes:
+        return struct.pack("<B", self.p)
+
+    def _payload_bytes(self) -> bytes:
+        r = self.registers.astype(np.uint32).reshape(-1, 4)
+        word = r[:, 0] | (r[:, 1] << 6) | (r[:, 2] << 12) | (r[:, 3] << 18)  # 24 bits
+        out = np.empty((len(word), 3), dtype=np.uint8)
+        out[:, 0] = word & 0xFF
+        out[:, 1] = (word >> 8) & 0xFF
+        out[:, 2] = (word >> 16) & 0xFF
+        return out.tobytes()
+
+    @classmethod
+    def _from_parts(cls, funnel: int, params: bytes, payload: bytes) -> "HllSketch":
+        (p,) = struct.unpack("<B", params)
+        sk = cls.__new__(cls)
+        Sketch.__init__(sk, funnel)
+        sk.p = p
+        sk.m = 1 << p
+        b = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3).astype(np.uint32)
+        word = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        regs = np.empty((len(word), 4), dtype=np.uint8)
+        regs[:, 0] = word & 0x3F
+        regs[:, 1] = (word >> 6) & 0x3F
+        regs[:, 2] = (word >> 12) & 0x3F
+        regs[:, 3] = (word >> 18) & 0x3F
+        sk.registers = regs.reshape(-1)
+        return sk
+
+    # -- updates --------------------------------------------------------------
+    def update_hashes(self, h1: np.ndarray) -> None:
+        shift = np.uint64(64 - self.p)
+        idx = (h1 >> shift).astype(np.int64)
+        w = h1 << np.uint64(self.p)  # remaining 64-p bits at the top
+        rho = _leading_zero_rho(w, 64 - self.p)
+        np.maximum.at(self.registers, idx, rho)
+
+    def update(self, values) -> None:
+        _, h1, _ = hash_column(values, self.funnel)
+        self.update_hashes(h1)
+
+    def put(self, e) -> None:
+        _, h1, _ = element_to_hash(e)
+        self.update_hashes(np.array([h1], dtype=np.uint64))
+
+    # -- estimate / merge -------------------------------------------------------
+    def estimate(self) -> float:
+        regs = self.registers.astype(np.float64)
+        e = _alpha(self.m) * self.m * self.m / np.sum(np.exp2(-regs))
+        if e <= 2.5 * self.m:
+            v = int(np.count_nonzero(self.registers == 0))
+            if v > 0:
+                return self.m * math.log(self.m / v)
+        return float(e)
+
+    def cardinality(self) -> int:
+        return int(round(self.estimate()))
+
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        self._check_compatible(other)
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def relative_error_bound(self, nsigma: float = 3.0) -> float:
+        return nsigma * 1.04 / math.sqrt(self.m)
+
+    def is_empty(self) -> bool:
+        return not self.registers.any()
+
+    def clear(self) -> None:
+        self.registers[:] = 0
