@@ -1,0 +1,136 @@
+"""Pandas UDFs over sketches + SQL registration.
+
+Probe-side surface (SURVEY.md §2 row 5): a built sketch blob is broadcast and
+probed with an Arrow-vectorized scalar pandas UDF — the approximate semi-join
+/ membership predicate.  Estimate UDFs map a `sketch binary` column (one row
+per group, from operators.build_grouped) to estimates; per-row Python there
+is per-GROUP, not per-element.
+
+All UDFs are created lazily via factories (module-level @pandas_udf would
+need an active SparkSession at import time and break on executors that
+import this package while unpickling closures).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType, DoubleType, LongType
+
+from ..sketches import Sketch
+
+# worker-side cache: deserializing a blob per Arrow batch would dominate for
+# large filters; bytes hash is cached by CPython so the key is cheap.
+_SKETCH_CACHE: dict[tuple[int, int], Sketch] = {}
+
+
+def _cached_sketch(blob: bytes) -> Sketch:
+    key = (len(blob), hash(blob))
+    sk = _SKETCH_CACHE.get(key)
+    if sk is None:
+        if len(_SKETCH_CACHE) > 16:
+            _SKETCH_CACHE.clear()
+        sk = Sketch.from_bytes(blob)
+        _SKETCH_CACHE[key] = sk
+    return sk
+
+
+def _expand_nulls(arr: pa.Array, out, fill):
+    """Re-expand a null-dropped result over the original positions."""
+    import numpy as np
+
+    if not arr.null_count:
+        return pd.Series(out)
+    full = np.full(len(arr), fill, dtype=np.asarray(out).dtype)
+    full[~arr.is_null().to_numpy(zero_copy_only=False)] = out
+    return pd.Series(full)
+
+
+def might_contain_udf(spark: SparkSession, blob: bytes):
+    """Vectorized membership probe against a broadcast filter blob.
+
+    Usage: df.filter(might_contain_udf(spark, bloom.to_bytes())(F.col("k")))
+    """
+    bc = spark.sparkContext.broadcast(blob)
+
+    @pandas_udf(BooleanType())
+    def probe(values: pd.Series) -> pd.Series:
+        sk = _cached_sketch(bc.value)
+        arr = pa.Array.from_pandas(values)
+        return _expand_nulls(arr, sk.might_contain_batch(arr), False)
+
+    return probe
+
+
+def cms_freq_udf(spark: SparkSession, blob: bytes):
+    """Vectorized point-frequency estimate against a broadcast CMS blob."""
+    bc = spark.sparkContext.broadcast(blob)
+
+    @pandas_udf(LongType())
+    def freq(values: pd.Series) -> pd.Series:
+        sk = _cached_sketch(bc.value)
+        arr = pa.Array.from_pandas(values)
+        return _expand_nulls(arr, sk.estimate(arr), 0)
+
+    return freq
+
+
+# -- estimate UDFs over `sketch binary` columns (one row per group) ----------
+
+@functools.cache
+def hll_estimate():
+    @pandas_udf(DoubleType())
+    def f(blobs: pd.Series) -> pd.Series:
+        return pd.Series([Sketch.from_bytes(b).estimate() for b in blobs])
+
+    return f
+
+
+@functools.cache
+def hll_cardinality():
+    @pandas_udf(LongType())
+    def f(blobs: pd.Series) -> pd.Series:
+        return pd.Series([Sketch.from_bytes(b).cardinality() for b in blobs])
+
+    return f
+
+
+@functools.cache
+def sketch_size():
+    @pandas_udf(LongType())
+    def f(blobs: pd.Series) -> pd.Series:
+        return pd.Series([int(Sketch.from_bytes(b).size) for b in blobs])
+
+    return f
+
+
+@functools.cache
+def sketch_expected_fpp():
+    @pandas_udf(DoubleType())
+    def f(blobs: pd.Series) -> pd.Series:
+        return pd.Series([Sketch.from_bytes(b).expected_fpp() for b in blobs])
+
+    return f
+
+
+def quantile_udf(q: float):
+    """Quantile estimate over a KLL/t-digest `sketch binary` column."""
+
+    @pandas_udf(DoubleType())
+    def f(blobs: pd.Series) -> pd.Series:
+        return pd.Series([float(Sketch.from_bytes(b).quantile(q)) for b in blobs])
+
+    return f
+
+
+def register_sql(spark: SparkSession) -> None:
+    """SQL veneer: spark.sql("SELECT hll_estimate(sketch) FROM ...")."""
+    spark.udf.register("hll_estimate", hll_estimate())
+    spark.udf.register("hll_cardinality", hll_cardinality())
+    spark.udf.register("sketch_size", sketch_size())
+    spark.udf.register("sketch_expected_fpp", sketch_expected_fpp())

@@ -1,0 +1,232 @@
+"""Distributed sketch build: mapInArrow partials + treeAggregate-style merge.
+
+THE load-bearing design decision (SURVEY.md §3.4): PySpark pandas GROUPED_AGG
+UDAFs perform NO partial aggregation — a naive pandas UDAF would shuffle all
+raw rows (10^12 turns at design scale). Instead:
+
+  scan → select(col) → mapInArrow(build partial per partition)   [no shuffle]
+  → repartition(P/fanin) → mapInArrow(merge)  … repeated         [shuffles
+    only sketch blobs, KB-sized]
+  → driver merges the ≤fanin survivors
+
+Raw data is scanned exactly once and never shuffled.  Column pruning pushes
+through mapInArrow because we select the hashed column first (verified by
+plans.assert_no_raw_shuffle / tests).
+
+Grouped (per-key) sketches use the two-phase salted pattern
+(BASELINE.json:14 "skew handled explicitly"): groupBy(key, salt) partials →
+groupBy(key) merge, so a hot conv_id is built by `salt` tasks in parallel and
+merged, instead of serializing on one task.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sketches import Sketch, SketchSpec
+
+PARTIAL_SCHEMA = "sketch binary, n bigint, overflow bigint, part_id bigint, secs double"
+_PARTIAL_ARROW = pa.schema(
+    [
+        ("sketch", pa.binary()),
+        ("n", pa.int64()),
+        ("overflow", pa.int64()),
+        ("part_id", pa.int64()),
+        ("secs", pa.float64()),
+    ]
+)
+
+
+def _merge_into(acc: Sketch, other: Sketch) -> int:
+    """Merge other into acc; returns overflow count (cuckoo only)."""
+    from ..sketches import CuckooSketch
+
+    if isinstance(acc, CuckooSketch):
+        _, overflow = acc.merge_counted(other)
+        return overflow
+    acc.merge(other)
+    return 0
+
+
+def build_partials(df: DataFrame, col: str, spec: SketchSpec) -> DataFrame:
+    """One partial sketch row per input partition; raw rows never shuffle."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        t0 = time.monotonic()
+        sk = spec.create()
+        n = 0
+        first = True
+        for batch in batches:
+            column = batch.column(0)
+            if first:
+                _bind_funnel(sk, column)
+                first = False
+            sk.update(column)
+            n += len(column) - column.null_count
+        if n == 0:
+            return
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else -1
+        yield pa.RecordBatch.from_pydict(
+            {
+                "sketch": [sk.to_bytes()],
+                "n": [n],
+                "overflow": [0],
+                "part_id": [pid],
+                "secs": [time.monotonic() - t0],
+            },
+            schema=_PARTIAL_ARROW,
+        )
+
+    return df.select(col).mapInArrow(fn, PARTIAL_SCHEMA)
+
+
+def _bind_funnel(sk: Sketch, column: pa.Array) -> None:
+    """Auto-bind a hashed sketch's funnel to the column's arrow type on first
+    batch (string → UTF8 funnel, int → LONG funnel)."""
+    from ..sketches.base import FUNNEL_LONG, FUNNEL_NONE, FUNNEL_UTF8
+
+    if sk.funnel == FUNNEL_NONE:
+        return  # value sketch, nothing to bind
+    if pa.types.is_integer(column.type):
+        sk.funnel = FUNNEL_LONG
+    elif pa.types.is_string(column.type) or pa.types.is_large_string(column.type):
+        sk.funnel = FUNNEL_UTF8
+    elif pa.types.is_binary(column.type) or pa.types.is_large_binary(column.type):
+        sk.funnel = FUNNEL_UTF8
+
+
+def _merge_stage_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    t0 = time.monotonic()
+    acc: Sketch | None = None
+    n = 0
+    overflow = 0
+    for batch in batches:
+        blobs = batch.column(0).to_pylist()
+        ns = batch.column(1).to_pylist()
+        ovs = batch.column(2).to_pylist()
+        for blob, cnt, ov in zip(blobs, ns, ovs):
+            sk = Sketch.from_bytes(blob)
+            if acc is None:
+                acc = sk
+            else:
+                overflow += _merge_into(acc, sk)
+            n += cnt
+            overflow += ov
+    if acc is None:
+        return
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx else -1
+    yield pa.RecordBatch.from_pydict(
+        {
+            "sketch": [acc.to_bytes()],
+            "n": [n],
+            "overflow": [overflow],
+            "part_id": [pid],
+            "secs": [time.monotonic() - t0],
+        },
+        schema=_PARTIAL_ARROW,
+    )
+
+
+def tree_merge(partials: DataFrame, fanin: int = 64) -> DataFrame:
+    """treeAggregate-style reduction: log_fanin(P) stages, each shuffling only
+    sketch rows (≤1 per partition)."""
+    df = partials
+    p = df.rdd.getNumPartitions()
+    while p > fanin:
+        p = max(1, math.ceil(p / fanin))
+        df = df.repartition(p).mapInArrow(_merge_stage_fn, PARTIAL_SCHEMA)
+    return df
+
+
+def collect_sketch(
+    df: DataFrame, col: str, spec: SketchSpec, fanin: int = 64
+) -> tuple[Sketch, int, int]:
+    """End-to-end: build + tree-merge + driver-side final merge.
+
+    Returns (sketch, rows_consumed, merge_overflow_count).
+    """
+    partials = tree_merge(build_partials(df, col, spec), fanin)
+    rows = partials.collect()
+    if not rows:
+        return spec.create(), 0, 0
+    acc: Sketch | None = None
+    n = 0
+    overflow = 0
+    for row in rows:
+        sk = Sketch.from_bytes(row.sketch)
+        if acc is None:
+            acc = sk
+        else:
+            overflow += _merge_into(acc, sk)
+        n += row.n
+        overflow += row.overflow
+    return acc, n, overflow
+
+
+# ---------------------------------------------------------------------------
+# Grouped (per-key) sketches — two-phase salted aggregation
+# ---------------------------------------------------------------------------
+
+def build_grouped(
+    df: DataFrame,
+    key: str,
+    col: str,
+    spec: SketchSpec,
+    salt: int = 8,
+) -> DataFrame:
+    """Per-key sketches: (key, sketch binary, n bigint).
+
+    Phase 1 groups by (key, salt) so a hot key (zipf conv_id) is split across
+    `salt` parallel tasks; phase 2 merges the ≤salt partials per key.  Only
+    phase 1 shuffles raw rows — unavoidable for per-key results — and phase 2
+    shuffles sketch blobs.
+    """
+    key_field = df.schema[key]
+    key_ddl = f"{key} {key_field.dataType.simpleString()}"
+    out_schema = f"{key_ddl}, sketch binary, n bigint"
+
+    def build_fn(pdf):
+        import pandas as pd
+
+        sk = spec.create()
+        column = pa.Array.from_pandas(pdf[col])
+        _bind_funnel(sk, column)
+        sk.update(column)
+        n = len(column) - column.null_count
+        return pd.DataFrame(
+            {key: [pdf[key].iloc[0]], "sketch": [sk.to_bytes()], "n": [n]}
+        )
+
+    def merge_fn(pdf):
+        import pandas as pd
+
+        acc = None
+        n = 0
+        for blob, cnt in zip(pdf["sketch"], pdf["n"]):
+            sk = Sketch.from_bytes(blob)
+            if acc is None:
+                acc = sk
+            else:
+                _merge_into(acc, sk)
+            n += cnt
+        return pd.DataFrame({key: [pdf[key].iloc[0]], "sketch": [acc.to_bytes()], "n": [n]})
+
+    salted = df.select(key, col).withColumn(
+        "_salt", F.coalesce(F.pmod(F.xxhash64(F.col(col)), F.lit(salt)), F.lit(0))
+    )
+    phase1 = salted.groupBy(key, "_salt").applyInPandas(build_fn, out_schema)
+    if salt <= 1:
+        return phase1
+    return phase1.groupBy(key).applyInPandas(merge_fn, out_schema)
