@@ -1,0 +1,142 @@
+"""Shared ProbabilisticFilter-contract tests across all six sketches —
+the abstract-contract-suite pattern of the reference's tests
+(SURVEY.md §5.1 "shared contract tests"), pytest-parametrized.
+"""
+
+import numpy as np
+import pytest
+
+from guava_probably_spark.sketches import (
+    IncompatibleSketchError,
+    Sketch,
+    SketchSpec,
+)
+from guava_probably_spark.sketches.base import FUNNEL_LONG
+
+SPECS = [
+    SketchSpec("bloom", {"capacity": 10000, "fpp": 0.01, "funnel": FUNNEL_LONG}),
+    SketchSpec("cuckoo", {"capacity": 10000, "fpp": 0.01, "funnel": FUNNEL_LONG}),
+    SketchSpec("hll", {"p": 12, "funnel": FUNNEL_LONG}),
+    SketchSpec("cms", {"epsilon": 0.005, "delta": 0.01, "funnel": FUNNEL_LONG}),
+    SketchSpec("kll", {"k": 200}),
+    SketchSpec("tdigest", {"delta": 100.0}),
+]
+IDS = [s.kind for s in SPECS]
+
+INCOMPATIBLE_TWINS = {
+    "bloom": SketchSpec("bloom", {"capacity": 9999, "fpp": 0.01, "funnel": FUNNEL_LONG}),
+    "cuckoo": SketchSpec("cuckoo", {"capacity": 9999, "fpp": 0.01, "funnel": FUNNEL_LONG}),
+    "hll": SketchSpec("hll", {"p": 13, "funnel": FUNNEL_LONG}),
+    "cms": SketchSpec("cms", {"epsilon": 0.004, "delta": 0.01, "funnel": FUNNEL_LONG}),
+    "kll": SketchSpec("kll", {"k": 256}),
+    "tdigest": SketchSpec("tdigest", {"delta": 50.0}),
+}
+
+
+def _data(n=3000, seed=5):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 10**12, n, dtype=np.int64)
+
+
+def _update(sk, vals):
+    sk.update(vals)
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=IDS)
+def test_serialization_round_trip_byte_identical(spec):
+    sk = spec.create()
+    _update(sk, _data())
+    blob = sk.to_bytes()
+    sk2 = Sketch.from_bytes(blob)
+    assert sk2.to_bytes() == blob  # writeTo/readFrom byte-stability (row 13/14)
+    assert type(sk2) is type(sk)
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=IDS)
+def test_copy_and_equals(spec):
+    sk = spec.create()
+    _update(sk, _data())
+    cp = sk.copy()
+    assert cp == sk and cp is not sk
+    assert hash(cp) == hash(sk)
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=IDS)
+def test_is_compatible_gates_merge(spec):
+    a, b = spec.create(), spec.create()
+    assert a.is_compatible(b) and b.is_compatible(a)
+    assert not a.is_compatible(a)  # same instance → not compatible (row 9)
+    other = INCOMPATIBLE_TWINS[spec.kind].create()
+    assert not a.is_compatible(other)
+    with pytest.raises((IncompatibleSketchError, ValueError)):
+        a.merge(other)
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=IDS)
+def test_merge_equals_whole_build_or_within_bound(spec):
+    """putAll(filter) associativity/correctness (SURVEY.md §5.2.2):
+    bloom/HLL/CMS → blob byte-equal across merge orders; cuckoo/KLL/t-digest
+    → estimates within bound across merge orders."""
+    data = _data(6000, seed=11)
+    parts = np.array_split(data, 3)
+
+    def build(chunk):
+        sk = spec.create()
+        _update(sk, chunk)
+        return sk
+
+    left = build(parts[0]).merge(build(parts[1])).merge(build(parts[2]))
+    right_inner = build(parts[1]).merge(build(parts[2]))
+    right = build(parts[0]).merge(right_inner)
+
+    if spec.kind in ("bloom", "hll", "cms"):
+        whole = build(data)
+        assert left.to_bytes() == right.to_bytes() == whole.to_bytes()
+    elif spec.kind == "cuckoo":
+        uniq = np.unique(data)
+        assert left.might_contain_batch(uniq).all()
+        assert right.might_contain_batch(uniq).all()
+    else:  # quantile sketches: estimates within bound for both orders
+        qs = np.array([0.1, 0.5, 0.9])
+        srt = np.sort(data.astype(np.float64))
+        for sk in (left, right):
+            est = sk.quantile(qs)
+            ranks = np.searchsorted(srt, est) / len(srt)
+            assert (np.abs(ranks - qs) <= sk.rank_error_bound()).all()
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=IDS)
+def test_empty_and_clear(spec):
+    sk = spec.create()
+    assert sk.is_empty()
+    _update(sk, _data(100))
+    assert not sk.is_empty()
+    if hasattr(sk, "clear"):
+        sk.clear()
+        assert sk.is_empty()
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=IDS)
+def test_merge_commutativity(spec):
+    data = _data(4000, seed=13)
+    a_data, b_data = data[:2000], data[2000:]
+
+    def build(chunk):
+        sk = spec.create()
+        _update(sk, chunk)
+        return sk
+
+    ab = build(a_data).merge(build(b_data))
+    ba = build(b_data).merge(build(a_data))
+    if spec.kind in ("bloom", "hll", "cms"):
+        assert ab.to_bytes() == ba.to_bytes()
+    elif spec.kind == "cuckoo":
+        uniq = np.unique(data)
+        assert ab.might_contain_batch(uniq).all()
+        assert ba.might_contain_batch(uniq).all()
+    else:
+        qs = np.array([0.25, 0.75])
+        srt = np.sort(data.astype(np.float64))
+        for sk in (ab, ba):
+            ranks = np.searchsorted(srt, sk.quantile(qs)) / len(srt)
+            assert (np.abs(ranks - qs) <= sk.rank_error_bound()).all()

@@ -1,0 +1,162 @@
+"""Error-bound tests for HLL / CMS / KLL / t-digest (SURVEY.md §5.2.3,
+BASELINE.md rows 5-7): published bounds on seeded data.
+"""
+
+import numpy as np
+import pytest
+
+from guava_probably_spark.sketches import CmsSketch, HllSketch, KllSketch, TDigestSketch
+from guava_probably_spark.sketches.base import FUNNEL_LONG
+from guava_probably_spark.sketches.cms import cms_geometry
+
+
+@pytest.mark.parametrize("p", [12, 14])
+@pytest.mark.parametrize("true_n", [10**3, 10**4, 10**5])
+def test_hll_error_bound(p, true_n):
+    rng = np.random.default_rng(p * 1000 + int(np.log10(true_n)))
+    sk = HllSketch(p, funnel=FUNNEL_LONG)
+    vals = rng.choice(10**13, true_n, replace=False)
+    sk.update(vals)
+    err = abs(sk.estimate() - true_n) / true_n
+    assert err <= sk.relative_error_bound(3.0), f"p={p} n={true_n} err={err}"
+
+
+def test_hll_duplicates_dont_inflate():
+    sk = HllSketch(12, funnel=FUNNEL_LONG)
+    vals = np.arange(1000, dtype=np.int64)
+    for _ in range(5):
+        sk.update(vals)
+    err = abs(sk.estimate() - 1000) / 1000
+    assert err <= sk.relative_error_bound(3.0)
+
+
+def test_hll_merge_is_union_not_sum():
+    a, b = HllSketch(12, funnel=FUNNEL_LONG), HllSketch(12, funnel=FUNNEL_LONG)
+    vals = np.arange(20000, dtype=np.int64)
+    a.update(vals)
+    b.update(vals)  # identical set
+    a.merge(b)
+    err = abs(a.estimate() - 20000) / 20000
+    assert err <= a.relative_error_bound(3.0)
+
+
+@pytest.mark.parametrize("eps,delta", [(0.001, 0.01), (0.0001, 0.01)])
+def test_cms_geometry(eps, delta):
+    w, d = cms_geometry(eps, delta)
+    assert w == int(np.ceil(np.e / eps))
+    assert d == int(np.ceil(np.log(1 / delta)))
+
+
+def test_cms_one_sided_and_bounded():
+    rng = np.random.default_rng(17)
+    sk = CmsSketch(0.001, 0.01, funnel=FUNNEL_LONG)
+    # zipf-ish frequencies
+    data = rng.zipf(1.5, 200000) % 5000
+    sk.update(data.astype(np.int64))
+    true = np.bincount(data, minlength=5000)
+    ests = sk.estimate(np.arange(5000, dtype=np.int64))
+    assert (ests >= true).all(), "CMS must never underestimate"
+    # ε·N bound with prob ≥ 1−δ: allow the δ fraction of violations
+    violations = (ests - true > sk.error_bound()).mean()
+    assert violations <= 0.01
+
+
+def test_cms_weighted_updates():
+    sk = CmsSketch(0.01, 0.01, funnel=FUNNEL_LONG)
+    sk.update(np.array([7, 8], dtype=np.int64), weights=np.array([100, 25]))
+    assert sk.freq(7) >= 100
+    assert sk.total == 125
+
+
+def test_cms_heavy_hitters():
+    rng = np.random.default_rng(23)
+    sk = CmsSketch(0.001, 0.01, funnel=FUNNEL_LONG)
+    # item 0 takes ~50% of mass, rest spread over 1000 items
+    data = np.where(rng.random(100000) < 0.5, 0, rng.integers(1, 1000, 100000))
+    sk.update(data.astype(np.int64))
+    hh = sk.heavy_hitters(np.arange(1000, dtype=np.int64), phi=0.3)
+    assert hh == [0]
+
+
+@pytest.mark.parametrize("dist", ["normal", "uniform", "lognormal", "bimodal"])
+def test_kll_rank_error(dist):
+    rng = np.random.default_rng(abs(hash(dist)) % 2**31)
+    n = 150000
+    if dist == "normal":
+        vals = rng.normal(0, 1, n)
+    elif dist == "uniform":
+        vals = rng.random(n)
+    elif dist == "lognormal":
+        vals = rng.lognormal(4, 0.6, n)
+    else:
+        vals = np.concatenate([rng.normal(-5, 1, n // 2), rng.normal(5, 0.1, n // 2)])
+    sk = KllSketch(200)
+    sk.update(vals)
+    qs = np.array([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99])
+    est = sk.quantile(qs)
+    srt = np.sort(vals)
+    ranks = np.searchsorted(srt, est) / n
+    assert (np.abs(ranks - qs) <= sk.rank_error_bound()).all(), dist
+
+
+@pytest.mark.parametrize("dist", ["normal", "lognormal"])
+def test_tdigest_rank_error_and_tails(dist):
+    rng = np.random.default_rng(abs(hash(dist)) % 2**31 + 1)
+    n = 150000
+    vals = rng.normal(0, 1, n) if dist == "normal" else rng.lognormal(4, 0.6, n)
+    sk = TDigestSketch(200)
+    sk.update(vals)
+    srt = np.sort(vals)
+    qs = np.array([0.001, 0.01, 0.25, 0.5, 0.75, 0.99, 0.999])
+    est = sk.quantile(qs)
+    ranks = np.searchsorted(srt, est) / n
+    errs = np.abs(ranks - qs)
+    assert (errs <= sk.rank_error_bound()).all()
+    # tail accuracy: extreme-quantile error far below mid-quantile bound
+    assert errs[0] <= 0.001 and errs[-1] <= 0.001
+    assert sk.centroid_count() <= sk.delta + 1
+
+
+def test_tdigest_merge_within_bound():
+    rng = np.random.default_rng(31)
+    vals = rng.normal(0, 1, 100000)
+    parts = np.array_split(vals, 8)
+    digs = []
+    for part in parts:
+        d = TDigestSketch(200)
+        d.update(part)
+        digs.append(d)
+    acc = digs[0]
+    for d in digs[1:]:
+        acc.merge(d)
+    srt = np.sort(vals)
+    qs = np.array([0.05, 0.5, 0.95])
+    ranks = np.searchsorted(srt, acc.quantile(qs)) / len(vals)
+    assert (np.abs(ranks - qs) <= acc.rank_error_bound()).all()
+
+
+def test_kll_merge_within_bound():
+    rng = np.random.default_rng(37)
+    vals = rng.lognormal(2, 1, 100000)
+    parts = np.array_split(vals, 16)
+    sks = []
+    for part in parts:
+        s = KllSketch(200)
+        s.update(part)
+        sks.append(s)
+    acc = sks[0]
+    for s in sks[1:]:
+        acc.merge(s)
+    assert acc.n == len(vals)
+    srt = np.sort(vals)
+    qs = np.array([0.1, 0.5, 0.9])
+    ranks = np.searchsorted(srt, acc.quantile(qs)) / len(vals)
+    assert (np.abs(ranks - qs) <= acc.rank_error_bound()).all()
+
+
+def test_quantile_sketch_rank_queries():
+    vals = np.arange(10000, dtype=np.float64)
+    for sk in (KllSketch(200), TDigestSketch(200)):
+        sk.update(vals)
+        r = sk.rank(np.array([5000.0]))[0]
+        assert abs(r - 0.5) <= sk.rank_error_bound()

@@ -1,0 +1,238 @@
+"""Distributed end-to-end tests (SURVEY.md §5.2.4): build + tree merge at
+different parallelism → identical blobs, plan-shape guards, grouped salted
+aggregation, probe UDFs, semi-join pruning, per-turn text equality.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from guava_probably_spark.functions import (
+    cms_freq_udf,
+    hll_cardinality,
+    might_contain_udf,
+    quantile_udf,
+    register_sql,
+    sketch_size,
+)
+from guava_probably_spark.operators import (
+    build_grouped,
+    build_partials,
+    collect_sketch,
+    sketch_prune,
+    sketch_semijoin,
+    tree_merge,
+)
+from guava_probably_spark.plans import (
+    assert_no_exchange_before_python,
+    physical_plan,
+    scan_read_schema,
+)
+from guava_probably_spark.sketches import Sketch, SketchSpec
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_plan_no_raw_row_shuffle(events):
+    """The §3.4 invariant: build partials = scan → project → MapInArrow,
+    zero Exchange below the Python stage."""
+    partials = build_partials(events, "user_id", SketchSpec("hll", {"p": 12}))
+    assert_no_exchange_before_python(partials)
+
+
+def test_plan_column_pruning_reaches_scan(events):
+    partials = build_partials(events, "user_id", SketchSpec("hll", {"p": 12}))
+    rs = scan_read_schema(partials)
+    assert "user_id" in rs
+    for other_col in ("event_type", "props", "value"):
+        assert other_col not in rs, f"column pruning failed; scan reads {other_col}"
+
+
+def test_partition_invariance_blob_equality(spark, events):
+    """bloom/HLL/CMS blobs must be byte-equal no matter how the input is
+    partitioned (strong determinism check, SURVEY.md §5.2.4)."""
+    for spec in (
+        SketchSpec("hll", {"p": 12}),
+        SketchSpec("bloom", {"capacity": 20000, "fpp": 0.01}),
+        SketchSpec("cms", {"epsilon": 0.01, "delta": 0.01}),
+    ):
+        blobs = []
+        for parts in (2, 7):
+            sk, n, ovf = collect_sketch(events.repartition(parts), "user_id", spec)
+            assert ovf == 0
+            blobs.append(sk.to_bytes())
+        assert blobs[0] == blobs[1], f"{spec.kind} blob differs across partitionings"
+
+
+def test_hll_vs_exact_and_spark_builtin(spark, events):
+    spec = SketchSpec("hll", {"p": 14})
+    sk, n, _ = collect_sketch(events, "user_id", spec)
+    exact = events.select(F.countDistinct("user_id").alias("c")).collect()[0].c
+    assert abs(sk.estimate() - exact) / exact <= sk.relative_error_bound()
+    # cross-check against Spark's own HLL++ (SURVEY.md §4.3)
+    builtin = events.select(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("c")
+    ).collect()[0].c
+    assert abs(sk.estimate() - builtin) / exact <= 2 * sk.relative_error_bound()
+
+
+def test_bloom_cuckoo_distributed_zero_fn(spark, events):
+    n_events = events.count()
+    for kind in ("bloom", "cuckoo"):
+        spec = SketchSpec(kind, {"capacity": n_events * 2, "fpp": 0.01})
+        sk, n, ovf = collect_sketch(events, "event_id", spec)
+        assert ovf == 0 and n == n_events
+        probe = might_contain_udf(spark, sk.to_bytes())
+        fn_count = events.filter(~probe(F.col("event_id"))).count()
+        assert fn_count == 0, f"{kind}: {fn_count} false negatives"
+
+
+def test_cms_distributed_frequencies(spark, events):
+    spec = SketchSpec("cms", {"epsilon": 0.001, "delta": 0.01})
+    sk, n, _ = collect_sketch(events, "event_type", spec)
+    exact = {r.event_type: r.c for r in events.groupBy("event_type").agg(F.count("*").alias("c")).collect()}
+    freq = cms_freq_udf(events.sparkSession, sk.to_bytes())
+    got = {
+        r.event_type: r.est
+        for r in events.select("event_type").distinct().select(
+            "event_type", freq(F.col("event_type")).alias("est")
+        ).collect()
+    }
+    for k, exact_c in exact.items():
+        assert got[k] >= exact_c
+        assert got[k] - exact_c <= sk.error_bound()
+
+
+def test_tree_merge_multi_stage(spark, events):
+    """Force several merge stages (fanin=2 over 16 partitions) and check the
+    result is still byte-identical to the single-stage build."""
+    spec = SketchSpec("hll", {"p": 12})
+    p = build_partials(events.repartition(16), "user_id", spec)
+    merged = tree_merge(p, fanin=2)
+    rows = merged.collect()
+    acc = None
+    for r in rows:
+        s = Sketch.from_bytes(r.sketch)
+        acc = s if acc is None else acc.merge(s)
+    direct, _, _ = collect_sketch(events, "user_id", spec)
+    assert acc.to_bytes() == direct.to_bytes()
+
+
+def test_grouped_sketches_salted(spark, events):
+    g = build_grouped(events, "event_type", "user_id", SketchSpec("hll", {"p": 12}), salt=4)
+    res = {r.event_type: r for r in g.select("event_type", hll_cardinality()("sketch").alias("est"), "n").collect()}
+    exact = {
+        r.event_type: (r.d, r.c)
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"), F.count("user_id").alias("c"))
+        .collect()
+    }
+    assert set(res) == set(exact)
+    for k, (d, c) in exact.items():
+        assert res[k].n == c
+        assert abs(res[k].est - d) / d <= 3 * 1.04 / np.sqrt(2**12) + 0.01
+
+
+def test_grouped_rollup_by_merge(spark, events):
+    """The killer property (SURVEY.md §2.3 grouping sets): per-group sketches
+    re-merge to the global sketch — rollup is a merge, not a recompute."""
+    spec = SketchSpec("hll", {"p": 12})
+    g = build_grouped(events, "event_type", "user_id", spec, salt=2)
+    blobs = [r.sketch for r in g.select("sketch").collect()]
+    acc = Sketch.from_bytes(blobs[0])
+    for b in blobs[1:]:
+        acc.merge(Sketch.from_bytes(b))
+    direct, _, _ = collect_sketch(events, "user_id", spec)
+    assert acc.to_bytes() == direct.to_bytes()
+
+
+def test_quantile_sketches_distributed(spark, lineitem):
+    vals = np.array([r.p for r in lineitem.select(F.col("l_extendedprice").alias("p")).collect()])
+    srt = np.sort(vals)
+    for kind, params in (("kll", {"k": 200}), ("tdigest", {"delta": 200.0})):
+        sk, n, _ = collect_sketch(lineitem, "l_extendedprice", SketchSpec(kind, params))
+        assert n == len(vals)
+        for q in (0.1, 0.5, 0.9):
+            rank = np.searchsorted(srt, sk.quantile(q)) / len(srt)
+            assert abs(rank - q) <= sk.rank_error_bound(), (kind, q)
+
+
+def test_semijoin_pruning_exact(spark, lineitem, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dim = part.filter(F.col("p_size") < 15)
+    exact = lineitem.join(dim, lineitem.l_partkey == dim.p_partkey).count()
+    pruned = sketch_prune(spark, lineitem, "l_partkey", dim, "p_partkey", fpp=0.01)
+    assert pruned.count() >= exact  # FPs only ever let extra rows through
+    sj = sketch_semijoin(spark, lineitem, "l_partkey", dim, "p_partkey")
+    assert sj.count() == exact  # join removes FPs → exactly equal
+
+
+def test_sql_registration(spark, events):
+    register_sql(spark)
+    spec = SketchSpec("hll", {"p": 12})
+    g = build_grouped(events, "event_type", "user_id", spec, salt=2)
+    g.createOrReplaceTempView("sketches_v")
+    rows = spark.sql(
+        "SELECT event_type, hll_cardinality(sketch) AS est FROM sketches_v"
+    ).collect()
+    assert all(r.est > 0 for r in rows)
+
+
+def test_transcripts_text_equality_invariant(spark, transcripts_path):
+    """BASELINE.json:15 per-row invariant: per-turn `text` bit-exact under
+    stable (conv_id, turn_idx) ordering after a pipeline pass."""
+    import pandas as pd
+
+    from guava_probably_spark.fixtures import make_transcripts
+
+    df = spark.read.parquet(transcripts_path)
+    # run a full sketch pass over the text column (build must not mutate input)
+    sk, n, _ = collect_sketch(df, "text", SketchSpec("hll", {"p": 12}))
+    assert n == df.count()
+    back = (
+        df.orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    ref = (
+        make_transcripts(10_000, seed=42)[["conv_id", "turn_idx", "text"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back.reset_index(drop=True), ref, check_dtype=False)
+
+
+def test_transcripts_flagship_distinct_convs(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path)
+    sk, _, _ = collect_sketch(df, "conv_id", SketchSpec("hll", {"p": 14}))
+    exact = df.select(F.countDistinct("conv_id").alias("c")).collect()[0].c
+    assert abs(sk.estimate() - exact) / exact <= sk.relative_error_bound()
+    # membership: every conv_id present, zero false negatives
+    bloom, _, _ = collect_sketch(
+        df, "conv_id", SketchSpec("bloom", {"capacity": exact * 2, "fpp": 0.001})
+    )
+    probe = might_contain_udf(spark, bloom.to_bytes())
+    assert df.filter(~probe(F.col("conv_id"))).count() == 0
+
+
+def test_grouped_per_conv_turn_counts(spark, transcripts_path):
+    """Per-conv CMS counts vs exact turn counts on the skewed fixture."""
+    df = spark.read.parquet(transcripts_path)
+    spec = SketchSpec("cms", {"epsilon": 0.001, "delta": 0.01})
+    sk, n, _ = collect_sketch(df, "conv_id", spec)
+    exact = dict(
+        df.groupBy("conv_id").count().orderBy(F.desc("count")).limit(20).collect()
+    )
+    freq = cms_freq_udf(spark, sk.to_bytes())
+    hot = spark.createDataFrame([(k,) for k in exact], "conv_id string")
+    got = dict(hot.select("conv_id", freq(F.col("conv_id")).alias("f")).collect())
+    for k, c in exact.items():
+        assert got[k] >= c and got[k] - c <= sk.error_bound()
