@@ -1,38 +1,359 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query is SELF-CHECKING (FIXTURES.md §5): the Spark side computes the
+sketch estimate AND the exact answer AND a boolean `within` (estimate inside
+the published error bound); the DuckDB oracle recomputes the exact columns
+and asserts `within`/`false_negatives` literals. If an estimate drifts out
+of bound, the Spark-side boolean flips and the value-hash comparison fails —
+the bound check IS the correctness gate.
+
+Column names/types are aligned between queries() and oracle_sql() (driver
+hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+
+from guava_probably_spark.functions import cms_freq_udf, hll_cardinality, might_contain_udf
+from guava_probably_spark.operators import (
+    build_grouped,
+    collect_sketch,
+    sketch_semijoin,
+)
+from guava_probably_spark.sketches import Sketch, SketchSpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship (SURVEY.md §7 minimum slice): distinct-count + membership over
+    sf0.001 — HLL estimate vs exact within 1.04/√m·3, bloom probe with zero
+    false negatives."""
+    sf_dir = "/root/testdata/sf0.001"
+    events = _t(spark, sf_dir, "events")
+    hll, n, _ = collect_sketch(events, "user_id", SketchSpec("hll", {"p": 14}))
+    exact = events.select(F.countDistinct("user_id").alias("c")).collect()[0].c
+    bloom, _, _ = collect_sketch(
+        events, "event_id", SketchSpec("bloom", {"capacity": max(n, 1), "fpp": 0.01})
+    )
+    probe = might_contain_udf(spark, bloom.to_bytes())
+    fn_count = events.filter(~probe(F.col("event_id"))).count()
+    rows = [
+        Row(
+            metric="hll_distinct_users",
+            exact=int(exact),
+            estimate=float(hll.estimate()),
+            within=bool(abs(hll.estimate() - exact) / exact <= hll.relative_error_bound()),
+        ),
+        Row(
+            metric="bloom_false_negatives",
+            exact=0,
+            estimate=float(fn_count),
+            within=bool(fn_count == 0),
+        ),
+    ]
+    return spark.createDataFrame(rows)
 
+
+# ---------------------------------------------------------------------------
+# query helpers
+# ---------------------------------------------------------------------------
+
+def _hll_distinct(table: str, col: str, name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _t(spark, sf_dir, table)
+        sk, _, _ = collect_sketch(df, col, SketchSpec("hll", {"p": 14}))
+        exact = df.select(F.countDistinct(col).alias("c")).collect()[0].c
+        within = abs(sk.estimate() - exact) / max(exact, 1) <= sk.relative_error_bound()
+        return spark.createDataFrame(
+            [Row(name=name, exact_distinct=int(exact), within=bool(within))]
+        )
+
+    return q
+
+
+def _membership(kind: str, name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = _t(spark, sf_dir, "events")
+        n_rows = events.count()
+        sk, n, ovf = collect_sketch(
+            events, "event_id", SketchSpec(kind, {"capacity": n_rows * 2, "fpp": 0.01})
+        )
+        probe = might_contain_udf(spark, sk.to_bytes())
+        fn_count = events.filter(~probe(F.col("event_id"))).count()
+        # guaranteed non-members: ids beyond the max (testdata ids are small)
+        max_id = events.select(F.max("event_id").alias("m")).collect()[0].m
+        non = spark.range(max_id + 1, max_id + 1 + 5000).withColumnRenamed("id", "event_id")
+        fp_rate = non.filter(probe(F.col("event_id"))).count() / 5000.0
+        sigma = (0.01 * 0.99 / 5000.0) ** 0.5
+        return spark.createDataFrame(
+            [
+                Row(
+                    name=name,
+                    n_members=int(n_rows),
+                    false_negatives=int(fn_count),
+                    fp_within=bool(fp_rate <= 0.01 + 3 * sigma and ovf == 0),
+                )
+            ]
+        )
+
+    return q
+
+
+def _q_cuckoo_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    n_rows = events.count()
+    sk, _, _ = collect_sketch(
+        events, "event_id", SketchSpec("cuckoo", {"capacity": n_rows * 2, "fpp": 0.01})
+    )
+    evens = [r.event_id for r in events.filter(F.col("event_id") % 2 == 0).select("event_id").distinct().collect()]
+    odds_df = events.filter(F.col("event_id") % 2 == 1)
+    import numpy as np
+
+    from guava_probably_spark.sketches.hashing import hash128_u64
+
+    removed = sk.remove_hashes(*hash128_u64(np.array(evens, dtype=np.int64)))
+    probe = might_contain_udf(spark, sk.to_bytes())
+    odd_fn = odds_df.filter(~probe(F.col("event_id"))).count()
+    return spark.createDataFrame(
+        [
+            Row(
+                name="cuckoo_delete",
+                n_removed=int(removed.sum()),
+                odd_false_negatives=int(odd_fn),
+            )
+        ]
+    )
+
+
+def _cms_freq(table: str, col: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _t(spark, sf_dir, table)
+        sk, _, _ = collect_sketch(df, col, SketchSpec("cms", {"epsilon": 0.0005, "delta": 0.01}))
+        freq = cms_freq_udf(spark, sk.to_bytes())
+        exact = df.groupBy(col).agg(F.count("*").alias("exact_cnt"))
+        bound = sk.error_bound()
+        return exact.select(
+            F.col(col),
+            F.col("exact_cnt"),
+            (
+                (freq(F.col(col)) >= F.col("exact_cnt"))
+                & (freq(F.col(col)) - F.col("exact_cnt") <= F.lit(float(bound)))
+            ).alias("within"),
+        )
+
+    return q
+
+
+def _quantiles(kind: str, table: str, col: str, name: str):
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    labels = ["p10", "p25", "p50", "p75", "p90"]
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _t(spark, sf_dir, table)
+        params = {"k": 200} if kind == "kll" else {"delta": 200.0}
+        sk, n, _ = collect_sketch(df, col, SketchSpec(kind, params))
+        ests = [float(sk.quantile(x)) for x in qs]
+        # exact rank of each estimate, computed distributed (no sort collect)
+        aggs = [
+            (F.sum(F.when(F.col(col) < F.lit(v), 1).otherwise(0)) / F.count("*")).alias(f"r{i}")
+            for i, v in enumerate(ests)
+        ]
+        ranks = df.agg(*aggs).collect()[0]
+        bound = sk.rank_error_bound()
+        rows = [
+            Row(q_label=lab, within=bool(abs(ranks[f"r{i}"] - qs[i]) <= bound))
+            for i, lab in enumerate(labels)
+        ]
+        return spark.createDataFrame(rows)
+
+    return q
+
+
+def _q_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dim = part.filter(F.col("p_size") < 15)
+    cnt = sketch_semijoin(spark, lineitem, "l_partkey", dim, "p_partkey", fpp=0.01).count()
+    return spark.createDataFrame([Row(name="bloom_semijoin", join_cnt=int(cnt))])
+
+
+def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(A∪B)∪C == A∪(B∪C) on 3 splits of events.user_id — blob byte-equality
+    for bloom/hll/cms; bound/zero-FN preservation for cuckoo/kll/tdigest."""
+    import numpy as np
+
+    events = _t(spark, sf_dir, "events")
+    splits = [events.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
+    n_rows = events.count()
+    eid = np.array([r.event_id for r in events.select("event_id").collect()], dtype=np.int64)
+    specs = {
+        "bloom": SketchSpec("bloom", {"capacity": n_rows, "fpp": 0.01}),
+        "cuckoo": SketchSpec("cuckoo", {"capacity": n_rows * 2, "fpp": 0.01}),
+        "hll": SketchSpec("hll", {"p": 12}),
+        "cms": SketchSpec("cms", {"epsilon": 0.001, "delta": 0.01}),
+        "kll": SketchSpec("kll", {"k": 200}),
+        "tdigest": SketchSpec("tdigest", {"delta": 200.0}),
+    }
+    rows = []
+    for kind, spec in specs.items():
+        if kind in ("kll", "tdigest"):
+            col = "value"
+        elif kind == "cuckoo":
+            col = "event_id"  # unique keys: >2b duplicate fingerprints overflow
+        else:
+            col = "user_id"
+        a, b, c = (collect_sketch(s, col, spec)[0] for s in splits)
+        left = a.copy().merge(b.copy()).merge(c.copy())
+        right = a.copy().merge(b.copy().merge(c.copy()))
+        if kind in ("bloom", "hll", "cms"):
+            ok = left.to_bytes() == right.to_bytes()
+        elif kind == "cuckoo":
+            ok = bool(
+                left.might_contain_batch(eid).all() and right.might_contain_batch(eid).all()
+            )
+        else:
+            vals = np.array(
+                [r.value for r in events.select("value").collect()], dtype=np.float64
+            )
+            srt = np.sort(vals)
+            qs = np.array([0.25, 0.5, 0.75])
+            ok = True
+            for sk in (left, right):
+                ranks = np.searchsorted(srt, sk.quantile(qs)) / len(srt)
+                ok = ok and bool((np.abs(ranks - qs) <= sk.rank_error_bound()).all())
+        rows.append(Row(kind=kind, ok=bool(ok)))
+    return spark.createDataFrame(rows)
+
+
+def _q_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    g = build_grouped(events, "event_type", "user_id", SketchSpec("hll", {"p": 14}), salt=4)
+    est = g.select("event_type", hll_cardinality()("sketch").alias("est"))
+    exact = events.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    bound = 3 * 1.04 / (2 ** 14) ** 0.5 + 0.005
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                / F.greatest(F.col("exact_distinct"), F.lit(1))
+                <= F.lit(bound)
+            ).alias("within"),
+        )
+    )
+
+
+def _q_exact_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ground-truth path validation (FIXTURES.md §5 'exact-checkable')."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "hll_events_distinct_users": _hll_distinct(
+            "events", "user_id", "hll_events_distinct_users"
+        ),
+        "hll_lineitem_distinct_parts": _hll_distinct(
+            "lineitem", "l_partkey", "hll_lineitem_distinct_parts"
+        ),
+        "hll_documents_distinct_texts": _hll_distinct(
+            "documents", "text", "hll_documents_distinct_texts"
+        ),
+        "bloom_events_membership": _membership("bloom", "bloom_events_membership"),
+        "cuckoo_events_membership": _membership("cuckoo", "cuckoo_events_membership"),
+        "cuckoo_delete": _q_cuckoo_delete,
+        "cms_events_type_frequencies": _cms_freq("events", "event_type"),
+        "cms_lineitem_returnflag_frequencies": _cms_freq("lineitem", "l_returnflag"),
+        "kll_lineitem_price_quantiles": _quantiles(
+            "kll", "lineitem", "l_extendedprice", "kll_lineitem_price_quantiles"
+        ),
+        "tdigest_events_value_quantiles": _quantiles(
+            "tdigest", "events", "value", "tdigest_events_value_quantiles"
+        ),
+        "bloom_semijoin_lineitem_part": _q_semijoin,
+        "merge_associativity": _q_merge_associativity,
+        "grouped_hll_users_by_type": _q_grouped_hll,
+        "exact_events_type_counts": _q_exact_type_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hll_events_distinct_users": (
+            "SELECT 'hll_events_distinct_users' AS name, "
+            "count(DISTINCT user_id) AS exact_distinct, true AS within FROM events"
+        ),
+        "hll_lineitem_distinct_parts": (
+            "SELECT 'hll_lineitem_distinct_parts' AS name, "
+            "count(DISTINCT l_partkey) AS exact_distinct, true AS within FROM lineitem"
+        ),
+        "hll_documents_distinct_texts": (
+            "SELECT 'hll_documents_distinct_texts' AS name, "
+            "count(DISTINCT text) AS exact_distinct, true AS within FROM documents"
+        ),
+        "bloom_events_membership": (
+            "SELECT 'bloom_events_membership' AS name, count(*) AS n_members, "
+            "CAST(0 AS BIGINT) AS false_negatives, true AS fp_within FROM events"
+        ),
+        "cuckoo_events_membership": (
+            "SELECT 'cuckoo_events_membership' AS name, count(*) AS n_members, "
+            "CAST(0 AS BIGINT) AS false_negatives, true AS fp_within FROM events"
+        ),
+        "cuckoo_delete": (
+            "SELECT 'cuckoo_delete' AS name, "
+            "count(DISTINCT event_id) FILTER (WHERE event_id % 2 = 0) AS n_removed, "
+            "CAST(0 AS BIGINT) AS odd_false_negatives FROM events"
+        ),
+        "cms_events_type_frequencies": (
+            "SELECT event_type, count(*) AS exact_cnt, true AS within "
+            "FROM events GROUP BY event_type"
+        ),
+        "cms_lineitem_returnflag_frequencies": (
+            "SELECT l_returnflag, count(*) AS exact_cnt, true AS within "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "kll_lineitem_price_quantiles": (
+            "SELECT q_label, true AS within FROM (VALUES ('p10'), ('p25'), ('p50'), "
+            "('p75'), ('p90')) AS t(q_label)"
+        ),
+        "tdigest_events_value_quantiles": (
+            "SELECT q_label, true AS within FROM (VALUES ('p10'), ('p25'), ('p50'), "
+            "('p75'), ('p90')) AS t(q_label)"
+        ),
+        "bloom_semijoin_lineitem_part": (
+            "SELECT 'bloom_semijoin' AS name, count(*) AS join_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size < 15"
+        ),
+        "merge_associativity": (
+            "SELECT kind, true AS ok FROM (VALUES ('bloom'), ('cuckoo'), ('hll'), "
+            "('cms'), ('kll'), ('tdigest')) AS t(kind)"
+        ),
+        "grouped_hll_users_by_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
+            "true AS within FROM events GROUP BY event_type"
+        ),
+        "exact_events_type_counts": (
+            "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"
+        ),
+    }

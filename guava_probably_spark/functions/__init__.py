@@ -40,6 +40,16 @@ def _cached_sketch(blob: bytes) -> Sketch:
     return sk
 
 
+def _coerce_for_funnel(arr: pa.Array, sk: Sketch) -> pa.Array:
+    """pandas represents a nullable int column as float64(NaN) — restore the
+    integer type for LONG-funnel sketches before hashing."""
+    from ..sketches.base import FUNNEL_LONG
+
+    if getattr(sk, "funnel", None) == FUNNEL_LONG and pa.types.is_floating(arr.type):
+        return arr.cast(pa.int64())
+    return arr
+
+
 def _expand_nulls(arr: pa.Array, out, fill):
     """Re-expand a null-dropped result over the original positions."""
     import numpy as np
@@ -61,7 +71,7 @@ def might_contain_udf(spark: SparkSession, blob: bytes):
     @pandas_udf(BooleanType())
     def probe(values: pd.Series) -> pd.Series:
         sk = _cached_sketch(bc.value)
-        arr = pa.Array.from_pandas(values)
+        arr = _coerce_for_funnel(pa.Array.from_pandas(values), sk)
         return _expand_nulls(arr, sk.might_contain_batch(arr), False)
 
     return probe
@@ -74,7 +84,7 @@ def cms_freq_udf(spark: SparkSession, blob: bytes):
     @pandas_udf(LongType())
     def freq(values: pd.Series) -> pd.Series:
         sk = _cached_sketch(bc.value)
-        arr = pa.Array.from_pandas(values)
+        arr = _coerce_for_funnel(pa.Array.from_pandas(values), sk)
         return _expand_nulls(arr, sk.estimate(arr), 0)
 
     return freq

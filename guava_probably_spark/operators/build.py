@@ -196,12 +196,19 @@ def build_grouped(
     key_field = df.schema[key]
     key_ddl = f"{key} {key_field.dataType.simpleString()}"
     out_schema = f"{key_ddl}, sketch binary, n bigint"
+    # pandas renders a nullable int column as float64(NaN); remember the true
+    # Spark-side type so the kernel hashes int64, not doubles
+    col_is_int = df.schema[col].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint", "long",
+    )
 
     def build_fn(pdf):
         import pandas as pd
 
         sk = spec.create()
         column = pa.Array.from_pandas(pdf[col])
+        if col_is_int and pa.types.is_floating(column.type):
+            column = column.cast(pa.int64())
         _bind_funnel(sk, column)
         sk.update(column)
         n = len(column) - column.null_count
