@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""bench.py — headline sketch queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: transcripts sketch build+merge throughput (turns/sec) —
+the BASELINE.json north metric — measured as a one-scan multi-sketch build
+(HLL + bloom + CMS over conv_id, HLL over text) on a deterministic synthetic
+transcripts table (BASELINE.json:15 shape).
+
+--scaling: run the same transcripts job at local[8] and local[32] on the SAME
+materialized input and report throughput at both + scaling efficiency
+(BASELINE.md two-parallelism protocol), appending results to
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TMP = os.path.join(REPO, "BENCH", "_tmp")
+
+
+def _sf() -> float:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def make_session(cpus: int, batch: int = 131072):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch))
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .appName("gps-bench")
+        .getOrCreate()
+    )
+
+
+def transcripts_path(rows: int) -> str:
+    """Materialize the deterministic transcripts input once (64 splits so any
+    parallelism level 8..64 gets full utilization)."""
+    path = os.path.join(TMP, f"transcripts_{rows}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    os.makedirs(TMP, exist_ok=True)
+    from guava_probably_spark.sources import synth_transcripts
+
+    spark = make_session(CPUS)
+    try:
+        synth_transcripts(spark, rows, seed=42).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        spark.stop()
+    return path
+
+
+def transcripts_job(spark, path: str):
+    """The headline job: one scan, four sketches, tree merge."""
+    from guava_probably_spark.operators import collect_sketches_multi
+    from guava_probably_spark.sketches import SketchSpec
+
+    df = spark.read.parquet(path)
+    out = collect_sketches_multi(
+        df,
+        [
+            ("hll_conv", "conv_id", SketchSpec("hll", {"p": 14})),
+            ("bloom_conv", "conv_id", SketchSpec("bloom", {"capacity": 2_000_000, "fpp": 0.01})),
+            ("cms_conv", "conv_id", SketchSpec("cms", {"epsilon": 0.0005, "delta": 0.01})),
+            ("hll_text", "text", SketchSpec("hll", {"p": 14})),
+        ],
+    )
+    return out
+
+
+def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.functions import might_contain_udf
+    from guava_probably_spark.operators import (
+        build_grouped,
+        collect_sketch,
+        sketch_semijoin,
+    )
+    from guava_probably_spark.sketches import SketchSpec
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n_events = events.count()
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        r = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return r
+
+    # warm once (worker fork+imports, JIT, page cache) — a 100 TB job runs for
+    # hours and amortizes cold-start; we report steady-state throughput
+    transcripts_job(spark, t_path)
+    out = timed("q_transcripts_multisketch", lambda: transcripts_job(spark, t_path))
+    turns = out["hll_conv"][1]
+    extras["transcripts_rows"] = turns
+    extras["transcripts_distinct_convs_est"] = round(out["hll_conv"][0].estimate())
+
+    timed(
+        "q_hll_events_users",
+        lambda: collect_sketch(events, "user_id", SketchSpec("hll", {"p": 14})),
+    )
+    timed(
+        "q_hll_lineitem_parts",
+        lambda: collect_sketch(lineitem, "l_partkey", SketchSpec("hll", {"p": 14})),
+    )
+
+    def bloom_probe():
+        sk, _, _ = collect_sketch(
+            events, "event_id", SketchSpec("bloom", {"capacity": n_events * 2, "fpp": 0.01})
+        )
+        probe = might_contain_udf(spark, sk.to_bytes())
+        assert events.filter(~probe(F.col("event_id"))).count() == 0
+
+    timed("q_bloom_build_probe", bloom_probe)
+
+    timed(
+        "q_cuckoo_events",
+        lambda: collect_sketch(
+            events, "event_id", SketchSpec("cuckoo", {"capacity": n_events * 2, "fpp": 0.01})
+        ),
+    )
+    timed(
+        "q_cms_event_types",
+        lambda: collect_sketch(
+            events, "event_type", SketchSpec("cms", {"epsilon": 0.0005, "delta": 0.01})
+        ),
+    )
+    timed(
+        "q_kll_lineitem_price",
+        lambda: collect_sketch(lineitem, "l_extendedprice", SketchSpec("kll", {"k": 200})),
+    )
+    timed(
+        "q_tdigest_events_value",
+        lambda: collect_sketch(events, "value", SketchSpec("tdigest", {"delta": 200.0})),
+    )
+    timed(
+        "q_grouped_hll_returnflag",
+        lambda: build_grouped(
+            lineitem, "l_returnflag", "l_orderkey", SketchSpec("hll", {"p": 12}), salt=8
+        ).collect(),
+    )
+    timed(
+        "q_bloom_semijoin",
+        lambda: sketch_semijoin(
+            spark, lineitem, "l_partkey", part.filter(F.col("p_size") < 15), "p_partkey"
+        ).count(),
+    )
+    return timings, extras
+
+
+def main() -> None:
+    sf = _sf()
+    rows = max(200_000, int(80_000_000 * sf))
+    t_path = transcripts_path(rows)
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            spark = make_session(cpus)
+            try:
+                transcripts_job(spark, t_path)  # warm (JIT, page cache)
+                t0 = time.monotonic()
+                transcripts_job(spark, t_path)
+                secs = time.monotonic() - t0
+            finally:
+                spark.stop()
+            results[cpus] = rows / secs
+            print(f"# local[{cpus}]: {secs:.2f}s  {rows/secs:,.0f} turns/sec", file=sys.stderr)
+        eff = (results[32] / results[8]) / 4.0
+        md = (
+            f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
+            f"| parallelism | throughput (turns/sec) |\n|---|---|\n"
+            f"| local[8] | {results[8]:,.0f} |\n| local[32] | {results[32]:,.0f} |\n\n"
+            f"**Scaling efficiency (8→32 cores, 4×): {eff:.3f}** "
+            f"(target ≥ 0.8; input {rows:,} transcript turns)\n"
+        )
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(md)
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "throughput": {str(k): round(v) for k, v in results.items()},
+            "rows": rows,
+        }))
+        return
+
+    spark = make_session(CPUS)
+    try:
+        timings, extras = run_queries(spark, SF_DIR, t_path)
+    finally:
+        spark.stop()
+    total = round(sum(timings.values()), 3)
+    thr = round(extras["transcripts_rows"] / timings["q_transcripts_multisketch"])
+    print(json.dumps({
+        "metric": "sketch_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        "transcripts_turns_per_sec": thr,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -176,6 +176,122 @@ def collect_sketch(
 
 
 # ---------------------------------------------------------------------------
+# Multi-sketch single-pass build: one scan, many sketches.
+# At 100 TB the scan dominates; building HLL+bloom+CMS over the same column
+# (or several columns) in one mapInArrow pass costs one read instead of k.
+# ---------------------------------------------------------------------------
+
+MULTI_SCHEMA = "name string, sketch binary, n bigint, overflow bigint"
+_MULTI_ARROW = pa.schema(
+    [
+        ("name", pa.string()),
+        ("sketch", pa.binary()),
+        ("n", pa.int64()),
+        ("overflow", pa.int64()),
+    ]
+)
+
+
+def build_partials_multi(
+    df: DataFrame, targets: list[tuple[str, str, SketchSpec]]
+) -> DataFrame:
+    """targets: [(name, column, spec)] → partial rows (name, sketch, n)."""
+    cols = list(dict.fromkeys(c for _, c, _ in targets))
+    col_idx = {c: i for i, c in enumerate(cols)}
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..sketches.base import FUNNEL_NONE, hash_column
+
+        sks = {name: spec.create() for name, _, spec in targets}
+        ns = dict.fromkeys(sks, 0)
+        first = True
+        for batch in batches:
+            # hash each column ONCE per batch; all hash-based sketches on the
+            # same column share (h1, h2) — 3 sketches over conv_id = 1 hash
+            hashed: dict[str, tuple] = {}
+            for name, c, _ in targets:
+                column = batch.column(col_idx[c])
+                sk = sks[name]
+                if first:
+                    _bind_funnel(sk, column)
+                if sk.funnel == FUNNEL_NONE:
+                    sk.update(column)
+                else:
+                    if c not in hashed:
+                        _, h1, h2 = hash_column(column, sk.funnel)
+                        hashed[c] = (h1, h2)
+                    sk.ingest_hashes(*hashed[c])
+                ns[name] += len(column) - column.null_count
+            first = False
+        if all(v == 0 for v in ns.values()):
+            return
+        yield pa.RecordBatch.from_pydict(
+            {
+                "name": [name for name, _, _ in targets],
+                "sketch": [sks[name].to_bytes() for name, _, _ in targets],
+                "n": [ns[name] for name, _, _ in targets],
+                "overflow": [0] * len(targets),
+            },
+            schema=_MULTI_ARROW,
+        )
+
+    return df.select(*cols).mapInArrow(fn, MULTI_SCHEMA)
+
+
+def _merge_stage_multi_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    accs: dict[str, Sketch] = {}
+    ns: dict[str, int] = {}
+    ovs: dict[str, int] = {}
+    for batch in batches:
+        names = batch.column(0).to_pylist()
+        blobs = batch.column(1).to_pylist()
+        counts = batch.column(2).to_pylist()
+        overflows = batch.column(3).to_pylist()
+        for name, blob, cnt, ov in zip(names, blobs, counts, overflows):
+            sk = Sketch.from_bytes(blob)
+            if name in accs:
+                ovs[name] = ovs.get(name, 0) + _merge_into(accs[name], sk)
+            else:
+                accs[name] = sk
+            ns[name] = ns.get(name, 0) + cnt
+            ovs[name] = ovs.get(name, 0) + ov
+    if not accs:
+        return
+    keys = sorted(accs)
+    yield pa.RecordBatch.from_pydict(
+        {
+            "name": keys,
+            "sketch": [accs[k].to_bytes() for k in keys],
+            "n": [ns[k] for k in keys],
+            "overflow": [ovs[k] for k in keys],
+        },
+        schema=_MULTI_ARROW,
+    )
+
+
+def collect_sketches_multi(
+    df: DataFrame, targets: list[tuple[str, str, SketchSpec]], fanin: int = 64
+) -> dict[str, tuple[Sketch, int, int]]:
+    """One scan → {name: (sketch, rows, overflow)} for every target."""
+    partials = build_partials_multi(df, targets)
+    p = partials.rdd.getNumPartitions()
+    dfm = partials
+    while p > fanin:
+        p = max(1, math.ceil(p / fanin))
+        dfm = dfm.repartition(p, "name").mapInArrow(_merge_stage_multi_fn, MULTI_SCHEMA)
+    out: dict[str, tuple[Sketch, int, int]] = {}
+    for row in dfm.collect():
+        sk = Sketch.from_bytes(row.sketch)
+        if row.name in out:
+            acc, n, ov = out[row.name]
+            ov += _merge_into(acc, sk)
+            out[row.name] = (acc, n + row.n, ov + row.overflow)
+        else:
+            out[row.name] = (sk, row.n, row.overflow)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Grouped (per-key) sketches — two-phase salted aggregation
 # ---------------------------------------------------------------------------
 

@@ -102,22 +102,38 @@ class Sketch(ABC):
                 f"with {type(other).__name__}{getattr(other, '_params_tuple', lambda: '?')()}"
             )
 
+    # payloads above this size are zlib-compressed (deterministic, so blob
+    # byte-equality contracts are unaffected).  Partial sketches at low load
+    # are extremely sparse — this is what keeps the tree-merge shuffle KB-
+    # sized instead of shipping dense 2+ MB bit arrays per partition.
+    _COMPRESS_THRESHOLD = 1 << 16
+
     def to_bytes(self) -> bytes:
         params = self._params_bytes()
         payload = self._payload_bytes()
-        header = MAGIC + struct.pack("<BBBB", VERSION, self.KIND, self.funnel, 0)
+        comp = 0
+        if len(payload) > self._COMPRESS_THRESHOLD:
+            import zlib
+
+            payload = zlib.compress(payload, 1)
+            comp = 1
+        header = MAGIC + struct.pack("<BBBB", VERSION, self.KIND, self.funnel, comp)
         return header + struct.pack("<I", len(params)) + params + payload
 
     @staticmethod
     def from_bytes(blob: bytes) -> "Sketch":
         if blob[:4] != MAGIC:
             raise ValueError("not a GPSK sketch blob")
-        version, kind, funnel, _ = struct.unpack_from("<BBBB", blob, 4)
+        version, kind, funnel, comp = struct.unpack_from("<BBBB", blob, 4)
         if version != VERSION:
             raise ValueError(f"unsupported sketch version {version}")
         (plen,) = struct.unpack_from("<I", blob, 8)
         params = blob[12 : 12 + plen]
         payload = blob[12 + plen :]
+        if comp == 1:
+            import zlib
+
+            payload = zlib.decompress(payload)
         cls = _REGISTRY.get(kind)
         if cls is None:
             raise ValueError(f"unknown sketch kind {kind}")

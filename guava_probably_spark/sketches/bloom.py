@@ -105,6 +105,10 @@ class BloomSketch(Sketch):
         mask = np.uint64(1) << (idx & np.uint64(63))
         return ((self.bits[word] & mask) != 0).all(axis=1)
 
+    def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        """Uniform pre-hashed ingest (multi-sketch builds hash once per column)."""
+        self.put_hashes(h1, h2)
+
     def update(self, values) -> np.ndarray:
         """Insert a column batch (pyarrow/pandas/list); nulls skipped."""
         _, h1, h2 = hash_column(values, self.funnel)

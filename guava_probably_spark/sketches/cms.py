@@ -84,6 +84,9 @@ class CmsSketch(Sketch):
                 np.add.at(self.counts[i], b[i], w)
             self.total += int(w.sum())
 
+    def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        self.update_hashes(h1, h2)
+
     def update(self, values, weights=None) -> None:
         _, h1, h2 = hash_column(values, self.funnel)
         self.update_hashes(h1, h2, weights)

@@ -212,6 +212,9 @@ class CuckooSketch(Sketch):
         found2 = (self.table[i2] == fp[:, None]).any(axis=1)
         return found1 | found2
 
+    def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        self.put_hashes(h1, h2)
+
     def update(self, values) -> np.ndarray:
         _, h1, h2 = hash_column(values, self.funnel)
         return self.put_hashes(h1, h2)
