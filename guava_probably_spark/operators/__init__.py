@@ -9,3 +9,10 @@ from .build import (  # noqa: F401
     tree_merge,
 )
 from .semijoin import sketch_prune, sketch_semijoin  # noqa: F401
+from .checkpoint import (  # noqa: F401
+    ResumeStats,
+    build_with_checkpoint,
+    checkpoint_metrics,
+    job_lineage,
+    list_input_files,
+)

@@ -1,0 +1,181 @@
+"""Resumable sketch build: per-file partials with lineage + metrics.
+
+North rule (BASELINE.json:14): "resumable from checkpoint with per-partition
+lineage + metrics".  Design (SURVEY.md §4.4):
+
+- the unit of work/recovery is the INPUT FILE (the natural unit at 100 TB —
+  ~1 GB parquet files → ~100k independent tasks);
+- each task reads one file's needed column with pyarrow inside the Python
+  worker (column pruning intact: pyarrow reads only that column's pages),
+  builds a partial sketch, and emits a checkpoint row:
+      (file, lineage, sketch, n, overflow, secs, bytes)
+  where lineage = sha256(sketch spec + column + format version) — a restart
+  with a different spec never reuses stale partials;
+- waves: files are processed in bounded waves, each wave APPENDED to the
+  checkpoint parquet — a killed job loses at most one wave;
+- resume: list the checkpoint's (lineage-matching) files, recompute only the
+  missing ones, then tree-merge all partials to the final sketch.
+
+The non-checkpointed path (operators.build) stays on the JVM parquet scan;
+this path trades scan-level pushdown for exact per-partition lineage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sketches import Sketch, SketchSpec
+from .build import _bind_funnel, _merge_into
+
+CHECKPOINT_SCHEMA = (
+    "file string, lineage string, sketch binary, n bigint, overflow bigint, "
+    "secs double, bytes bigint"
+)
+
+
+def job_lineage(spec: SketchSpec, col: str) -> str:
+    payload = json.dumps(
+        {"kind": spec.kind, "params": spec.params, "col": col, "v": 1},
+        sort_keys=True,
+        default=str,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:32]
+
+
+def list_input_files(spark: SparkSession, input_path: str) -> list[str]:
+    """Parquet part files of a table path (local fs or anything Hadoop can
+    list — uses the JVM FileSystem so it works on HDFS/S3 in production)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(input_path)
+    fs = path.getFileSystem(conf)
+    out = []
+    for status in fs.listStatus(path):
+        p = status.getPath().toString()
+        if p.endswith(".parquet"):
+            out.append(p)
+    if not out and input_path.endswith(".parquet"):
+        out = [input_path]
+    return sorted(out)
+
+
+def _build_file_fn(col: str, spec: SketchSpec, lineage: str):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for file_path in batch.column(0).to_pylist():
+                t0 = time.monotonic()
+                local = file_path.removeprefix("file:")
+                table = pq.read_table(local, columns=[col])
+                column = table.column(0).combine_chunks()
+                sk = spec.create()
+                _bind_funnel(sk, column)
+                sk.update(column)
+                n = len(column) - column.null_count
+                blob = sk.to_bytes()
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "file": [file_path],
+                        "lineage": [lineage],
+                        "sketch": [blob],
+                        "n": [n],
+                        "overflow": [0],
+                        "secs": [time.monotonic() - t0],
+                        "bytes": [table.nbytes],
+                    }
+                )
+
+    return fn
+
+
+@dataclass
+class ResumeStats:
+    total_files: int
+    reused: int
+    recomputed: int
+    rows: int
+    overflow: int
+
+
+def build_with_checkpoint(
+    spark: SparkSession,
+    input_path: str,
+    col: str,
+    spec: SketchSpec,
+    checkpoint_dir: str,
+    wave_size: int = 512,
+    files_limit: int | None = None,
+) -> tuple[Sketch, ResumeStats]:
+    """Build a sketch over a parquet table, checkpointing per-file partials;
+    re-running after a crash recomputes only the not-yet-checkpointed files.
+
+    files_limit exists for tests to simulate a mid-job kill.
+    """
+    lineage = job_lineage(spec, col)
+    files = list_input_files(spark, input_path)
+    if files_limit is not None:
+        files = files[:files_limit]
+
+    done: set[str] = set()
+    have_checkpoint = False
+    try:
+        ck = spark.read.parquet(checkpoint_dir)
+        have_checkpoint = True
+        done = {
+            r.file
+            for r in ck.filter(F.col("lineage") == lineage).select("file").collect()
+        }
+    except Exception:
+        pass  # no checkpoint yet
+
+    todo = [f for f in files if f not in done]
+    for i in range(0, len(todo), wave_size):
+        wave = todo[i : i + wave_size]
+        wave_df = spark.createDataFrame([(f,) for f in wave], "file string").repartition(
+            len(wave)
+        )
+        partials = wave_df.mapInArrow(_build_file_fn(col, spec, lineage), CHECKPOINT_SCHEMA)
+        partials.write.mode("append").parquet(checkpoint_dir)
+
+    ck = spark.read.parquet(checkpoint_dir).filter(
+        (F.col("lineage") == lineage) & (F.col("file").isin(files))
+    )
+    rows = ck.select("sketch", "n", "overflow").collect()
+    acc: Sketch | None = None
+    n = 0
+    overflow = 0
+    for r in rows:
+        sk = Sketch.from_bytes(r.sketch)
+        if acc is None:
+            acc = sk
+        else:
+            overflow += _merge_into(acc, sk)
+        n += r.n
+        overflow += r.overflow
+    if acc is None:
+        acc = spec.create()
+    return acc, ResumeStats(
+        total_files=len(files),
+        reused=len(done & set(files)),
+        recomputed=len(todo),
+        rows=n,
+        overflow=overflow,
+    )
+
+
+def checkpoint_metrics(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Per-partition metrics view over a checkpoint (rows/bytes/secs/file)."""
+    return spark.read.parquet(checkpoint_dir).select(
+        "file", "lineage", "n", "overflow", "secs", "bytes"
+    )
