@@ -3,8 +3,10 @@ from .build import (  # noqa: F401
     PARTIAL_SCHEMA,
     build_grouped,
     build_partials,
+    build_partials_files_multi,
     build_partials_multi,
     collect_sketch,
+    collect_sketches_files,
     collect_sketches_multi,
     tree_merge,
 )

@@ -77,12 +77,14 @@ def _build_file_fn(col: str, spec: SketchSpec, lineage: str):
             for file_path in batch.column(0).to_pylist():
                 t0 = time.monotonic()
                 local = file_path.removeprefix("file:")
-                table = pq.read_table(local, columns=[col])
-                column = table.column(0).combine_chunks()
+                table = pq.read_table(local, columns=[col], use_threads=False)
                 sk = spec.create()
-                _bind_funnel(sk, column)
-                sk.update(column)
-                n = len(column) - column.null_count
+                n = 0
+                for rb in table.to_batches(max_chunksize=16384):
+                    column = rb.column(0)
+                    _bind_funnel(sk, column)
+                    sk.update(column)
+                    n += len(column) - column.null_count
                 blob = sk.to_bytes()
                 yield pa.RecordBatch.from_pydict(
                     {
@@ -142,8 +144,9 @@ def build_with_checkpoint(
     todo = [f for f in files if f not in done]
     for i in range(0, len(todo), wave_size):
         wave = todo[i : i + wave_size]
-        wave_df = spark.createDataFrame([(f,) for f in wave], "file string").repartition(
-            len(wave)
+        wave_df = spark.createDataFrame(
+            spark.sparkContext.parallelize([(f,) for f in wave], len(wave)),
+            "file string",
         )
         partials = wave_df.mapInArrow(_build_file_fn(col, spec, lineage), CHECKPOINT_SCHEMA)
         partials.write.mode("append").parquet(checkpoint_dir)
