@@ -259,6 +259,111 @@ def _q_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via CMS: candidates with est ≥ φ·N (no false negatives
+    among candidates; ε·N ≪ φ·N keeps false positives away from the
+    threshold here)."""
+    events = _t(spark, sf_dir, "events")
+    sk, _, _ = collect_sketch(
+        events, "event_type", SketchSpec("cms", {"epsilon": 0.0005, "delta": 0.01})
+    )
+    candidates = [r.event_type for r in events.select("event_type").distinct().collect()]
+    hh = sk.heavy_hitters(candidates, phi=0.1)
+    return spark.createDataFrame([Row(event_type=x) for x in sorted(hh)])
+
+
+def _q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup-by-merge (SURVEY.md §2.3 grouping sets): the global sketch is
+    the MERGE of the per-group sketches, not a recompute — verified by blob
+    byte-equality against the direct global build."""
+    events = _t(spark, sf_dir, "events")
+    spec = SketchSpec("hll", {"p": 14})
+    g = build_grouped(events, "event_type", "user_id", spec, salt=4)
+    rows = g.select("event_type", "sketch").collect()
+    acc = None
+    for r in rows:
+        sk = Sketch.from_bytes(r.sketch)
+        acc = sk if acc is None else acc.merge(sk)
+    direct, _, _ = collect_sketch(events, "user_id", spec)
+    rollup_exact = acc.to_bytes() == direct.to_bytes()
+    bound = direct.relative_error_bound()
+    exact = {
+        r.event_type: r.d
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    exact["ALL"] = events.select(F.countDistinct("user_id").alias("d")).collect()[0].d
+    per_group = {r.event_type: Sketch.from_bytes(r.sketch) for r in rows}
+    per_group["ALL"] = acc
+    out = [
+        Row(
+            level=k,
+            exact_distinct=int(exact[k]),
+            within=bool(
+                abs(per_group[k].estimate() - exact[k]) / max(exact[k], 1)
+                <= bound + 0.005
+                and rollup_exact
+            ),
+        )
+        for k in sorted(exact)
+    ]
+    return spark.createDataFrame(out)
+
+
+def _q_expected_fpp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expectedFpp within the configured bound across the FPP grid
+    (BASELINE.md row 3) for both filter kinds, built distributed."""
+    events = _t(spark, sf_dir, "events")
+    n = events.count()
+    rows = []
+    for kind in ("bloom", "cuckoo"):
+        for fpp in (0.03, 0.01, 0.001):
+            sk, _, ovf = collect_sketch(
+                events, "event_id", SketchSpec(kind, {"capacity": n, "fpp": fpp})
+            )
+            ok = ovf == 0 and sk.expected_fpp() <= fpp * 1.6
+            rows.append(Row(name=f"{kind}_{fpp}", within=bool(ok)))
+    return spark.createDataFrame(rows)
+
+
+def _q_kll_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank queries: KLL rank(v) vs exact fraction below v (distributed)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    sk, total, _ = collect_sketch(
+        lineitem, "l_extendedprice", SketchSpec("kll", {"k": 200})
+    )
+    probes = [float(sk.quantile(q)) for q in (0.2, 0.5, 0.8)]
+    import numpy as np
+
+    est_ranks = sk.rank(np.array(probes))
+    aggs = [
+        (F.sum(F.when(F.col("l_extendedprice") < F.lit(v), 1).otherwise(0)) / F.count("*")).alias(f"r{i}")
+        for i, v in enumerate(probes)
+    ]
+    exact = lineitem.agg(*aggs).collect()[0]
+    bound = sk.rank_error_bound()
+    rows = [
+        Row(probe=f"q{int(q*100)}", within=bool(abs(est_ranks[i] - exact[f"r{i}"]) <= bound))
+        for i, q in enumerate((0.2, 0.5, 0.8))
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _q_documents_text_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-funnel (UTF-8) membership over long document texts — zero FN."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    sk, _, ovf = collect_sketch(
+        docs, "text", SketchSpec("cuckoo", {"capacity": n * 2, "fpp": 0.01})
+    )
+    probe = might_contain_udf(spark, sk.to_bytes())
+    fn_count = docs.filter(~probe(F.col("text"))).count()
+    return spark.createDataFrame(
+        [Row(name="documents_text_membership", n_docs=int(n), false_negatives=int(fn_count + ovf))]
+    )
+
+
 def _q_exact_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ground-truth path validation (FIXTURES.md §5 'exact-checkable')."""
     events = _t(spark, sf_dir, "events")
@@ -294,6 +399,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin_lineitem_part": _q_semijoin,
         "merge_associativity": _q_merge_associativity,
         "grouped_hll_users_by_type": _q_grouped_hll,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "hll_rollup_by_merge": _q_hll_rollup,
+        "expected_fpp_grid": _q_expected_fpp_grid,
+        "kll_rank_queries": _q_kll_rank,
+        "documents_text_membership": _q_documents_text_membership,
         "exact_events_type_counts": _q_exact_type_counts,
     }
 
@@ -352,6 +462,26 @@ def oracle_sql() -> dict[str, str]:
         "grouped_hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
             "true AS within FROM events GROUP BY event_type"
+        ),
+        "cms_heavy_hitters": (
+            "SELECT event_type FROM events GROUP BY event_type "
+            "HAVING count(*) >= 0.1 * (SELECT count(*) FROM events)"
+        ),
+        "hll_rollup_by_merge": (
+            "SELECT coalesce(event_type, 'ALL') AS level, "
+            "count(DISTINCT user_id) AS exact_distinct, true AS within "
+            "FROM events GROUP BY GROUPING SETS ((event_type), ())"
+        ),
+        "expected_fpp_grid": (
+            "SELECT name, true AS within FROM (VALUES ('bloom_0.03'), ('bloom_0.01'), "
+            "('bloom_0.001'), ('cuckoo_0.03'), ('cuckoo_0.01'), ('cuckoo_0.001')) AS t(name)"
+        ),
+        "kll_rank_queries": (
+            "SELECT probe, true AS within FROM (VALUES ('q20'), ('q50'), ('q80')) AS t(probe)"
+        ),
+        "documents_text_membership": (
+            "SELECT 'documents_text_membership' AS name, count(*) AS n_docs, "
+            "CAST(0 AS BIGINT) AS false_negatives FROM documents"
         ),
         "exact_events_type_counts": (
             "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"
