@@ -364,6 +364,30 @@ def _q_documents_text_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grouped_hll_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized high-cardinality grouped HLL (operators.grouped_hll): one
+    sketch per l_partkey (~20k groups at sf0.01), all estimates within
+    bound vs exact distinct l_orderkey per part."""
+    from guava_probably_spark.operators import grouped_hll
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    est = grouped_hll(lineitem, "l_partkey", "l_orderkey", p=12, output="estimate")
+    exact = lineitem.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("d")
+    )
+    bound = 3 * 1.04 / (2 ** 12) ** 0.5 + 0.01
+    joined = exact.join(est, "l_partkey").select(
+        (
+            F.abs(F.col("estimate") - F.col("d")) / F.greatest(F.col("d"), F.lit(1))
+            <= F.lit(bound)
+        ).alias("ok")
+    )
+    return joined.agg(
+        F.count("*").alias("n_groups"),
+        F.min(F.col("ok").cast("int")).cast("boolean").alias("all_within"),
+    )
+
+
 def _q_exact_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ground-truth path validation (FIXTURES.md §5 'exact-checkable')."""
     events = _t(spark, sf_dir, "events")
@@ -404,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expected_fpp_grid": _q_expected_fpp_grid,
         "kll_rank_queries": _q_kll_rank,
         "documents_text_membership": _q_documents_text_membership,
+        "grouped_hll_highcard_parts": _q_grouped_hll_highcard,
         "exact_events_type_counts": _q_exact_type_counts,
     }
 
@@ -482,6 +507,10 @@ def oracle_sql() -> dict[str, str]:
         "documents_text_membership": (
             "SELECT 'documents_text_membership' AS name, count(*) AS n_docs, "
             "CAST(0 AS BIGINT) AS false_negatives FROM documents"
+        ),
+        "grouped_hll_highcard_parts": (
+            "SELECT count(DISTINCT l_partkey) AS n_groups, true AS all_within "
+            "FROM lineitem"
         ),
         "exact_events_type_counts": (
             "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"

@@ -193,6 +193,14 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
             lineitem, "l_returnflag", "l_orderkey", SketchSpec("hll", {"p": 12}), salt=8
         ).collect(),
     )
+    def grouped_conv():
+        from guava_probably_spark.operators import grouped_hll
+
+        df = spark.read.parquet(t_path)
+        return grouped_hll(df, "conv_id", "text", p=12, output="estimate").count()
+
+    extras["conv_groups"] = timed("q_grouped_hll_conv_highcard", grouped_conv)
+
     timed(
         "q_bloom_semijoin",
         lambda: sketch_semijoin(

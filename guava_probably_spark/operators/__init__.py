@@ -18,3 +18,4 @@ from .checkpoint import (  # noqa: F401
     job_lineage,
     list_input_files,
 )
+from .grouped_hll import grouped_hll  # noqa: F401

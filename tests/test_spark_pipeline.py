@@ -236,3 +236,32 @@ def test_grouped_per_conv_turn_counts(spark, transcripts_path):
     got = dict(hot.select("conv_id", freq(F.col("conv_id")).alias("f")).collect())
     for k, c in exact.items():
         assert got[k] >= c and got[k] - c <= sk.error_bound()
+
+
+def test_grouped_hll_high_cardinality(spark, transcripts_path):
+    """Vectorized high-cardinality grouped HLL (operators.grouped_hll):
+    estimates within bound for every key; group blobs merge byte-identically
+    into the direct global blob (rollup-by-merge at blob level)."""
+    import numpy as np
+
+    from guava_probably_spark.operators import grouped_hll
+
+    df = spark.read.parquet(transcripts_path)
+    est = {
+        r.conv_id: r.estimate
+        for r in grouped_hll(df, "conv_id", "text", p=12, output="estimate").collect()
+    }
+    exact = {
+        r.conv_id: r.d
+        for r in df.groupBy("conv_id").agg(F.countDistinct("text").alias("d")).collect()
+    }
+    assert set(est) == set(exact)
+    bound = 3 * 1.04 / np.sqrt(2**12) + 0.01
+    assert all(abs(est[k] - v) / max(v, 1) <= bound for k, v in exact.items())
+
+    blobs = [r.sketch for r in grouped_hll(df, "conv_id", "text", p=12).collect()]
+    acc = Sketch.from_bytes(blobs[0])
+    for b in blobs[1:]:
+        acc.merge(Sketch.from_bytes(b))
+    direct, _, _ = collect_sketch(df, "text", SketchSpec("hll", {"p": 12}))
+    assert acc.to_bytes() == direct.to_bytes()
