@@ -388,6 +388,39 @@ def _q_grouped_hll_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-ROLLUP over sketches (operators.rollup_sketches): finest level
+    scanned once, every coarser level produced by merging blobs; estimates
+    at every level within the HLL bound vs exact (oracle: GROUP BY ROLLUP)."""
+    from guava_probably_spark.operators import rollup_sketches
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    spec = SketchSpec("hll", {"p": 14})
+    keys = ["l_returnflag", "l_linestatus"]
+    g = build_grouped(lineitem, keys, "l_orderkey", spec, salt=2)
+    rolled = rollup_sketches(g, keys)
+    bound = 3 * 1.04 / (2 ** 14) ** 0.5 + 0.005
+    est = rolled.select(
+        *keys, hll_cardinality()("sketch").alias("est")
+    )
+    exact = lineitem.rollup(*keys).agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, [exact[k].eqNullSafe(est[k]) for k in keys])
+        .select(
+            exact["l_returnflag"],
+            exact["l_linestatus"],
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                / F.greatest(F.col("exact_distinct"), F.lit(1))
+                <= F.lit(bound)
+            ).alias("within"),
+        )
+    )
+
+
 def _q_exact_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ground-truth path validation (FIXTURES.md §5 'exact-checkable')."""
     events = _t(spark, sf_dir, "events")
@@ -429,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_rank_queries": _q_kll_rank,
         "documents_text_membership": _q_documents_text_membership,
         "grouped_hll_highcard_parts": _q_grouped_hll_highcard,
+        "hll_rollup_two_level": _q_rollup_two_level,
         "exact_events_type_counts": _q_exact_type_counts,
     }
 
@@ -511,6 +545,11 @@ def oracle_sql() -> dict[str, str]:
         "grouped_hll_highcard_parts": (
             "SELECT count(DISTINCT l_partkey) AS n_groups, true AS all_within "
             "FROM lineitem"
+        ),
+        "hll_rollup_two_level": (
+            "SELECT l_returnflag, l_linestatus, "
+            "count(DISTINCT l_orderkey) AS exact_distinct, true AS within "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         "exact_events_type_counts": (
             "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"

@@ -19,3 +19,4 @@ from .checkpoint import (  # noqa: F401
     list_input_files,
 )
 from .grouped_hll import grouped_hll  # noqa: F401
+from .rollup import merge_level, rollup_sketches  # noqa: F401

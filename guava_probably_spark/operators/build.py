@@ -399,20 +399,21 @@ def collect_sketches_files(
 
 def build_grouped(
     df: DataFrame,
-    key: str,
+    key: str | list[str],
     col: str,
     spec: SketchSpec,
     salt: int = 8,
 ) -> DataFrame:
-    """Per-key sketches: (key, sketch binary, n bigint).
+    """Per-key sketches: (*keys, sketch binary, n bigint).
 
-    Phase 1 groups by (key, salt) so a hot key (zipf conv_id) is split across
-    `salt` parallel tasks; phase 2 merges the ≤salt partials per key.  Only
-    phase 1 shuffles raw rows — unavoidable for per-key results — and phase 2
-    shuffles sketch blobs.
+    Phase 1 groups by (*keys, salt) so a hot key (zipf conv_id) is split
+    across `salt` parallel tasks; phase 2 merges the ≤salt partials per key.
+    Only phase 1 shuffles raw rows — unavoidable for per-key results — and
+    phase 2 shuffles sketch blobs.  For >10^4 distinct keys prefer the
+    vectorized ``grouped_hll`` (applyInPandas costs ~1 ms of Python/group).
     """
-    key_field = df.schema[key]
-    key_ddl = f"{key} {key_field.dataType.simpleString()}"
+    keys = [key] if isinstance(key, str) else list(key)
+    key_ddl = ", ".join(f"{k} {df.schema[k].dataType.simpleString()}" for k in keys)
     out_schema = f"{key_ddl}, sketch binary, n bigint"
     # pandas renders a nullable int column as float64(NaN); remember the true
     # Spark-side type so the kernel hashes int64, not doubles
@@ -430,9 +431,9 @@ def build_grouped(
         _bind_funnel(sk, column)
         sk.update(column)
         n = len(column) - column.null_count
-        return pd.DataFrame(
-            {key: [pdf[key].iloc[0]], "sketch": [sk.to_bytes()], "n": [n]}
-        )
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row.update({"sketch": [sk.to_bytes()], "n": [n]})
+        return pd.DataFrame(row)
 
     def merge_fn(pdf):
         import pandas as pd
@@ -446,12 +447,14 @@ def build_grouped(
             else:
                 _merge_into(acc, sk)
             n += cnt
-        return pd.DataFrame({key: [pdf[key].iloc[0]], "sketch": [acc.to_bytes()], "n": [n]})
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row.update({"sketch": [acc.to_bytes()], "n": [n]})
+        return pd.DataFrame(row)
 
-    salted = df.select(key, col).withColumn(
+    salted = df.select(*keys, col).withColumn(
         "_salt", F.coalesce(F.pmod(F.xxhash64(F.col(col)), F.lit(salt)), F.lit(0))
     )
-    phase1 = salted.groupBy(key, "_salt").applyInPandas(build_fn, out_schema)
+    phase1 = salted.groupBy(*keys, "_salt").applyInPandas(build_fn, out_schema)
     if salt <= 1:
         return phase1
-    return phase1.groupBy(key).applyInPandas(merge_fn, out_schema)
+    return phase1.groupBy(*keys).applyInPandas(merge_fn, out_schema)

@@ -1,0 +1,93 @@
+"""Sketch rollup / grouping sets — re-aggregation WITHOUT rescanning.
+
+The killer property of mergeable sketches (SURVEY.md §2.3 "grouping sets /
+cube / rollup"): a sketch DataFrame at the finest grouping level rolls up to
+every coarser level by MERGE.  At 100 TB the raw scan happens once, at the
+finest level; every marginal (per-day, per-role, global…) is a KB-sized
+blob merge.
+
+``rollup_sketches(grouped, keys, ...)`` takes (k1, …, kn, sketch, n) and
+returns the union of all prefix levels (ROLLUP semantics), with dropped keys
+set to NULL — mirroring SQL ``GROUP BY ROLLUP(k1, …, kn)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sketches import Sketch
+from .build import _merge_into
+
+
+def _merge_groups_fn(n_keys: int):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        accs: dict[tuple, Sketch] = {}
+        ns: dict[tuple, int] = {}
+        schema = None
+        for batch in batches:
+            schema = batch.schema
+            keys_cols = [batch.column(i).to_pylist() for i in range(n_keys)]
+            blobs = batch.column(n_keys).to_pylist()
+            counts = batch.column(n_keys + 1).to_pylist()
+            for i, blob in enumerate(blobs):
+                key = tuple(col[i] for col in keys_cols)
+                sk = Sketch.from_bytes(blob)
+                if key in accs:
+                    _merge_into(accs[key], sk)
+                else:
+                    accs[key] = sk
+                ns[key] = ns.get(key, 0) + counts[i]
+        if not accs:
+            return
+        keys_sorted = sorted(accs, key=lambda t: tuple(str(x) for x in t))
+        arrays = []
+        for i in range(n_keys):
+            arrays.append(pa.array([k[i] for k in keys_sorted], type=schema.field(i).type))
+        arrays.append(pa.array([accs[k].to_bytes() for k in keys_sorted], type=pa.binary()))
+        arrays.append(pa.array([ns[k] for k in keys_sorted], type=pa.int64()))
+        yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    return fn
+
+
+def merge_level(grouped: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge a sketch DataFrame down to the given (sub)set of keys.
+
+    Input columns: *parent_keys, sketch, n — parent keys not in `keys` are
+    dropped and their sketches merged.  Shuffles only sketch blobs."""
+    n_keys = len(keys)
+    sel = grouped.select(*keys, "sketch", "n")
+    schema_ddl = ", ".join(
+        f"{k} {grouped.schema[k].dataType.simpleString()}" for k in keys
+    )
+    out_schema = (schema_ddl + ", " if schema_ddl else "") + "sketch binary, n bigint"
+    if n_keys == 0:
+        merged = sel.repartition(1).mapInArrow(_merge_groups_fn(0), out_schema)
+        return merged
+    return sel.repartition(*keys).mapInArrow(_merge_groups_fn(n_keys), out_schema)
+
+
+def rollup_sketches(grouped: DataFrame, keys: list[str]) -> DataFrame:
+    """SQL ROLLUP over a sketch DataFrame: every prefix level of `keys`,
+    coarser levels computed by merging the finer ones (never rescanning).
+    Dropped keys are NULL (SQL rollup convention)."""
+    levels = []
+    current = grouped.select(*keys, "sketch", "n")
+    for depth in range(len(keys), -1, -1):
+        lvl_keys = keys[:depth]
+        if depth < len(keys):
+            current = merge_level(current, lvl_keys)
+        lvl = current
+        for k in keys[depth:]:
+            lvl = lvl.withColumn(
+                k, F.lit(None).cast(grouped.schema[k].dataType.simpleString())
+            )
+        levels.append(lvl.select(*keys, "sketch", "n"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out

@@ -265,3 +265,21 @@ def test_grouped_hll_high_cardinality(spark, transcripts_path):
         acc.merge(Sketch.from_bytes(b))
     direct, _, _ = collect_sketch(df, "text", SketchSpec("hll", {"p": 12}))
     assert acc.to_bytes() == direct.to_bytes()
+
+
+def test_rollup_sketches_by_merge(spark, events):
+    """SQL-ROLLUP over a sketch DataFrame: coarser levels are merges of finer
+    ones; the global level is byte-equal to a direct global build."""
+    from guava_probably_spark.operators import rollup_sketches
+
+    spec = SketchSpec("hll", {"p": 12})
+    g = build_grouped(events, "event_type", "user_id", spec, salt=2)
+    rolled = rollup_sketches(g, ["event_type"]).collect()
+    by_key = {r.event_type: r for r in rolled}
+    # finest level preserved
+    for r in g.collect():
+        assert by_key[r.event_type].sketch == r.sketch
+    # global (NULL) level == direct build
+    direct, n, _ = collect_sketch(events, "user_id", spec)
+    assert bytes(by_key[None].sketch) == direct.to_bytes()
+    assert by_key[None].n == n
