@@ -66,13 +66,15 @@ def _pack_registers_matrix(regs: np.ndarray, p: int) -> tuple[np.ndarray, np.nda
     """(K, m) uint8 registers → concatenated blob buffer + offsets, where each
     row is a standard HllSketch blob (header + 6-bit packed payload)."""
     k, m = regs.shape
-    r = regs.astype(np.uint32).reshape(k, m // 4, 4)
-    word = r[..., 0] | (r[..., 1] << 6) | (r[..., 2] << 12) | (r[..., 3] << 18)
-    payload = np.empty((k, m // 4, 3), dtype=np.uint8)
-    payload[..., 0] = word & 0xFF
-    payload[..., 1] = (word >> 8) & 0xFF
-    payload[..., 2] = (word >> 16) & 0xFF
-    payload = payload.reshape(k, -1)
+    payload = np.empty((k, (m // 4) * 3), dtype=np.uint8)
+    for s in range(0, k, 512):  # block-wise: uint32 temp is 4x the registers
+        r = regs[s : s + 512].astype(np.uint32).reshape(-1, m // 4, 4)
+        word = r[..., 0] | (r[..., 1] << 6) | (r[..., 2] << 12) | (r[..., 3] << 18)
+        blk = np.empty(word.shape + (3,), dtype=np.uint8)
+        blk[..., 0] = word & 0xFF
+        blk[..., 1] = (word >> 8) & 0xFF
+        blk[..., 2] = (word >> 16) & 0xFF
+        payload[s : s + 512] = blk.reshape(blk.shape[0], -1)
 
     header = MAGIC + struct.pack("<BBBB", VERSION, KIND_HLL, 1, 0) + struct.pack("<I", 1) + struct.pack("<B", p)
     head = np.frombuffer(header, dtype=np.uint8)
@@ -85,15 +87,23 @@ def _pack_registers_matrix(regs: np.ndarray, p: int) -> tuple[np.ndarray, np.nda
 
 
 def _estimate_matrix(regs: np.ndarray, m: int) -> np.ndarray:
-    """Vectorized HLL estimator over a (K, m) register matrix."""
-    pow2 = np.exp2(-regs.astype(np.float64))
-    raw = _alpha(m) * m * m / pow2.sum(axis=1)
-    zeros = (regs == 0).sum(axis=1)
-    small = raw <= 2.5 * m
-    lc_ok = small & (zeros > 0)
-    out = raw.copy()
-    with np.errstate(divide="ignore"):
-        out[lc_ok] = m * np.log(m / zeros[lc_ok])
+    """Vectorized HLL estimator over a (K, m) register matrix.
+
+    Processed in key blocks: the float64 2^-reg intermediate is 8× the
+    register matrix — a whole-partition pass materializes ~400 MB per worker
+    (×32 workers = page-thrash); 512-key blocks stay cache-sized."""
+    k = regs.shape[0]
+    out = np.empty(k, dtype=np.float64)
+    alpha = _alpha(m)
+    for s in range(0, k, 512):
+        block = regs[s : s + 512]
+        pow2 = np.exp2(-block.astype(np.float64))
+        raw = alpha * m * m / pow2.sum(axis=1)
+        zeros = (block == 0).sum(axis=1)
+        lc_ok = (raw <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            raw[lc_ok] = m * np.log(m / zeros[lc_ok])
+        out[s : s + 512] = raw
     return out
 
 
