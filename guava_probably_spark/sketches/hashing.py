@@ -53,10 +53,14 @@ def _fmix64(k: np.ndarray) -> np.ndarray:
 
 
 def _gather_u64(data: np.ndarray, starts: np.ndarray) -> np.ndarray:
-    """Read little-endian uint64 at arbitrary byte offsets (vectorized gather)."""
+    """Read little-endian uint64 at arbitrary byte offsets (vectorized gather).
+
+    The fancy-indexed (n, 8) uint8 gather is C-contiguous, so the uint64
+    assembly is a zero-copy little-endian view — no widening, shifting or
+    reduction temporaries (the kernels are DRAM-bandwidth-bound; this cuts
+    the per-block traffic ~5x)."""
     idx = starts[:, None] + np.arange(8)
-    b = data[idx].astype(np.uint64)
-    return np.bitwise_or.reduce(b << _BYTE_SHIFTS, axis=1)
+    return data[idx].view("<u8").ravel()
 
 
 def hash128_bytes(
@@ -96,13 +100,19 @@ def hash128_bytes(
         # active prefix length at block t = number of strings with nblocks > t
         # s_nblocks descending -> searchsorted on the negated array
         neg = -s_nblocks
+        # persistent (n_active, 16) gather index, advanced in place per block
+        # (allocating fresh index matrices per block dominates DRAM traffic)
+        if max_blocks > 0:
+            m0 = int(np.searchsorted(neg, 0, side="left"))
+            idx16 = s_starts[:m0, None] + np.arange(16)
         for t in range(max_blocks):
             m = int(np.searchsorted(neg, -t, side="left"))  # count nblocks > t
             if m == 0:
                 break
-            base = s_starts[:m] + 16 * t
-            k1 = _gather_u64(data, base)
-            k2 = _gather_u64(data, base + 8)
+            blk = data[idx16[:m]].view("<u8")  # (m, 2) zero-copy LE words
+            k1 = blk[:, 0].copy()
+            k2 = blk[:, 1].copy()
+            idx16[:m] += 16
 
             k1 *= _C1
             k1 = _rotl(k1, 31)
@@ -133,11 +143,12 @@ def hash128_bytes(
         valid = np.arange(16) < taillen[:, None]
         safe_idx = np.minimum(idx, max(len(data) - 1, 0))
         if len(data) == 0:
-            tb = np.zeros((n, 16), dtype=np.uint64)
+            tb = np.zeros((n, 16), dtype=np.uint8)
         else:
-            tb = np.where(valid, data[safe_idx], 0).astype(np.uint64)
-        k1 = np.bitwise_or.reduce(tb[:, :8] << _BYTE_SHIFTS, axis=1)
-        k2 = np.bitwise_or.reduce(tb[:, 8:] << _BYTE_SHIFTS, axis=1)
+            tb = data[safe_idx] * valid  # bool mask zero-pads, stays uint8
+        w = tb.view("<u8")  # (n, 2) little-endian view, zero-copy
+        k1 = w[:, 0].copy()
+        k2 = w[:, 1].copy()
 
         k2 *= _C2
         k2 = _rotl(k2, 33)
