@@ -135,6 +135,23 @@ class HllSketch(Sketch):
     def relative_error_bound(self, nsigma: float = 3.0) -> float:
         return nsigma * 1.04 / math.sqrt(self.m)
 
+    def union_estimate(self, other: "HllSketch") -> float:
+        """|A ∪ B| without mutating either sketch (merge of copies)."""
+        self._check_compatible(other)
+        regs = np.maximum(self.registers, other.registers)
+        tmp = HllSketch(self.p, self.funnel)
+        tmp.registers = regs
+        return tmp.estimate()
+
+    def intersect_estimate(self, other: "HllSketch") -> float:
+        """|A ∩ B| by inclusion–exclusion: |A| + |B| − |A∪B|.
+
+        Error compounds (each term carries its own ±1.04/√m), so this is an
+        indication, not a bounded estimate — documented deviation; the
+        reference exposes no intersection either (SURVEY.md §2.3 set ops)."""
+        self._check_compatible(other)
+        return max(0.0, self.estimate() + other.estimate() - self.union_estimate(other))
+
     def is_empty(self) -> bool:
         return not self.registers.any()
 

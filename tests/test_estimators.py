@@ -160,3 +160,15 @@ def test_quantile_sketch_rank_queries():
         sk.update(vals)
         r = sk.rank(np.array([5000.0]))[0]
         assert abs(r - 0.5) <= sk.rank_error_bound()
+
+
+def test_hll_set_operation_estimates():
+    a, b = HllSketch(13, funnel=FUNNEL_LONG), HllSketch(13, funnel=FUNNEL_LONG)
+    a.update(np.arange(0, 60000, dtype=np.int64))
+    b.update(np.arange(40000, 100000, dtype=np.int64))  # overlap = 20000
+    union = a.union_estimate(b)
+    inter = a.intersect_estimate(b)
+    assert abs(union - 100000) / 100000 <= a.relative_error_bound()
+    assert abs(inter - 20000) / 20000 <= 0.15  # compounded error, loose check
+    # union_estimate must not mutate its operands
+    assert abs(a.estimate() - 60000) / 60000 <= a.relative_error_bound()
