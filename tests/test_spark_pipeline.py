@@ -257,7 +257,9 @@ def test_grouped_hll_high_cardinality(spark, transcripts_path):
     }
     assert set(est) == set(exact)
     bound = 3 * 1.04 / np.sqrt(2**12) + 0.01
-    assert all(abs(est[k] - v) / max(v, 1) <= bound for k, v in exact.items())
+    # max(relative, absolute 3): small groups are linear-counting where the
+    # error is collision-count-scale, not relative
+    assert all(abs(est[k] - v) <= max(bound * v, 3.0) for k, v in exact.items())
 
     blobs = [r.sketch for r in grouped_hll(df, "conv_id", "text", p=12).collect()]
     acc = Sketch.from_bytes(blobs[0])
