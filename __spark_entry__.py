@@ -424,6 +424,31 @@ def _q_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grouped_kll_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KLL medians via the grouped sketch column + quantile UDF;
+    self-check: exact rank of each group's estimated median within bound."""
+    from guava_probably_spark.functions import quantile_udf
+
+    events = _t(spark, sf_dir, "events")
+    g = build_grouped(events, "event_type", "value", SketchSpec("kll", {"k": 200}), salt=4)
+    med = g.select("event_type", quantile_udf(0.5)("sketch").alias("med"))
+    bound = 3 * 1.33 / 200
+    ranks = (
+        events.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.when(F.col("value") < F.col("med"), 1).otherwise(0))
+                / F.count("*")
+            ).alias("rank_of_med")
+        )
+    )
+    return ranks.select(
+        "event_type",
+        (F.abs(F.col("rank_of_med") - F.lit(0.5)) <= F.lit(bound)).alias("within"),
+    )
+
+
 def _q_exact_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ground-truth path validation (FIXTURES.md §5 'exact-checkable')."""
     events = _t(spark, sf_dir, "events")
@@ -466,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_text_membership": _q_documents_text_membership,
         "grouped_hll_highcard_parts": _q_grouped_hll_highcard,
         "hll_rollup_two_level": _q_rollup_two_level,
+        "grouped_kll_median_by_type": _q_grouped_kll_median,
         "exact_events_type_counts": _q_exact_type_counts,
     }
 
@@ -553,6 +579,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, "
             "count(DISTINCT l_orderkey) AS exact_distinct, true AS within "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "grouped_kll_median_by_type": (
+            "SELECT event_type, true AS within FROM events GROUP BY event_type"
         ),
         "exact_events_type_counts": (
             "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"
