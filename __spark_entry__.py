@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 
 from guava_probably_spark.functions import cms_freq_udf, hll_cardinality, might_contain_udf
+from guava_probably_spark.pipeline.contract import pipeline_oracle_sql, pipeline_queries
 from guava_probably_spark.operators import (
     build_grouped,
     collect_sketch,
@@ -461,6 +462,7 @@ def _q_exact_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        **pipeline_queries(),
         "hll_events_distinct_users": _hll_distinct(
             "events", "user_id", "hll_events_distinct_users"
         ),
@@ -498,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        **pipeline_oracle_sql(),
         "hll_events_distinct_users": (
             "SELECT 'hll_events_distinct_users' AS name, "
             "count(DISTINCT user_id) AS exact_distinct, true AS within FROM events"

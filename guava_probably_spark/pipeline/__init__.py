@@ -1,0 +1,63 @@
+"""Training-data pipeline operators over document / embedding tables.
+
+Beyond the reference's probabilistic-filter surface (guava-probably exposes
+membership sketches only — see SURVEY.md §2), a 100 TB curation pipeline needs
+dedup, similarity search, text analysis and multimodal plumbing. These are
+first-class operators here, built Spark-first:
+
+- ``dedup``      — exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard
+- ``similarity`` — brute-force cosine top-k, random-hyperplane LSH ANN
+- ``textops``    — language-ID heuristic, quality scoring, token counting,
+                   rolling-hash fingerprinting
+- ``multimodal`` — opaque binary columns + mapInPandas decode/feature plumbing
+- ``textexpr``   — dual-dialect (Spark SQL / DuckDB) expression builders so
+                   every operator has a bit-exact DuckDB oracle
+"""
+
+from guava_probably_spark.pipeline import textexpr
+from guava_probably_spark.pipeline.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_df,
+    simhash_df,
+    simhash_near_pairs,
+)
+from guava_probably_spark.pipeline.multimodal import (
+    decode_image,
+    extract_binary_features,
+    with_payload,
+)
+from guava_probably_spark.pipeline.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    hyperplane_signatures,
+)
+from guava_probably_spark.pipeline.textops import (
+    langid_df,
+    quality_df,
+    rolling_fingerprint_df,
+    token_counts_df,
+)
+
+__all__ = [
+    "textexpr",
+    "exact_dedup",
+    "exact_jaccard_pairs",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "shingle_df",
+    "simhash_df",
+    "simhash_near_pairs",
+    "cosine_neardup_pairs",
+    "cosine_topk",
+    "hyperplane_signatures",
+    "langid_df",
+    "quality_df",
+    "rolling_fingerprint_df",
+    "token_counts_df",
+    "with_payload",
+    "extract_binary_features",
+    "decode_image",
+]

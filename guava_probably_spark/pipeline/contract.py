@@ -1,0 +1,302 @@
+"""Driver-contract queries + DuckDB oracles for the pipeline tier.
+
+Each query returns integer/string/boolean columns only (no raw floats — the
+driver value-hashes after sorting columns by name; IEEE formatting noise
+must never flip a hash). Where the Spark path is approximate (MinHash
+banding, hyperplane LSH), candidates are verified exactly, and parameters
+are chosen so candidate-recall is exact (pigeonhole banding) or
+overwhelmingly certain ((1−J^r)^b ≈ 4e-13 at the threshold), making the
+exact-SQL oracle the true answer on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from guava_probably_spark.pipeline import textexpr
+from guava_probably_spark.pipeline.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    neardup_pairs_minhash,
+    shingle_df,
+    simhash_df,
+    simhash_near_pairs,
+    simhash_sql_duck,
+)
+from guava_probably_spark.pipeline.multimodal import extract_binary_features, with_payload
+from guava_probably_spark.pipeline.similarity import cosine_neardup_pairs, cosine_topk
+from guava_probably_spark.pipeline.textops import (
+    langid_df,
+    quality_df,
+    rolling_fingerprint_df,
+    token_counts_df,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _norm_words(col: str = "text"):
+    return F.expr(textexpr.words_expr(col, "spark"))
+
+
+# ---------------------------------------------------------------------------
+# fixtures: deterministic augmentation (same construction in Spark and SQL)
+# ---------------------------------------------------------------------------
+
+def _aug_exact_copies(docs: DataFrame) -> DataFrame:
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.upper("text").alias("text")
+    )
+    return docs.select("doc_id", "text").unionByName(copies)
+
+
+_AUG_EXACT_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id % 10 = 0"
+)
+
+
+def _aug_truncated(docs: DataFrame) -> DataFrame:
+    w = _norm_words()
+    trunc = F.concat_ws(" ", F.slice(w, 1, F.size(w) - 5))
+    copies = docs.filter((F.col("doc_id") % 5 == 0) & (F.size(w) >= 40)).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), trunc.alias("text")
+    )
+    return docs.select("doc_id", "text").unionByName(copies)
+
+
+def _aug_truncated_sql() -> str:
+    w = textexpr.words_expr("text", "duck")
+    return (
+        f"SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + 1000000, array_to_string(({w})[1:len({w}) - 5], ' ') "
+        f"FROM documents WHERE doc_id % 5 = 0 AND len({w}) >= 40"
+    )
+
+
+def _aug_simhash(docs: DataFrame) -> DataFrame:
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")
+    )
+    return docs.select("doc_id", "text").unionByName(copies)
+
+
+_AUG_SIMHASH_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0"
+)
+
+
+def _aug_embeddings(emb: DataFrame) -> DataFrame:
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    return emb.select("vec_id", "embedding").unionByName(copies)
+
+
+_AUG_EMB_SQL = (
+    "SELECT vec_id, embedding FROM embeddings UNION ALL "
+    "SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(_aug_exact_copies(docs), "doc_id", "text")
+
+
+def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return neardup_pairs_minhash(_aug_truncated(docs), "doc_id", "text", threshold=0.5)
+
+
+def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_df(docs, "doc_id", "text")
+
+
+def _q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sim = simhash_df(_aug_simhash(docs), "doc_id", "text")
+    return simhash_near_pairs(sim, max_hamming=3).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = shingle_df(docs, "doc_id", "text")
+    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
+    pairs = (
+        ids.alias("x")
+        .join(ids.alias("y"), F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+    )
+    return exact_jaccard_pairs(sh, pairs).filter(100 * F.col("inter") >= F.col("uni"))
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(_aug_embeddings(emb), threshold=0.95)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    return cosine_topk(emb, queries, k=10).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_df(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return langid_df(docs, "doc_id", "text").join(
+        docs.select(F.col("doc_id").cast("long").alias("id"), F.col("lang").alias("lang_label")),
+        "id",
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts_df(_t(spark, sf_dir, "documents"), "source", "text").select(
+        F.col("grp").alias("source"), "n_docs", "total_ws_tokens", "total_re_tokens"
+    )
+
+
+def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_fingerprint_df(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return extract_binary_features(with_payload(docs, "doc_id", "text"))
+
+
+def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "exact_dedup_documents": _q_exact_dedup,
+        "minhash_neardup_pairs": _q_minhash_neardup,
+        "simhash_documents": _q_simhash_docs,
+        "simhash_near_pairs": _q_simhash_near,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "embedding_neardup_pairs": _q_embedding_neardup,
+        "ann_cosine_topk": _q_ann_topk,
+        "text_quality_scores": _q_quality,
+        "langid_documents": _q_langid,
+        "token_count_by_source": _q_token_counts,
+        "rolling_fingerprint_documents": _q_rolling_fp,
+        "multimodal_binary_features": _q_multimodal,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+def _jaccard_pairs_sql(aug_sql: str, threshold_mul: tuple[int, int]) -> str:
+    """Exact trigram-Jaccard pairs over an augmented doc relation.
+
+    threshold_mul = (p, q) encodes jaccard >= p/q as q*inter >= p*uni.
+    """
+    tri = textexpr.trigrams_expr("text", "duck")
+    p, q = threshold_mul
+    return (
+        f"WITH aug AS ({aug_sql}), "
+        f"sh AS (SELECT DISTINCT doc_id AS id, unnest({tri}) AS shingle FROM aug), "
+        f"sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id), "
+        f"inter AS (SELECT x.id AS a, y.id AS b, count(*) AS i FROM sh x "
+        f"JOIN sh y ON x.shingle = y.shingle AND x.id < y.id GROUP BY 1, 2) "
+        f"SELECT a, b, i AS inter, na.n + nb.n - i AS uni FROM inter "
+        f"JOIN sizes na ON na.id = a JOIN sizes nb ON nb.id = b "
+        f"WHERE {q} * i >= {p} * (na.n + nb.n - i)"
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    sim = simhash_sql_duck(f"({_AUG_SIMHASH_SQL})", "doc_id", "text")
+    ham = (
+        "CAST(list_sum(list_transform(generate_series(1, 16), i -> "
+        "bit_count(xor(strpos('0123456789abcdef', substr(x.simhash, i, 1)) - 1, "
+        "strpos('0123456789abcdef', substr(y.simhash, i, 1)) - 1)))) AS BIGINT)"
+    )
+    return (
+        f"WITH sim AS ({sim}) "
+        f"SELECT x.id AS a, y.id AS b, {ham} AS hamming FROM sim x "
+        f"JOIN sim y ON x.id < y.id WHERE {ham} <= 3"
+    )
+
+
+def pipeline_oracle_sql() -> dict[str, str]:
+    fp = textexpr.md5_fingerprint_expr("text", "duck")
+    tri = textexpr.trigrams_expr("text", "duck")
+    wc = textexpr.word_count_expr("text", "duck")
+    return {
+        "exact_dedup_documents": (
+            f"WITH aug AS ({_AUG_EXACT_SQL}) "
+            f"SELECT {fp} AS fp, min(doc_id) AS keep_id, count(*) AS n_copies "
+            f"FROM aug GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "minhash_neardup_pairs": _jaccard_pairs_sql(_aug_truncated_sql(), (1, 2)),
+        "simhash_documents": simhash_sql_duck("documents", "doc_id", "text"),
+        "simhash_near_pairs": _simhash_pairs_sql(),
+        "ngram_jaccard_pairs": _jaccard_pairs_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id < 100", (1, 100)
+        ),
+        "embedding_neardup_pairs": (
+            f"WITH aug AS ({_AUG_EMB_SQL}) "
+            "SELECT x.vec_id AS a, y.vec_id AS b FROM aug x "
+            "JOIN aug y ON x.vec_id < y.vec_id "
+            "WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), "
+            "CAST(y.embedding AS DOUBLE[])) >= 0.95"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5), "
+            "scored AS (SELECT q.qid, e.vec_id AS nid, "
+            "list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS s "
+            "FROM q, embeddings e WHERE e.vec_id <> q.qid) "
+            "SELECT qid AS query_id, CAST(row_number() OVER "
+            "(PARTITION BY qid ORDER BY s DESC, nid) AS BIGINT) AS rank, "
+            "nid AS neighbor_id FROM scored "
+            "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) <= 10"
+        ),
+        "text_quality_scores": (
+            f"SELECT doc_id AS id, CAST({wc} AS BIGINT) AS ws_tokens, "
+            f"CAST({textexpr.re_token_count_expr('text', 'duck')} AS BIGINT) AS re_tokens, "
+            f"CAST({textexpr.char_count_expr('text', 'duck')} AS BIGINT) AS n_chars_norm, "
+            f"CAST({textexpr.stopword_hits_expr('text', 'duck')} AS BIGINT) AS stop_hits, "
+            f"{textexpr.quality_flag_expr('text', 'duck')} AS is_quality FROM documents"
+        ),
+        "langid_documents": (
+            f"SELECT doc_id AS id, {textexpr.langid_expr('text', 'duck')} AS pred_lang, "
+            f"lang AS lang_label FROM documents"
+        ),
+        "token_count_by_source": (
+            f"SELECT source, count(*) AS n_docs, "
+            f"CAST(sum({wc}) AS BIGINT) AS total_ws_tokens, "
+            f"CAST(sum({textexpr.re_token_count_expr('text', 'duck')}) AS BIGINT) "
+            f"AS total_re_tokens FROM documents GROUP BY source"
+        ),
+        "rolling_fingerprint_documents": (
+            f"SELECT doc_id AS id, {textexpr.rolling_hash_expr('text', 'duck')} "
+            f"AS roll_fp FROM documents"
+        ),
+        "multimodal_binary_features": (
+            "SELECT doc_id AS id, CAST(4 + octet_length(encode(text)) AS BIGINT) "
+            "AS n_bytes, CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte, "
+            "true AS header_ok FROM documents"
+        ),
+    }

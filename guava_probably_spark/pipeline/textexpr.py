@@ -1,0 +1,224 @@
+"""Dual-dialect text expression builders (Spark SQL ↔ DuckDB SQL).
+
+Every pipeline operator that participates in the driver's DuckDB oracle gate
+needs the Spark side and the oracle side to compute *bit-identical* values.
+Instead of maintaining two hand-written copies that can drift, each concept
+here is one function emitting the expression for a requested ``dialect``
+(``"spark"`` or ``"duck"``); shared constants (stopword list, token regex,
+rolling-hash base/modulus, simhash geometry) live in this module only.
+
+Dialect differences handled centrally:
+- DuckDB ``regexp_replace`` replaces the FIRST match unless passed ``'g'``;
+  Spark replaces all.
+- Spark ``sequence(1, 0)`` yields a DESCENDING ``[1, 0]`` — trigram builders
+  need an explicit size guard; DuckDB ``generate_series(1, 0)`` is ``[]``.
+- Spark ``regexp_extract_all`` requires the explicit group index ``0``.
+- array/lambda names: ``transform``/``aggregate`` (Spark) vs
+  ``list_transform``/``list_reduce`` (DuckDB); 1-based indexing in both
+  (``element_at`` / ``w[i]``).
+
+All expressions avoid float output: ratios are expressed as integer
+cross-multiplications so the oracle hash can never diverge on rounding.
+"""
+
+from __future__ import annotations
+
+# English stopword sample for the language-ID heuristic and stopword-ratio
+# quality signal. Kept deliberately small and frozen: it is part of the
+# oracle contract.
+STOPWORDS: tuple[str, ...] = (
+    "the", "of", "and", "a", "to", "in", "is", "it", "for", "on",
+    "with", "as", "by", "at", "or", "an", "be", "this", "that", "from",
+)
+
+# BPE-ish token pattern: runs of lowercase alphanumerics over normalized text.
+TOKEN_RE = "[a-z0-9]+"
+
+# Karp–Rabin rolling-hash parameters (fingerprinting). base * 255 + MOD must
+# fit int64: MOD < 2^31 keeps acc*31+255 < 2^36.
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007
+
+# SimHash geometry: 64 bits taken from the first 16 hex nibbles of
+# md5(token). md5 exists as a built-in in both engines, so the oracle can
+# recompute the identical signature.
+SIMHASH_BITS = 64
+
+_HEX = "0123456789abcdef"
+
+
+def _q(dialect: str) -> None:
+    if dialect not in ("spark", "duck"):
+        raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def norm_expr(col: str, dialect: str) -> str:
+    """Lowercase, collapse whitespace runs to single spaces, trim."""
+    _q(dialect)
+    if dialect == "spark":
+        return f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def words_expr(col: str, dialect: str) -> str:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    _q(dialect)
+    n = norm_expr(col, dialect)
+    if dialect == "spark":
+        return f"split({n}, ' ')"
+    return f"string_split({n}, ' ')"
+
+
+def word_count_expr(col: str, dialect: str) -> str:
+    _q(dialect)
+    w = words_expr(col, dialect)
+    if dialect == "spark":
+        return f"size({w})"
+    return f"len({w})"
+
+
+def re_token_count_expr(col: str, dialect: str) -> str:
+    """Count of TOKEN_RE matches over the normalized text."""
+    _q(dialect)
+    n = norm_expr(col, dialect)
+    if dialect == "spark":
+        return f"size(regexp_extract_all({n}, '{TOKEN_RE}', 0))"
+    return f"len(regexp_extract_all({n}, '{TOKEN_RE}'))"
+
+
+def trigrams_expr(col: str, dialect: str) -> str:
+    """Array of word 3-gram shingles ('w1 w2 w3') of the normalized text.
+
+    Word n-grams (not character n-grams) because transcript/document token
+    soups share a small vocabulary — character-shingle sets of unrelated
+    docs overlap heavily, word trigram sets do not (measured random-pair
+    Jaccard ≤ 0.04 on the sf0.01 documents table).
+    """
+    _q(dialect)
+    w = words_expr(col, dialect)
+    if dialect == "spark":
+        return (
+            f"CASE WHEN size({w}) >= 3 THEN "
+            f"transform(sequence(1, size({w}) - 2), i -> "
+            f"concat_ws(' ', element_at({w}, i), element_at({w}, i + 1), "
+            f"element_at({w}, i + 2))) "
+            f"ELSE array() END"
+        )
+    return (
+        f"list_transform(generate_series(1, len({w}) - 2), i -> "
+        f"{w}[i] || ' ' || {w}[i + 1] || ' ' || {w}[i + 2])"
+    )
+
+
+def stopword_hits_expr(col: str, dialect: str) -> str:
+    """Number of whitespace tokens that are in STOPWORDS (int)."""
+    _q(dialect)
+    w = words_expr(col, dialect)
+    lst = ", ".join(f"'{s}'" for s in STOPWORDS)
+    if dialect == "spark":
+        return f"size(filter({w}, t -> t IN ({lst})))"
+    return f"len(list_filter({w}, t -> t IN ({lst})))"
+
+
+def md5_fingerprint_expr(col: str, dialect: str) -> str:
+    """Normalization fingerprint: md5 of the alnum-and-space-only text.
+
+    The canonical "normalize then hash" exact-dedup key (case, whitespace
+    and punctuation insensitive).
+    """
+    _q(dialect)
+    n = norm_expr(col, dialect)
+    if dialect == "spark":
+        return f"md5(regexp_replace({n}, '[^a-z0-9 ]', ''))"
+    return f"md5(regexp_replace({n}, '[^a-z0-9 ]', '', 'g'))"
+
+
+def rolling_hash_expr(col: str, dialect: str) -> str:
+    """Karp–Rabin polynomial rolling hash of the normalized text (BIGINT).
+
+    acc := (acc * ROLL_BASE + byte) % ROLL_MOD folded over characters.
+    Order-sensitive (unlike the md5 set-style fingerprint) — two documents
+    with the same words in different order fingerprint differently.
+    """
+    _q(dialect)
+    n = norm_expr(col, dialect)
+    if dialect == "spark":
+        return (
+            f"aggregate(split({n}, ''), CAST(0 AS BIGINT), (acc, c) -> "
+            f"(acc * {ROLL_BASE} + CAST(coalesce(ascii(c), 0) AS BIGINT)) % {ROLL_MOD})"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({n}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD})"
+    )
+
+
+def langid_expr(col: str, dialect: str) -> str:
+    """Stopword-density language-ID heuristic: 'en' iff ≥10% of whitespace
+    tokens are English stopwords, else 'unk'. Integer cross-multiplication
+    (10*hits >= tokens) — no float division in the oracle contract."""
+    _q(dialect)
+    hits = stopword_hits_expr(col, dialect)
+    n = word_count_expr(col, dialect)
+    return f"CASE WHEN 10 * ({hits}) >= ({n}) THEN 'en' ELSE 'unk' END"
+
+
+def char_count_expr(col: str, dialect: str) -> str:
+    _q(dialect)
+    return f"length({norm_expr(col, dialect)})"
+
+
+def quality_flag_expr(col: str, dialect: str) -> str:
+    """Boolean quality gate: 5..5000 tokens AND mean token length in [2, 12]
+    chars (integer cross-multiplied: 2*T <= C+T-1 <= 12*T+T-1 where C is
+    normalized char count including the T-1 separator spaces)."""
+    _q(dialect)
+    t = word_count_expr(col, dialect)
+    c = char_count_expr(col, dialect)
+    # mean token len = (C - (T-1)) / T; bounds 2 <= mean <= 12
+    return (
+        f"(({t}) BETWEEN 5 AND 5000) AND "
+        f"(2 * ({t}) <= ({c}) - (({t}) - 1)) AND "
+        f"(({c}) - (({t}) - 1) <= 12 * ({t}))"
+    )
+
+
+def _nibble_value(hexchar_expr: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"(instr('{_HEX}', {hexchar_expr}) - 1)"
+    return f"(strpos('{_HEX}', {hexchar_expr}) - 1)"
+
+
+def simhash_bit_sign_exprs(token_col: str, dialect: str) -> list[str]:
+    """64 expressions (one per simhash bit), each ±1 for a single token.
+
+    Bit i of md5(token)'s first 64 bits: nibble = hex char at position
+    1 + i div 4, bit = (nibble >> (3 - i mod 4)) & 1; sign = 2*bit - 1.
+    """
+    _q(dialect)
+    exprs = []
+    for i in range(SIMHASH_BITS):
+        pos = 1 + i // 4
+        shift = 3 - i % 4
+        nib = _nibble_value(f"substr(md5({token_col}), {pos}, 1)", dialect)
+        if shift:
+            bit = f"(({nib} >> {shift}) & 1)"
+        else:
+            bit = f"({nib} & 1)"
+        exprs.append(f"(2 * {bit} - 1)")
+    return exprs
+
+
+def simhash_hex_from_bits(bit_exprs: list[str]) -> str:
+    """Assemble 64 bit expressions (each 0/1) into a 16-char hex string.
+
+    String assembly (not BIGINT) so bit 63 can't overflow a signed int64.
+    Same concat in both dialects.
+    """
+    nibbles = []
+    for j in range(SIMHASH_BITS // 4):
+        b = bit_exprs[4 * j : 4 * j + 4]
+        v = f"(8 * {b[0]} + 4 * {b[1]} + 2 * {b[2]} + {b[3]})"
+        nibbles.append(f"substr('{_HEX}', {v} + 1, 1)")
+    return " || ".join(nibbles)

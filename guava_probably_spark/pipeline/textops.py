@@ -1,0 +1,98 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+rolling-hash fingerprinting.
+
+All four are pure Catalyst projections/aggregations built from the
+dual-dialect expressions in ``textexpr`` — whole-stage-codegen JVM
+execution, no Python in the hot path, column-pruned scans. Each has an
+exact DuckDB oracle by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from guava_probably_spark.pipeline import textexpr
+
+
+def quality_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, ws_tokens, re_tokens, n_chars_norm, stop_hits, is_quality)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.expr(textexpr.word_count_expr(text_col, "spark")).cast("long").alias("ws_tokens"),
+        F.expr(textexpr.re_token_count_expr(text_col, "spark")).cast("long").alias("re_tokens"),
+        F.expr(textexpr.char_count_expr(text_col, "spark")).cast("long").alias("n_chars_norm"),
+        F.expr(textexpr.stopword_hits_expr(text_col, "spark")).cast("long").alias("stop_hits"),
+        F.expr(textexpr.quality_flag_expr(text_col, "spark")).alias("is_quality"),
+    )
+
+
+def langid_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pred_lang) stopword-density heuristic language ID."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.expr(textexpr.langid_expr(text_col, "spark")).alias("pred_lang"),
+    )
+
+
+def token_counts_df(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group (group, n_docs, total_ws_tokens, total_re_tokens).
+
+    One hash aggregation with map-side partials; token counting itself is a
+    projection, so this is scan-bound at scale.
+    """
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.expr(textexpr.word_count_expr(text_col, "spark")).cast("long").alias("w"),
+            F.expr(textexpr.re_token_count_expr(text_col, "spark")).cast("long").alias("r"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").alias("total_ws_tokens"),
+            F.sum("r").alias("total_re_tokens"),
+        )
+    )
+
+
+def rolling_fingerprint_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, roll_fp) Karp–Rabin polynomial rolling hash of normalized text.
+
+    Order-sensitive content fingerprint (vs the order-free md5 key used by
+    ``dedup.exact_dedup``).
+    """
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.expr(textexpr.rolling_hash_expr(text_col, "spark")).alias("roll_fp"),
+    )
+
+
+def winnowing_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    min rolling hash per sliding window over k-gram hashes.
+
+    Local/numpy reference implementation used by tests and per-batch UDFs;
+    the distributed path fingerprints per Arrow batch.
+    """
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        return []
+    grams = np.frombuffer(t.encode("utf-8", "replace"), dtype=np.uint8)
+    if len(grams) < k:
+        return []
+    base, mod = np.int64(textexpr.ROLL_BASE), np.int64(textexpr.ROLL_MOD)
+    n = len(grams) - k + 1
+    h = np.zeros(n, dtype=np.int64)
+    acc = np.zeros(len(grams) + 1, dtype=np.int64)
+    # prefix polynomial hashes with powers, h(i..i+k) derived per position
+    powk = np.int64(pow(int(base), k, int(mod)))
+    for i, c in enumerate(grams):
+        acc[i + 1] = (acc[i] * base + np.int64(c)) % mod
+    for i in range(n):
+        h[i] = (acc[i + k] - acc[i] * powk) % mod
+    if n <= window:
+        return [int(h.min())]
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    mins = sw.min(axis=1)
+    return sorted(set(int(x) for x in mins))

@@ -1,0 +1,101 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark AND its
+``oracle_sql()`` on DuckDB at sf0.01, sorts columns by name and rows by
+value, and compares. Usage:
+
+    python scripts/check_oracles.py [query ...]   # default: all queries
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(_canon(x) for x in v)
+    return v
+
+
+def _rows(cols, data):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in data)
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .appName("oracle-check")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    only = set(sys.argv[1:])
+    failed = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        s_cols = df.columns
+        s_rows = _rows(s_cols, [tuple(r) for r in df.collect()])
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:40s} rows-only ({len(s_rows)} rows, {dt:.1f}s)")
+            continue
+        res = con.execute(oracles[name])
+        d_cols = [c[0] for c in res.description]
+        d_rows = _rows(d_cols, res.fetchall())
+        ok_cols = sorted(s_cols) == sorted(d_cols)
+        ok_rows = s_rows == d_rows
+        status = "OK" if (ok_cols and ok_rows) else "MISMATCH"
+        print(f"  {name:40s} {status} ({len(s_rows)} rows, {dt:.1f}s)")
+        if not ok_cols:
+            failed.append(name)
+            print(f"    spark cols: {sorted(s_cols)}\n    duck  cols: {sorted(d_cols)}")
+        elif not ok_rows:
+            failed.append(name)
+            sset, dset = set(s_rows), set(d_rows)
+            for r in list(sset - dset)[:3]:
+                print(f"    spark-only: {r}")
+            for r in list(dset - sset)[:3]:
+                print(f"    duck-only : {r}")
+            if len(s_rows) != len(d_rows):
+                print(f"    row counts: spark={len(s_rows)} duck={len(d_rows)}")
+    spark.stop()
+    if failed:
+        print(f"FAILED: {failed}")
+        return 1
+    print("all queries match their oracles")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

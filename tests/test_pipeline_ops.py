@@ -1,0 +1,332 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing — correctness vs brute force and DuckDB-dialect parity."""
+
+import os
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from guava_probably_spark.pipeline import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    exact_dedup,
+    exact_jaccard_pairs,
+    extract_binary_features,
+    langid_df,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    quality_df,
+    rolling_fingerprint_df,
+    shingle_df,
+    simhash_df,
+    simhash_near_pairs,
+    textexpr,
+    token_counts_df,
+    with_payload,
+)
+from guava_probably_spark.pipeline.dedup import (
+    fast_simhash,
+    neardup_pairs_minhash,
+    simhash_sql_duck,
+)
+from guava_probably_spark.pipeline.multimodal import decode_image
+from guava_probably_spark.pipeline.textops import winnowing_fingerprints
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _docs_duck(sf_dir):
+    return f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+
+
+# ---------------------------------------------------------------------------
+# dual-dialect parity: the Spark expression and the DuckDB expression must
+# produce identical values on the real documents table
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "builder",
+    [
+        textexpr.norm_expr,
+        textexpr.word_count_expr,
+        textexpr.re_token_count_expr,
+        textexpr.stopword_hits_expr,
+        textexpr.md5_fingerprint_expr,
+        textexpr.rolling_hash_expr,
+        textexpr.langid_expr,
+        textexpr.char_count_expr,
+        textexpr.quality_flag_expr,
+    ],
+    ids=lambda b: b.__name__,
+)
+def test_dialect_parity(spark, sf_dir, builder):
+    sdf = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(builder("text", "spark")).alias("v")
+    )
+    got = {r.doc_id: r.v for r in sdf.collect()}
+    duck = duckdb.sql(
+        f"SELECT doc_id, {builder('text', 'duck')} AS v FROM {_docs_duck(sf_dir)}"
+    ).fetchall()
+    want = {d: v for d, v in duck}
+    assert got == want
+
+
+def test_trigrams_parity(spark, sf_dir):
+    sdf = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(textexpr.trigrams_expr("text", "spark")).alias("v")
+    )
+    got = {r.doc_id: list(r.v) for r in sdf.collect()}
+    duck = duckdb.sql(
+        f"SELECT doc_id, {textexpr.trigrams_expr('text', 'duck')} AS v "
+        f"FROM {_docs_duck(sf_dir)}"
+    ).fetchall()
+    want = {d: list(v) for d, v in duck}
+    assert got == want
+
+
+def test_simhash_parity_and_determinism(spark, sf_dir):
+    got = {r.id: r.simhash for r in simhash_df(_docs(spark, sf_dir), "doc_id", "text").collect()}
+    duck = duckdb.sql(simhash_sql_duck(_docs_duck(sf_dir), "doc_id", "text")).fetchall()
+    want = {d: v for d, v in duck}
+    assert got == want
+    assert all(len(v) == 16 for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_finds_planted_groups(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),  # case-mangled: still exact dup
+    )
+    aug = docs.unionByName(copies)
+    groups = {r.keep_id: r.n_copies for r in exact_dedup(aug, "doc_id", "text").collect()}
+    planted = [r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 0).collect()]
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    norm = {}
+    for d, t in texts.items():
+        norm.setdefault(" ".join(t.lower().split()), []).append(d)
+    for d in planted:
+        key = min(norm[" ".join(texts[d].lower().split())])
+        assert key in groups and groups[key] >= 2
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def _augmented_neardup(spark, sf_dir):
+    """Docs plus truncated copies of every 5th doc (high trigram Jaccard)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    trunc = F.concat_ws(" ", F.slice(w, 1, F.greatest(F.size(w) - 5, F.lit(1))))
+    copies = docs.filter((F.col("doc_id") % 5 == 0) & (F.size(w) >= 40)).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), trunc.alias("text")
+    )
+    return docs.unionByName(copies)
+
+
+def _brute_jaccard_pairs(rows, threshold):
+    def sh(t):
+        w = " ".join(t.lower().split()).split(" ")
+        return set(tuple(w[i : i + 3]) for i in range(len(w) - 2))
+
+    S = {d: sh(t) for d, t in rows}
+    out = set()
+    ids = sorted(S)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            A, B = S[a], S[b]
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            uni = len(A | B)
+            if inter >= threshold * uni:
+                out.add((a, b, inter, uni))
+    return out
+
+
+def test_minhash_lsh_neardup_matches_bruteforce(spark, sf_dir):
+    aug = _augmented_neardup(spark, sf_dir)
+    got = {
+        (r.a, r.b, r.inter, r.uni)
+        for r in neardup_pairs_minhash(aug, "doc_id", "text", threshold=0.5).collect()
+    }
+    rows = [(r.doc_id, r.text) for r in aug.collect()]
+    want = _brute_jaccard_pairs(rows, 0.5)
+    assert want, "fixture must plant at least one near-dup pair"
+    assert got == want
+
+
+def test_minhash_signature_estimates_jaccard(spark, sf_dir):
+    aug = _augmented_neardup(spark, sf_dir)
+    sh = shingle_df(aug, "doc_id", "text")
+    sigs = {r.id: np.array(r.sig) for r in minhash_signatures(sh, 128).collect()}
+    rows = {r.doc_id: r.text for r in aug.collect()}
+    planted = [d for d in rows if d >= 1_000_000][:10]
+    for c in planted:
+        o = c - 1_000_000
+        est = float(np.mean(sigs[o] == sigs[c]))
+        w = " ".join(rows[o].lower().split()).split(" ")
+        wc = " ".join(rows[c].lower().split()).split(" ")
+        A = set(tuple(w[i : i + 3]) for i in range(len(w) - 2))
+        B = set(tuple(wc[i : i + 3]) for i in range(len(wc) - 2))
+        true = len(A & B) / len(A | B)
+        # 128 hashes → se = sqrt(J(1-J)/128) ≤ 0.045; allow 4 se
+        assert abs(est - true) <= 0.18
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    # 50 identical docs → one bucket of 50 → capped at 10 → no pairs emitted
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(shingle_df(df, "doc_id", "text"))
+    assert lsh_candidate_pairs(sigs, max_bucket=10).count() == 0
+    assert lsh_candidate_pairs(sigs, max_bucket=4000).count() == 50 * 49 // 2
+
+
+# ---------------------------------------------------------------------------
+# simhash near-dup + fast kernel
+# ---------------------------------------------------------------------------
+
+def test_simhash_near_pairs_identical_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, "completely different words entirely unrelated content here")],
+        ["doc_id", "text"],
+    )
+    sim = simhash_df(df, "doc_id", "text")
+    pairs = {(r.a, r.b): r.hamming for r in simhash_near_pairs(sim, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_fast_simhash_properties():
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    mutated = base + " thirteen"
+    other = "zz yy xx ww vv uu tt ss rr qq pp oo"
+    h = fast_simhash([base, base, mutated, other])
+    assert h[0] == h[1]
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(h[0], h[2]) <= 12
+    assert ham(h[0], h[3]) >= 16
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    queries = [(int(ids[i]), list(map(float, m[i]))) for i in range(3)]
+    got = cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for qid, qvec in queries:
+        qn = np.asarray(qvec) / np.linalg.norm(qvec)
+        scores = mn @ qn
+        order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))
+        want = [int(ids[i]) for i in order if ids[i] != qid][:5]
+        assert [n for _, n in sorted(by_q[qid])] == want
+
+
+def test_cosine_neardup_finds_planted_copies(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    aug = emb.unionByName(copies)
+    got = {(r.a, r.b) for r in cosine_neardup_pairs(aug, threshold=0.95).collect()}
+    want = {
+        (int(r.vec_id), int(r.vec_id) + 1_000_000)
+        for r in emb.filter(F.col("vec_id") % 10 == 0).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_quality_and_langid_consistency(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    q = {r.id: r for r in quality_df(docs, "doc_id", "text").collect()}
+    lang = {r.id: r.pred_lang for r in langid_df(docs, "doc_id", "text").collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for d, t in texts.items():
+        toks = " ".join(t.lower().split()).split(" ")
+        assert q[d].ws_tokens == len(toks)
+        hits = sum(1 for w in toks if w in textexpr.STOPWORDS)
+        assert q[d].stop_hits == hits
+        assert lang[d] == ("en" if 10 * hits >= len(toks) else "unk")
+
+
+def test_token_counts_by_source(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    got = {r.grp: (r.n_docs, r.total_ws_tokens) for r in token_counts_df(docs, "source", "text").collect()}
+    want = {}
+    for r in docs.collect():
+        n, t = want.get(r.source, (0, 0))
+        want[r.source] = (n + 1, t + len(" ".join(r.text.lower().split()).split(" ")))
+    assert got == want
+
+
+def test_rolling_fingerprint_order_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "Alpha  beta GAMMA")],
+        ["doc_id", "text"],
+    )
+    fp = {r.id: r.roll_fp for r in rolling_fingerprint_df(df, "doc_id", "text").collect()}
+    assert fp[0] != fp[1]  # order-sensitive
+    assert fp[0] == fp[2]  # case/whitespace-insensitive
+
+
+def test_winnowing_shared_substring_shares_fingerprints():
+    a = "the common shared passage appears verbatim in both documents here"
+    fa = set(winnowing_fingerprints("intro words then " + a))
+    fb = set(winnowing_fingerprints(a + " with a different tail of words"))
+    fc = set(winnowing_fingerprints("totally unrelated text with no overlap at all whatsoever"))
+    assert fa & fb
+    assert len(fa & fc) <= 1
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features_roundtrip(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(50)
+    pay = with_payload(docs, "doc_id", "text")
+    feats = {r.id: r for r in extract_binary_features(pay).collect()}
+    for r in docs.collect():
+        f = feats[r.doc_id]
+        assert f.header_ok
+        assert f.n_bytes == 4 + len(r.text.encode("utf-8"))
+        assert f.first_byte == r.text.encode("utf-8")[0]
+
+
+def test_decode_image_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GPMMabc")
+    t1 = decode_image(b"GPMMabc", fake=True)
+    t2 = decode_image(b"GPMMabc", fake=True)
+    assert t1.shape == (8, 8, 3) and t1.dtype == np.uint8
+    assert (t1 == t2).all()
