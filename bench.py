@@ -81,6 +81,81 @@ def transcripts_path(rows: int) -> str:
     return path
 
 
+def docs_path(sf_dir: str, copies: int = 80) -> str:
+    """Blow up the documents table deterministically — the sf documents
+    table is too small to measure pipeline ops. Each copy's words are
+    re-shuffled by a per-(doc, copy) hash so word-trigram sets across copies
+    are disjoint: near-dup structure stays sparse (a suffix-only copy scheme
+    measured 16M true near-dup pairs — a dedup benchmark where everything is
+    a duplicate measures the pathological case, not the scan)."""
+    path = os.path.join(TMP, f"documents_rw_x{copies}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    os.makedirs(TMP, exist_ok=True)
+    spark = make_session(CPUS)
+    try:
+        import pyspark.sql.functions as F
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        reps = spark.range(copies).withColumnRenamed("id", "rep")
+        # rewrite every word with a per-(doc, copy) suffix: the testdata's
+        # 31-word vocabulary makes ALL docs near-dups of each other (word-
+        # trigram Jaccard ~0.03 across 400k docs → millions of true LSH
+        # candidates); web-scale corpora have large vocabularies, which this
+        # reproduces (vocab ≈ 31 × 997 after rewrite, cross-copy Jaccard ≈ 0)
+        shuffled = F.expr(
+            "concat_ws(' ', transform(split(text, ' '), "
+            "w -> concat(w, '_', pmod(xxhash64(w, doc_id * 80 + rep), 997))))"
+        )
+        (
+            docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") * copies + F.col("rep")).alias("doc_id"),
+                shuffled.alias("text"),
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.stop()
+    return path
+
+
+def emb_path(rows: int = 500_000, dim: int = 128) -> str:
+    """Synthetic embeddings: deterministic per-id gaussian vectors."""
+    path = os.path.join(TMP, f"embeddings_{rows}x{dim}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    os.makedirs(TMP, exist_ok=True)
+    spark = make_session(CPUS)
+    try:
+        import numpy as np
+        import pyarrow as pa
+
+        def gen(batches):
+            for batch in batches:
+                ids = batch.column(0).to_numpy()
+                if len(ids) == 0:
+                    continue
+                rng = np.random.default_rng(int(ids[0]) + 1)
+                m = rng.standard_normal((len(ids), dim)).astype(np.float32)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids), pa.array(m.tolist(), type=pa.list_(pa.float32()))],
+                    names=["vec_id", "embedding"],
+                )
+
+        (
+            spark.range(rows).repartition(64)
+            .mapInArrow(gen, "vec_id long, embedding array<float>")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.stop()
+    return path
+
+
 def transcripts_job(spark, path: str):
     """The headline job: one scan, four sketches, tree merge — murmur3-128
     end-to-end over the raw columns (conv_id membership/distinct/freq + text
@@ -111,7 +186,7 @@ def transcripts_job_jvmscan(spark, path: str):
     return collect_sketches_multi(spark.read.parquet(path), _targets())
 
 
-def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
+def run_queries(spark, sf_dir: str, t_path: str, d_path: str, e_path: str) -> tuple[dict, dict]:
     import pyspark.sql.functions as F
 
     from guava_probably_spark.functions import might_contain_udf
@@ -218,6 +293,53 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
             spark, lineitem, "l_partkey", part.filter(F.col("p_size") < 15), "p_partkey"
         ).count(),
     )
+
+    # --- training-data pipeline tier (blown-up inputs; see docs_path) ---
+    from guava_probably_spark.pipeline.dedup import (
+        exact_dedup,
+        fast_simhash,
+        lsh_candidate_pairs,
+        minhash_signatures_text,
+    )
+    from guava_probably_spark.pipeline.similarity import cosine_topk
+    from guava_probably_spark.pipeline.textops import quality_df
+
+    big_docs = spark.read.parquet(d_path)
+    n_docs = big_docs.count()
+    extras["pipeline_docs"] = n_docs
+
+    timed("q_exact_dedup_docs", lambda: exact_dedup(big_docs, "doc_id", "text").count())
+    timed("q_text_quality_docs", lambda: quality_df(big_docs, "doc_id", "text").count())
+
+    def minhash_lsh():
+        sig = minhash_signatures_text(big_docs, "doc_id", "text", 128)
+        return lsh_candidate_pairs(sig, bands=32).count()
+
+    extras["minhash_candidate_pairs"] = timed("q_minhash_lsh_docs", minhash_lsh)
+
+    def simhash_bulk():
+        import pyarrow as pa
+
+        def run(batches):
+            for batch in batches:
+                texts = batch.column(1).to_pylist()
+                h = fast_simhash(texts)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(0), pa.array(h.astype("int64"))],
+                    names=["doc_id", "simhash"],
+                )
+
+        return big_docs.mapInArrow(run, "doc_id long, simhash long").count()
+
+    timed("q_simhash_fast_docs", simhash_bulk)
+
+    emb = spark.read.parquet(e_path)
+    extras["pipeline_vectors"] = emb.count()
+    qvecs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    ]
+    timed("q_ann_cosine_topk", lambda: cosine_topk(emb, qvecs, k=10).count())
     return timings, extras
 
 
@@ -275,9 +397,11 @@ def main() -> None:
         }))
         return
 
+    d_path = docs_path(SF_DIR)
+    e_path = emb_path()
     spark = make_session(CPUS)
     try:
-        timings, extras = run_queries(spark, SF_DIR, t_path)
+        timings, extras = run_queries(spark, SF_DIR, t_path, d_path, e_path)
     finally:
         spark.stop()
     total = round(sum(timings.values()), 3)

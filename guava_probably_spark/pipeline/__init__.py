@@ -29,6 +29,7 @@ from guava_probably_spark.pipeline.multimodal import (
     extract_binary_features,
     with_payload,
 )
+from guava_probably_spark.pipeline.ivf import assign_lists, ivf_topk, train_codebook
 from guava_probably_spark.pipeline.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
@@ -50,6 +51,9 @@ __all__ = [
     "shingle_df",
     "simhash_df",
     "simhash_near_pairs",
+    "assign_lists",
+    "ivf_topk",
+    "train_codebook",
     "cosine_neardup_pairs",
     "cosine_topk",
     "hyperplane_signatures",

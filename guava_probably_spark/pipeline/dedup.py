@@ -35,6 +35,21 @@ from pyspark.sql import DataFrame, functions as F
 from guava_probably_spark.pipeline import textexpr
 from guava_probably_spark.sketches.hashing import bytes_batch_to_buffer, hash128_bytes
 
+
+def utf8_buffer(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (uint8 data, int64 offsets) view of an Arrow utf8 array.
+
+    The Arrow string layout IS the (buffer, offsets) shape the murmur3
+    kernel wants — going through to_pylist()/encode() costs a Python loop
+    per value (measured 10×+ on bulk simhash/minhash)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    return data, off.astype(np.int64)
+
 # MinHash universal-hash family: (a_i * h + b_i) mod MERSENNE_61, seeded.
 _MERSENNE_61 = (1 << 61) - 1
 DEFAULT_NUM_HASHES = 128
@@ -64,10 +79,31 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct (id, shingle) word-trigram pairs."""
-    tri = F.expr(textexpr.trigrams_expr(text_col, "spark"))
+    """Distinct (id, shingle) word-trigram pairs.
+
+    posexplode + window-lead rather than the naive
+    ``explode(transform(sequence(...), i -> ... element_at(words, i) ...))``:
+    Catalyst does NOT common-subexpression the words array into the lambda,
+    so the naive form re-runs regex+split once per element — a measured
+    ~50× blowup on 54-token docs. Here the tokenization runs once per row,
+    then trigram assembly is two ``lead`` windows over the exploded tokens
+    (one shuffle on id, which the downstream signature grouping needs
+    anyway).
+    """
+    from pyspark.sql import Window
+
+    words = F.expr(textexpr.words_expr(text_col, "spark"))
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"), F.posexplode(words).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    tri = F.concat_ws(
+        " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    )
     return (
-        df.select(F.col(id_col).cast("long").alias("id"), F.explode(tri).alias("shingle"))
+        toks.select("id", F.lead("tok", 2).over(w).isNotNull().alias("ok"), tri.alias("shingle"))
+        .filter("ok")
+        .select("id", "shingle")
         .distinct()
     )
 
@@ -89,8 +125,7 @@ def minhash_signatures(
             ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
             if len(ids) == 0:
                 continue
-            texts = batch.column("shingle").to_pylist()
-            buf, starts = bytes_batch_to_buffer([t.encode("utf-8") for t in texts])
+            buf, starts = utf8_buffer(batch.column("shingle"))
             h1, _ = hash128_bytes(buf, starts)
             # hv: (n_shingles, num_hashes) universal hashes, in uint64 mod 2^64
             # then reduced mod Mersenne-61 (well below 2^63 → safe as int64).
@@ -100,8 +135,7 @@ def minhash_signatures(
             uniq, group_starts = np.unique(ids_s, return_index=True)
             sigs = np.minimum.reduceat(hv_s, group_starts, axis=0).astype(np.int64)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(uniq), pa.array(sigs.tolist(), type=pa.list_(pa.int64()))],
-                names=["id", "sig"],
+                [pa.array(uniq), _list_array(sigs)], names=["id", "sig"]
             )
 
     co_located = shingles.repartition("id")
@@ -116,6 +150,104 @@ def minhash_signatures(
             "(acc, s) -> zip_with(acc, s, (x, y) -> least(x, y)))"
         ).alias("sig")
     )
+
+
+def minhash_signatures_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """(id, sig) MinHash signatures straight from (id, text) — the bulk path.
+
+    ZERO shuffle and zero string materialization: each document is complete
+    within its row, so one ``mapInArrow`` pass per partition tokenizes
+    (pyarrow C kernels), hashes tokens (vectorized 8-byte mix), composes
+    word-trigram shingle hashes by mixing three consecutive token hashes
+    (no trigram strings ever built), and takes the 128 segmented minima.
+    The explode → distinct → repartition shingle pipeline costs two wide
+    shuffles of ~54× the corpus row count; this path reads the scan and
+    emits one signature row per doc. Shingle identity is by 64-bit hash
+    (collision odds ~n²/2⁶⁴ — immaterial for near-dup estimation; the
+    oracle-exact string path in ``shingle_df`` remains for verification).
+    """
+    import pyarrow.compute as pc
+
+    from guava_probably_spark.sketches.hashing import _fmix64
+
+    a, b = _perm_params(num_hashes, seed)
+    out_schema = "id long, sig array<long>"
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            n_docs = len(ids)
+            if n_docs == 0:
+                continue
+            arr = batch.column(1)
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(pc.utf8_lower(arr)), r"\s+"
+            )
+            flat = toks.flatten()
+            list_off = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+                toks.offset : toks.offset + n_docs + 1
+            ].astype(np.int64)
+            buf, starts = utf8_buffer(flat)
+            th = _hash_token_u64(buf, starts)
+            sigs = np.full((n_docs, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
+            if len(th) >= 3:
+                with np.errstate(over="ignore"):
+                    sh = _fmix64(
+                        th[:-2]
+                        ^ ((th[1:-1] << np.uint64(21)) | (th[1:-1] >> np.uint64(43)))
+                        ^ ((th[2:] << np.uint64(42)) | (th[2:] >> np.uint64(22)))
+                    )
+                base = list_off - list_off[0]
+                # doc d's shingles live at [base[d], base[d+1]-2); docs with
+                # <3 tokens have none. Mask cross-doc windows by zapping the
+                # last two positions of each doc to the identity (max).
+                counts = np.diff(base)
+                tail = np.concatenate([base[1:] - 2, base[1:] - 1])
+                tail = tail[(tail >= 0) & (tail < len(sh))]
+                sh_masked = sh.copy()
+                doc_starts = np.minimum(base[:-1], len(sh) - 1)
+                mins = np.empty((n_docs, num_hashes), dtype=np.int64)
+                # chunk the permutation dimension: a full (n_sh, 128) uint64
+                # product matrix is ~1 GB per 16k-doc batch × 3 temps × 32
+                # workers — measured memory-thrash (and worker OOM kills);
+                # 16-permutation chunks keep temps ~100 MB
+                with np.errstate(over="ignore"):
+                    for c0 in range(0, num_hashes, 16):
+                        c1 = min(c0 + 16, num_hashes)
+                        # (perm, shingle) C-order so the segmented min runs
+                        # along contiguous rows (strided-axis reduceat is
+                        # ~10× slower). No `% Mersenne61`: the uint64 modmul
+                        # was 8× the multiply cost, and min over the
+                        # wrap-around multiply-shift family (a·h+b mod 2^64)
+                        # is an equally valid minhash — only bit-pattern
+                        # equality of minima matters downstream.
+                        hv = a[c0:c1, None] * sh_masked[None, :] + b[c0:c1, None]
+                        hv[:, tail] = np.uint64(0xFFFFFFFFFFFFFFFF)
+                        mins[:, c0:c1] = np.minimum.reduceat(
+                            hv, doc_starts, axis=1
+                        ).T.view(np.int64)
+                has = counts >= 3
+                sigs[has] = mins[has]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), _list_array(sigs)], names=["id", "sig"]
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col)
+    ).mapInArrow(build, out_schema)
+
+
+def _list_array(mat: np.ndarray) -> pa.ListArray:
+    """(n, k) int64 matrix → arrow list<int64> without a python list detour."""
+    n, k = mat.shape
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * k)
+    return pa.ListArray.from_arrays(offsets, pa.array(mat.ravel()))
 
 
 def lsh_candidate_pairs(
@@ -239,32 +371,100 @@ def simhash_sql_duck(table: str, id_col: str, text_col: str) -> str:
     )
 
 
-def fast_simhash(texts: list[str]) -> np.ndarray:
+def fast_simhash(texts) -> np.ndarray:
     """Vectorized murmur3-based 64-bit SimHash (uint64) — the hot-path
     variant for bench/bulk jobs (not oracle-matched; property-tested).
 
-    One murmur3-128 pass over all tokens of the batch, then a scatter-add of
-    ±1 contributions into a (n_docs, 64) counter array via bincount on
-    (doc_idx * 64 + bit).
+    Fully C-speed: pyarrow regex tokenization (lower → split on \\s+),
+    zero-copy utf8 buffer into the murmur3-128 kernel, then 64 segmented
+    popcounts (``add.reduceat`` over the contiguous per-doc token runs) —
+    no per-token Python and no (n_tokens × 64) materialized matrix.
+
+    Accepts a list[str] or a pyarrow string Array/ChunkedArray.
     """
-    doc_idx: list[int] = []
-    toks: list[bytes] = []
-    for i, t in enumerate(texts):
-        for w in t.lower().split():
-            doc_idx.append(i)
-            toks.append(w.encode("utf-8"))
-    n_docs = len(texts)
-    if not toks:
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
+        texts, type=pa.string()
+    )
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(arr)), r"\s+"
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    list_off = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+        toks.offset : toks.offset + n_docs + 1
+    ].astype(np.int64)
+    counts = np.diff(list_off)
+    if len(flat) == 0:
         return np.zeros(n_docs, dtype=np.uint64)
-    buf, starts = bytes_batch_to_buffer(toks)
-    h, _ = hash128_bytes(buf, starts)
-    d = np.asarray(doc_idx, dtype=np.int64)
-    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    contrib = 2 * bits.astype(np.int64) - 1
-    sums = np.zeros((n_docs, 64), dtype=np.int64)
-    np.add.at(sums, d, contrib)
-    out = (sums > 0).astype(np.uint64)
-    return (out << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    # (note: arrow dictionary_encode + hashing uniques only was measured —
+    # the encode's own hash-table build costs exactly what it saves)
+    buf, starts = utf8_buffer(flat)
+    h = _hash_token_u64(buf, starts)
+    # 64 one-dimensional segmented sums; NOTE np.add.reduceat on a 2-D
+    # (n_tokens, 64) bit matrix measured 128 s vs 9 s for this loop — the
+    # 2-D reduceat path has terrible locality, don't "optimize" back to it
+    doc_starts = np.minimum(list_off[:-1] - list_off[0], len(h) - 1)
+    pop = np.empty((64, n_docs), dtype=np.uint64)
+    one = np.uint64(1)
+    for bit in range(64):
+        # stay in uint64 end-to-end: the int64 astype per bit measured 16 s
+        # across the loop (64 × 173 MB casts)
+        pop[bit] = np.add.reduceat((h >> np.uint64(bit)) & one, doc_starts)
+    pop_i = pop.astype(np.int64)
+    pop_i[:, counts == 0] = 0
+    # bit set iff popcount*2 > token_count  (sum of ±1 contributions > 0)
+    out_bits = (2 * pop_i > counts[None, :]) & (counts[None, :] > 0)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return (out_bits.astype(np.uint64) * weights[:, None]).sum(axis=0, dtype=np.uint64)
+
+
+def _hash_token_u64(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit hash for short tokens: first-8 + last-8 bytes
+    (zero-padded, little-endian) mixed with the length through fmix64.
+
+    murmur3-128 is the contract hash for sketches, but its block loop costs
+    ~1.5 µs/token on 5-char tokens (measured 33 s over 21.7M tokens); this
+    gather-based mix is ~50× faster with full avalanche via fmix64 — fine
+    for simhash, which only needs well-scattered bits, not the Guava vector
+    contract.
+    """
+    from guava_probably_spark.sketches.hashing import _fmix64
+
+    starts = offsets[:-1]
+    lens = offsets[1:] - offsets[:-1]
+    n = len(starts)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    # two overlapping unaligned 8-byte loads assembled from 8 separate 1-D
+    # gathers — 2-D fancy indexing ((n,8) index matrices or strided-view row
+    # gathers) measured 17-35 s/21.7M tokens; 1-D gathers are ~1 s
+    pad = np.concatenate([data, np.zeros(16, dtype=np.uint8)])
+    starts2 = starts + np.maximum(lens - 8, 0)
+    w1 = np.zeros(n, dtype=np.uint64)
+    w2 = np.zeros(n, dtype=np.uint64)
+    for k in range(8):
+        w1 |= pad[starts + k].astype(np.uint64) << np.uint64(8 * k)
+        w2 |= pad[starts2 + k].astype(np.uint64) << np.uint64(8 * k)
+    nbytes = np.minimum(lens, 8).astype(np.uint64)
+    full = nbytes == 8
+    # clamp the shift operand to <64 (uint64 << 64 is undefined); the full
+    # lanes take the ~0 branch of the where
+    shift = np.minimum(nbytes, np.uint64(7)) << np.uint64(3)
+    mask = np.where(
+        full, np.uint64(0xFFFFFFFFFFFFFFFF), (np.uint64(1) << shift) - np.uint64(1)
+    )
+    w1 &= mask
+    w2 &= mask
+    with np.errstate(over="ignore"):
+        h = _fmix64(w1 ^ (np.uint64(0x9E3779B97F4A7C15) * lens.astype(np.uint64)))
+        h ^= _fmix64(w2 ^ np.uint64(0xC2B2AE3D27D4EB4F))
+    return h
 
 
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:

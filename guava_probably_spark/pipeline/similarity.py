@@ -30,9 +30,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _mat(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """(n, d) float64 matrix from an arrow list<float> column."""
-    lst = col.to_pylist()
-    return np.asarray(lst, dtype=np.float64)
+    """(n, d) float64 matrix from an arrow list<float> column — zero-copy
+    through the flat values buffer (to_pylist costs a Python object per
+    element; at 500k×128 floats that is the dominant cost of the scan)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1)
 
 
 def cosine_topk(

@@ -121,16 +121,19 @@ def stopword_hits_expr(col: str, dialect: str) -> str:
 
 
 def md5_fingerprint_expr(col: str, dialect: str) -> str:
-    """Normalization fingerprint: md5 of the alnum-and-space-only text.
+    """Normalization fingerprint: md5 of lower(text) with every non-alnum
+    run collapsed to a single space (case / whitespace / punctuation
+    insensitive exact-dedup key).
 
-    The canonical "normalize then hash" exact-dedup key (case, whitespace
-    and punctuation insensitive).
+    One regex pass, deliberately: a separate strip pass with the
+    no-match-heavy class ``[^a-z0-9 ]`` measured 17 s vs 0.9 s for this
+    single ``[^a-z0-9]+`` pass over 400k docs (Spark's regex replace is
+    pathologically slow on zero-match single-char classes).
     """
     _q(dialect)
-    n = norm_expr(col, dialect)
     if dialect == "spark":
-        return f"md5(regexp_replace({n}, '[^a-z0-9 ]', ''))"
-    return f"md5(regexp_replace({n}, '[^a-z0-9 ]', '', 'g'))"
+        return f"md5(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ')))"
+    return f"md5(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g')))"
 
 
 def rolling_hash_expr(col: str, dialect: str) -> str:
