@@ -185,6 +185,27 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_features(with_payload(docs, "doc_id", "text"))
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two overlapping micro-batches through the Bloom-of-fingerprints
+    incremental dedup; emitted ids must equal exact first-occurrence dedup
+    (fpp 1e-6 ⇒ P(any spurious drop over ~500 probes) < 1e-3, and the
+    seeded hash makes the outcome deterministic — verified at sf0.01)."""
+    import tempfile
+
+    from guava_probably_spark.streaming.dedup import dedup_batch_incremental
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs  # second drop replays everything plus the odd half
+    with tempfile.TemporaryDirectory() as td:
+        state = os.path.join(td, "bloom.state")
+        out1 = dedup_batch_incremental(b1, state, capacity=100_000, fpp=1e-6)
+        ids1 = [(int(r.doc_id), 1) for r in out1.select("doc_id").collect()]
+        out2 = dedup_batch_incremental(b2, state, capacity=100_000, fpp=1e-6)
+        ids2 = [(int(r.doc_id), 2) for r in out2.select("doc_id").collect()]
+    return spark.createDataFrame(ids1 + ids2, "doc_id long, batch int")
+
+
 def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_documents": _q_exact_dedup,
@@ -199,6 +220,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_by_source": _q_token_counts,
         "rolling_fingerprint_documents": _q_rolling_fp,
         "multimodal_binary_features": _q_multimodal,
+        "streaming_dedup_replay": _q_streaming_dedup,
     }
 
 
@@ -298,5 +320,16 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS id, CAST(4 + octet_length(encode(text)) AS BIGINT) "
             "AS n_bytes, CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte, "
             "true AS header_ok FROM documents"
+        ),
+        # exact first-occurrence semantics of the two-batch replay: batch 1
+        # keeps min even doc_id per fingerprint; batch 2 keeps min doc_id of
+        # fingerprints unseen in batch 1
+        "streaming_dedup_replay": (
+            f"WITH fps AS (SELECT doc_id, {fp} AS fp FROM documents), "
+            "s1 AS (SELECT min(doc_id) AS doc_id, 1 AS batch FROM fps "
+            "WHERE doc_id % 2 = 0 GROUP BY fp), "
+            "s2 AS (SELECT min(doc_id) AS doc_id, 2 AS batch FROM fps "
+            "WHERE fp NOT IN (SELECT fp FROM fps WHERE doc_id % 2 = 0) GROUP BY fp) "
+            "SELECT doc_id, batch FROM s1 UNION ALL SELECT doc_id, batch FROM s2"
         ),
     }

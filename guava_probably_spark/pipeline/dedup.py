@@ -181,61 +181,124 @@ def minhash_signatures_text(
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            n_docs = len(ids)
-            if n_docs == 0:
+            ids, sigs = _sig_matrix_from_batch(batch, a, b, num_hashes)
+            if ids is None:
                 continue
-            arr = batch.column(1)
-            toks = pc.split_pattern_regex(
-                pc.utf8_trim_whitespace(pc.utf8_lower(arr)), r"\s+"
-            )
-            flat = toks.flatten()
-            list_off = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
-                toks.offset : toks.offset + n_docs + 1
-            ].astype(np.int64)
-            buf, starts = utf8_buffer(flat)
-            th = _hash_token_u64(buf, starts)
-            sigs = np.full((n_docs, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
-            if len(th) >= 3:
-                with np.errstate(over="ignore"):
-                    sh = _fmix64(
-                        th[:-2]
-                        ^ ((th[1:-1] << np.uint64(21)) | (th[1:-1] >> np.uint64(43)))
-                        ^ ((th[2:] << np.uint64(42)) | (th[2:] >> np.uint64(22)))
-                    )
-                base = list_off - list_off[0]
-                # doc d's shingles live at [base[d], base[d+1]-2); docs with
-                # <3 tokens have none. Mask cross-doc windows by zapping the
-                # last two positions of each doc to the identity (max).
-                counts = np.diff(base)
-                tail = np.concatenate([base[1:] - 2, base[1:] - 1])
-                tail = tail[(tail >= 0) & (tail < len(sh))]
-                sh_masked = sh.copy()
-                doc_starts = np.minimum(base[:-1], len(sh) - 1)
-                mins = np.empty((n_docs, num_hashes), dtype=np.int64)
-                # chunk the permutation dimension: a full (n_sh, 128) uint64
-                # product matrix is ~1 GB per 16k-doc batch × 3 temps × 32
-                # workers — measured memory-thrash (and worker OOM kills);
-                # 16-permutation chunks keep temps ~100 MB
-                with np.errstate(over="ignore"):
-                    for c0 in range(0, num_hashes, 16):
-                        c1 = min(c0 + 16, num_hashes)
-                        # (perm, shingle) C-order so the segmented min runs
-                        # along contiguous rows (strided-axis reduceat is
-                        # ~10× slower). No `% Mersenne61`: the uint64 modmul
-                        # was 8× the multiply cost, and min over the
-                        # wrap-around multiply-shift family (a·h+b mod 2^64)
-                        # is an equally valid minhash — only bit-pattern
-                        # equality of minima matters downstream.
-                        hv = a[c0:c1, None] * sh_masked[None, :] + b[c0:c1, None]
-                        hv[:, tail] = np.uint64(0xFFFFFFFFFFFFFFFF)
-                        mins[:, c0:c1] = np.minimum.reduceat(
-                            hv, doc_starts, axis=1
-                        ).T.view(np.int64)
-                has = counts >= 3
-                sigs[has] = mins[has]
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids), _list_array(sigs)], names=["id", "sig"]
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col)
+    ).mapInArrow(build, out_schema)
+
+
+def _sig_matrix_from_batch(
+    batch: pa.RecordBatch, a: np.ndarray, b: np.ndarray, num_hashes: int
+):
+    """(ids int64[n], sigs int64[n, num_hashes]) for one (id, text) batch."""
+    import pyarrow.compute as pc
+
+    from guava_probably_spark.sketches.hashing import _fmix64
+
+    ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = len(ids)
+    if n_docs == 0:
+        return None, None
+    arr = batch.column(1)
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(pc.utf8_lower(arr)), r"\s+")
+    flat = toks.flatten()
+    list_off = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+        toks.offset : toks.offset + n_docs + 1
+    ].astype(np.int64)
+    buf, starts = utf8_buffer(flat)
+    th = _hash_token_u64(buf, starts)
+    sigs = np.full((n_docs, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
+    if len(th) >= 3:
+        with np.errstate(over="ignore"):
+            sh = _fmix64(
+                th[:-2]
+                ^ ((th[1:-1] << np.uint64(21)) | (th[1:-1] >> np.uint64(43)))
+                ^ ((th[2:] << np.uint64(42)) | (th[2:] >> np.uint64(22)))
+            )
+        base = list_off - list_off[0]
+        # doc d's shingles live at [base[d], base[d+1]-2); docs with <3
+        # tokens have none. Mask cross-doc windows by zapping the last two
+        # positions of each doc to the identity (max).
+        counts = np.diff(base)
+        tail = np.concatenate([base[1:] - 2, base[1:] - 1])
+        tail = tail[(tail >= 0) & (tail < len(sh))]
+        doc_starts = np.minimum(base[:-1], len(sh) - 1)
+        mins = np.empty((n_docs, num_hashes), dtype=np.int64)
+        # chunk the permutation dimension AND reuse one scratch buffer via
+        # out= for every chunk: fresh (16, n_sh) temporaries per chunk are
+        # freshly-mmapped pages, and with 32 concurrent workers the kernel
+        # page-zeroing storm measured 15 s/task for a 0.5 s kernel. One
+        # allocation per batch, all chunk math in place.
+        hv = np.empty((16, len(sh)), dtype=np.uint64)
+        mchunk = np.empty((16, n_docs), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c0 in range(0, num_hashes, 16):
+                c1 = min(c0 + 16, num_hashes)
+                k = c1 - c0
+                # (perm, shingle) C-order so the segmented min runs along
+                # contiguous rows (strided-axis reduceat is ~10× slower).
+                # No `% Mersenne61`: the uint64 modmul was 8× the multiply
+                # cost, and min over the wrap-around multiply-shift family
+                # (a·h+b mod 2^64) is an equally valid minhash — only
+                # bit-pattern equality of minima matters downstream.
+                np.multiply(a[c0:c1, None], sh[None, :], out=hv[:k])
+                np.add(hv[:k], b[c0:c1, None], out=hv[:k])
+                hv[:k, tail] = np.uint64(0xFFFFFFFFFFFFFFFF)
+                np.minimum.reduceat(hv[:k], doc_starts, axis=1, out=mchunk[:k])
+                mins[:, c0:c1] = mchunk[:k].T.view(np.int64)
+        has = counts >= 3
+        sigs[has] = mins[has]
+    return ids, sigs
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """(id, bk) LSH band keys computed entirely inside the Arrow pass.
+
+    The full-signature path ships a 128-long array per doc to the JVM and
+    re-hashes slices there; for candidate generation only the ``bands``
+    8-byte keys are needed, so this emits them directly — ~2.5× less
+    shuffle input and no JVM array/lambda work. Key layout:
+    band_idx in the top byte, 56-bit band hash below (needs bands ≤ 256).
+    """
+    from guava_probably_spark.sketches.hashing import _fmix64
+
+    if bands > 256:
+        raise ValueError("bands must be ≤ 256 for the packed key layout")
+    a, b = _perm_params(num_hashes, seed)
+    r = num_hashes // bands
+    out_schema = "id long, bk long"
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids, sigs = _sig_matrix_from_batch(batch, a, b, num_hashes)
+            if ids is None:
+                continue
+            u = sigs.view(np.uint64)
+            n = len(ids)
+            bks = np.empty((bands, n), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(bands):
+                    acc = np.full(n, np.uint64(j + 1), dtype=np.uint64)
+                    for c in range(j * r, (j + 1) * r):
+                        acc = _fmix64(acc ^ u[:, c])
+                    bks[j] = (np.uint64(j) << np.uint64(56)) | (acc >> np.uint64(8))
+            out_ids = np.repeat(ids, bands)
+            out_bks = bks.T.reshape(-1).view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids), pa.array(out_bks)], names=["id", "bk"]
             )
 
     return df.select(
@@ -265,13 +328,22 @@ def lsh_candidate_pairs(
     """
     n = signatures.select(F.size("sig").alias("s")).first().s
     r = n // bands
+    # packed numeric band key (band_idx << 32 | band_hash): a 12.8M-row
+    # shuffle of 8-byte longs instead of ~20-byte strings
     band_key = F.expr(
         f"transform(sequence(0, {bands - 1}), j -> "
-        f"concat_ws(':', j, hash(slice(sig, j * {r} + 1, {r}))))"
+        f"CAST(j AS BIGINT) * 4294967296 + "
+        f"(CAST(hash(slice(sig, j * {r} + 1, {r})) AS BIGINT) & 4294967295))"
     )
     exploded = signatures.select("id", F.explode(band_key).alias("bk"))
-    buckets = exploded.groupBy("bk").agg(F.collect_list("id").alias("members"))
-    pairs = (
+    return pairs_from_band_rows(exploded, max_bucket)
+
+
+def pairs_from_band_rows(band_rows: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """Distinct (a, b), a < b, from (id, bk) band rows — shared bucket join
+    for the array-signature and arrow-native band-key paths."""
+    buckets = band_rows.groupBy("bk").agg(F.collect_list("id").alias("members"))
+    return (
         buckets.filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
         .select(
             F.explode(
@@ -284,7 +356,6 @@ def lsh_candidate_pairs(
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
-    return pairs
 
 
 def exact_jaccard_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:

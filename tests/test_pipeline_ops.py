@@ -395,3 +395,21 @@ def test_minhash_text_fast_path_estimates_jaccard(spark, sf_dir):
     ids = sorted(d for d in rows if d < 1_000_000)[:20]
     cross = [float(np.mean(fast[a] == fast[b])) for a in ids[:5] for b in ids[10:15]]
     assert max(cross) <= 0.25
+
+
+def test_minhash_band_keys_find_neardups(spark, sf_dir):
+    """Arrow-native band-key path: candidates cover every true near-dup pair
+    (same banding math as the signature path, keys packed JVM-free)."""
+    from guava_probably_spark.pipeline.dedup import (
+        minhash_band_keys,
+        pairs_from_band_rows,
+    )
+
+    aug = _augmented_neardup(spark, sf_dir)
+    cand = {
+        (r.a, r.b)
+        for r in pairs_from_band_rows(minhash_band_keys(aug, "doc_id", "text")).collect()
+    }
+    rows = [(r.doc_id, r.text) for r in aug.collect()]
+    want = {(a, b) for a, b, _, _ in _brute_jaccard_pairs(rows, 0.5)}
+    assert want and want <= cand

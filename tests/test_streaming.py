@@ -101,3 +101,57 @@ def test_incremental_sketch_sink(spark, stream_dir, tmp_path):
         spark.read.parquet(incoming).select(F.countDistinct("conv_id").alias("c")).collect()[0].c
     )
     assert abs(sk.estimate() - exact) / exact <= sk.relative_error_bound()
+
+
+def test_streaming_dedup_bloom_fingerprints(spark, sf_dir, tmp_path):
+    """Docs arrive in two micro-batches with overlap: every fingerprint is
+    emitted exactly once across batches (bloom zero-FN ⇒ no dup survives a
+    replay; fpp bounds the over-drop)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from guava_probably_spark.streaming.dedup import dedup_stream_sink
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    # batch 1: doc_id < 30; batch 2: doc_id 20..49 (10 overlapping texts)
+    staged = str(tmp_path / "staged")
+    docs.filter("doc_id < 30").coalesce(1).write.parquet(staged + "/b1")
+    docs.filter("doc_id >= 20 AND doc_id < 50").coalesce(1).write.parquet(staged + "/b2")
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    state = str(tmp_path / "bloom.state")
+    seen: list = []
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(incoming)
+    q = dedup_stream_sink(
+        stream,
+        state,
+        capacity=10_000,
+        on_batch=lambda df, bid: seen.extend((r.doc_id, r.text) for r in df.collect()),
+        query_name="dedup_test",
+    )
+    try:
+        for b in ("b1", "b2"):
+            for f in _glob.glob(f"{staged}/{b}/part-*.parquet"):
+                _shutil.copy(f, incoming + f"/{b}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    texts_emitted = [t for _, t in seen]
+    norm = lambda t: " ".join(t.lower().split())
+    # no normalized text emitted twice
+    normed = [norm(t) for t in texts_emitted]
+    assert len(normed) == len(set(normed))
+    # every distinct text of the union was emitted (capacity 10k, fpp 1e-3:
+    # expected over-drop ~0 on 50 docs; deterministic given the seeded hash)
+    want = {norm(r.text) for r in docs.filter("doc_id < 50").collect()}
+    assert set(normed) == want
+    # state survived: a THIRD batch replaying b1 emits nothing
+    from guava_probably_spark.streaming.dedup import dedup_batch_incremental
+
+    replay = dedup_batch_incremental(
+        spark.read.parquet(staged + "/b1"), state, capacity=10_000
+    )
+    assert replay.count() == 0
