@@ -359,7 +359,7 @@ def main() -> None:
         # larger input for the scaling protocol: fixed per-job overhead
         # (driver merge, stage scheduling) must amortize so the measurement
         # reflects the distributed fraction
-        rows = max(rows, 24_000_000)
+        rows = max(rows, 48_000_000)
         t_path = transcripts_path(rows)
         results = {}
         for cpus in (2, 8, 32):

@@ -286,8 +286,15 @@ def minhash_band_keys(
             ids, sigs = _sig_matrix_from_batch(batch, a, b, num_hashes)
             if ids is None:
                 continue
-            u = sigs.view(np.uint64)
+            # docs with <3 tokens carry the sentinel signature — all equal,
+            # so they would band-collide with each other; they have no
+            # shingles, hence no Jaccard, hence no pairs: drop them here
+            real = sigs[:, 0] != np.iinfo(np.int64).max
+            ids = ids[real]
+            u = sigs[real].view(np.uint64)
             n = len(ids)
+            if n == 0:
+                continue
             bks = np.empty((bands, n), dtype=np.uint64)
             with np.errstate(over="ignore"):
                 for j in range(bands):
@@ -483,10 +490,15 @@ def fast_simhash(texts) -> np.ndarray:
     doc_starts = np.minimum(list_off[:-1] - list_off[0], len(h) - 1)
     pop = np.empty((64, n_docs), dtype=np.uint64)
     one = np.uint64(1)
+    bits = np.empty_like(h)
     for bit in range(64):
-        # stay in uint64 end-to-end: the int64 astype per bit measured 16 s
-        # across the loop (64 × 173 MB casts)
-        pop[bit] = np.add.reduceat((h >> np.uint64(bit)) & one, doc_starts)
+        # stay in uint64 end-to-end (the int64 astype per bit measured 16 s
+        # across the loop) and reuse one scratch buffer via out= (fresh
+        # temporaries per bit are freshly-mmapped pages — page-zeroing
+        # contention across 32 concurrent workers; see _sig_matrix_from_batch)
+        np.right_shift(h, np.uint64(bit), out=bits)
+        np.bitwise_and(bits, one, out=bits)
+        np.add.reduceat(bits, doc_starts, out=pop[bit])
     pop_i = pop.astype(np.int64)
     pop_i[:, counts == 0] = 0
     # bit set iff popcount*2 > token_count  (sum of ±1 contributions > 0)
@@ -519,9 +531,16 @@ def _hash_token_u64(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     starts2 = starts + np.maximum(lens - 8, 0)
     w1 = np.zeros(n, dtype=np.uint64)
     w2 = np.zeros(n, dtype=np.uint64)
+    idx = np.empty(n, dtype=np.int64)
+    gath8 = np.empty(n, dtype=np.uint8)
+    gath = np.empty(n, dtype=np.uint64)
     for k in range(8):
-        w1 |= pad[starts + k].astype(np.uint64) << np.uint64(8 * k)
-        w2 |= pad[starts2 + k].astype(np.uint64) << np.uint64(8 * k)
+        for s, w in ((starts, w1), (starts2, w2)):
+            np.add(s, k, out=idx)
+            np.take(pad, idx, out=gath8)
+            np.copyto(gath, gath8, casting="unsafe")
+            np.left_shift(gath, np.uint64(8 * k), out=gath)
+            np.bitwise_or(w, gath, out=w)
     nbytes = np.minimum(lens, 8).astype(np.uint64)
     full = nbytes == 8
     # clamp the shift operand to <64 (uint64 << 64 is undefined); the full
