@@ -158,6 +158,22 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe = nlist (every list probed): exactly brute-force
+    top-k, so the exact SQL oracle applies — the codebook training, list
+    assignment and pruned-scan machinery all sit under the hash gate."""
+    from guava_probably_spark.pipeline.ivf import assign_lists, ivf_topk, train_codebook
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_codebook(emb, nlist=8, iters=4)
+    assigned = assign_lists(emb, cb)
+    qrows = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    return ivf_topk(assigned, cb, queries, k=10, nprobe=8).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_df(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -215,6 +231,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "ann_cosine_topk": _q_ann_topk,
+        "ivf_ann_topk": _q_ivf_topk,
         "text_quality_scores": _q_quality,
         "langid_documents": _q_langid,
         "token_count_by_source": _q_token_counts,
@@ -285,6 +302,17 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "CAST(y.embedding AS DOUBLE[])) >= 0.95"
         ),
         "ann_cosine_topk": (
+            "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5), "
+            "scored AS (SELECT q.qid, e.vec_id AS nid, "
+            "list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS s "
+            "FROM q, embeddings e WHERE e.vec_id <> q.qid) "
+            "SELECT qid AS query_id, CAST(row_number() OVER "
+            "(PARTITION BY qid ORDER BY s DESC, nid) AS BIGINT) AS rank, "
+            "nid AS neighbor_id FROM scored "
+            "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) <= 10"
+        ),
+        "ivf_ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
             "FROM embeddings WHERE vec_id < 5), "
             "scored AS (SELECT q.qid, e.vec_id AS nid, "

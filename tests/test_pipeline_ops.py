@@ -413,3 +413,28 @@ def test_minhash_band_keys_find_neardups(spark, sf_dir):
     rows = [(r.doc_id, r.text) for r in aug.collect()]
     want = {(a, b) for a, b, _, _ in _brute_jaccard_pairs(rows, 0.5)}
     assert want and want <= cand
+
+
+# ---------------------------------------------------------------------------
+# physical-plan shape: pruning and no needless shuffles
+# ---------------------------------------------------------------------------
+
+def test_pipeline_plans_prune_and_avoid_shuffles(spark, sf_dir):
+    from guava_probably_spark.pipeline.dedup import minhash_band_keys
+    from guava_probably_spark.plans import physical_plan, scan_read_schema
+
+    docs = _docs(spark, sf_dir)
+    # quality scoring: projection only — scan must read exactly (doc_id, text)
+    q = quality_df(docs, "doc_id", "text")
+    rs = scan_read_schema(q)
+    assert "text" in rs and "doc_id" in rs
+    assert "lang" not in rs and "source" not in rs and "n_chars" not in rs
+    # no exchange at all: pure map-side projection
+    assert "Exchange" not in physical_plan(q)
+    # band-key generation: one Arrow stage straight off the scan, no shuffle
+    bk = minhash_band_keys(docs, "doc_id", "text")
+    assert "Exchange" not in physical_plan(bk)
+    assert "lang" not in scan_read_schema(bk)
+    # exact dedup: exactly one exchange (the hash aggregation on fp)
+    d = exact_dedup(docs, "doc_id", "text")
+    assert physical_plan(d).count("Exchange") == 1
