@@ -450,6 +450,86 @@ def _q_grouped_kll_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-prefix running distinct (operators/window.py): per-user running
+    count of distinct event_types ordered by ts — exact column matches the
+    oracle's windowed count(DISTINCT), HLL prefix estimate within bound."""
+    from guava_probably_spark.operators import running_distinct
+
+    events = _t(spark, sf_dir, "events")
+    out = running_distinct(
+        events, "user_id", "ts", "event_type", p=12, carry=["event_id"]
+    )
+    bound = 3 * 1.04 / (2 ** 12) ** 0.5
+    return out.select(
+        "user_id",
+        "event_id",
+        "run_distinct",
+        (
+            F.abs(F.col("estimate") - F.col("run_distinct"))
+            <= F.greatest(F.lit(bound) * F.col("run_distinct"), F.lit(3.0))
+        ).alias("within"),
+    )
+
+
+def _q_hll_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window sketch aggregation: daily HLL(user_id) windows over
+    events.ts via the grouped build — the batch twin of the streaming
+    windowed sketches (streaming/), oracle-checked per window."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    g = build_grouped(events, "day", "user_id", SketchSpec("hll", {"p": 14}), salt=2)
+    est = g.select("day", hll_cardinality()("sketch").alias("est"))
+    exact = events.groupBy("day").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    bound = 3 * 1.04 / (2 ** 14) ** 0.5
+    return exact.join(est, "day").select(
+        "day",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= F.greatest(F.lit(bound) * F.col("exact_distinct"), F.lit(3.0))
+        ).alias("within"),
+    )
+
+
+def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-operation estimates (union by register max — the sketch
+    merge; intersection by inclusion-exclusion) across two disjoint event
+    splits, vs exact UNION/INTERSECT cardinalities."""
+    events = _t(spark, sf_dir, "events")
+    halves = [events.filter(F.pmod(F.col("event_id"), F.lit(2)) == i) for i in range(2)]
+    spec = SketchSpec("hll", {"p": 14})
+    a, b = (collect_sketch(h, "user_id", spec)[0] for h in halves)
+    exact_union = events.select(F.countDistinct("user_id").alias("c")).collect()[0].c
+    exact_int = (
+        halves[0]
+        .select("user_id")
+        .intersect(halves[1].select("user_id"))
+        .count()
+    )
+    rel = 3 * 1.04 / (2 ** 14) ** 0.5
+    u_est = a.union_estimate(b)
+    i_est = a.intersect_estimate(b)
+    # intersection error compounds across the three estimates it's built from
+    i_slack = rel * (a.estimate() + b.estimate() + u_est) + 3.0
+    rows = [
+        Row(
+            op="intersect",
+            exact=int(exact_int),
+            within=bool(abs(i_est - exact_int) <= i_slack),
+        ),
+        Row(
+            op="union",
+            exact=int(exact_union),
+            within=bool(
+                abs(u_est - exact_union) <= max(rel * exact_union, 3.0)
+            ),
+        ),
+    ]
+    return spark.createDataFrame(rows)
+
+
 def _q_exact_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ground-truth path validation (FIXTURES.md §5 'exact-checkable')."""
     events = _t(spark, sf_dir, "events")
@@ -494,6 +574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_hll_highcard_parts": _q_grouped_hll_highcard,
         "hll_rollup_two_level": _q_rollup_two_level,
         "grouped_kll_median_by_type": _q_grouped_kll_median,
+        "running_distinct_user_types": _q_running_distinct,
+        "hll_window_daily_users": _q_hll_window_daily,
+        "hll_setops_users": _q_hll_setops,
         "exact_events_type_counts": _q_exact_type_counts,
     }
 
@@ -585,6 +668,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grouped_kll_median_by_type": (
             "SELECT event_type, true AS within FROM events GROUP BY event_type"
+        ),
+        "running_distinct_user_types": (
+            "SELECT user_id, event_id, "
+            "count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_distinct, "
+            "true AS within FROM events"
+        ),
+        "hll_window_daily_users": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            "count(DISTINCT user_id) AS exact_distinct, true AS within "
+            "FROM events GROUP BY 1"
+        ),
+        "hll_setops_users": (
+            "SELECT 'intersect' AS op, (SELECT count(*) FROM "
+            "(SELECT user_id FROM events WHERE event_id % 2 = 0 "
+            "INTERSECT SELECT user_id FROM events WHERE event_id % 2 = 1)) AS exact, "
+            "true AS within "
+            "UNION ALL "
+            "SELECT 'union' AS op, count(DISTINCT user_id) AS exact, true AS within "
+            "FROM events"
         ),
         "exact_events_type_counts": (
             "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"

@@ -19,4 +19,5 @@ from .checkpoint import (  # noqa: F401
     list_input_files,
 )
 from .grouped_hll import grouped_hll  # noqa: F401
+from .window import running_distinct  # noqa: F401
 from .rollup import merge_level, rollup_sketches  # noqa: F401

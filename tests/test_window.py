@@ -1,0 +1,106 @@
+"""Windowed sketches: merge-prefix running distinct (operators/window.py).
+
+Oracle: pandas groupby-cumsum of first-occurrence indicators — the textbook
+exact running distinct — compared row-for-row against the distributed
+operator; the HLL estimate column is checked against the per-prefix bound.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from guava_probably_spark.operators import running_distinct
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _exact_running(pdf, key, order, col):
+    pdf = pdf.sort_values([key, order], kind="mergesort").reset_index(drop=True)
+    first = ~pdf.duplicated([key, col])
+    pdf["run_exact"] = first.astype("int64").groupby(pdf[key], sort=False).cumsum()
+    return pdf
+
+
+def test_running_distinct_matches_pandas_exact(spark):
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    out = running_distinct(
+        events, "user_id", "ts", "event_type", p=12, carry=["event_id"]
+    ).toPandas()
+    exp = _exact_running(
+        events.select("user_id", "ts", "event_id", "event_type").toPandas(),
+        "user_id",
+        "ts",
+        "event_type",
+    )
+    merged = exp.merge(out, on=["user_id", "event_id"], suffixes=("", "_got"))
+    assert len(merged) == len(exp) == len(out)
+    assert (merged["run_exact"].to_numpy() == merged["run_distinct"].to_numpy()).all()
+    # merge-prefix HLL estimate within bound at every prefix (LC regime slack)
+    err = np.abs(merged["estimate"].to_numpy() - merged["run_exact"].to_numpy())
+    bound = np.maximum(3 * 1.04 / np.sqrt(2**12) * merged["run_exact"].to_numpy(), 3.0)
+    assert (err <= bound).all()
+
+
+def test_running_distinct_final_row_equals_group_distinct(spark):
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    out = running_distinct(events, "user_id", "ts", "event_type", p=12)
+    last = (
+        out.groupBy("user_id")
+        .agg(F.max("run_distinct").alias("final"))
+        .toPandas()
+        .set_index("user_id")["final"]
+    )
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("d"))
+        .toPandas()
+        .set_index("user_id")["d"]
+    )
+    assert last.sort_index().equals(exact.sort_index().astype("int64"))
+
+
+def test_running_distinct_partition_invariant(spark):
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    a = (
+        running_distinct(events, "user_id", "ts", "event_type", p=12, partitions=2)
+        .orderBy("user_id", "ts")
+        .toPandas()
+    )
+    b = (
+        running_distinct(
+            events.repartition(13), "user_id", "ts", "event_type", p=12, partitions=7
+        )
+        .orderBy("user_id", "ts")
+        .toPandas()
+    )
+    assert (a["run_distinct"].to_numpy() == b["run_distinct"].to_numpy()).all()
+    # merge-prefix register state is partitioning-independent → estimates equal
+    assert np.allclose(a["estimate"].to_numpy(), b["estimate"].to_numpy())
+
+
+def test_running_distinct_nulls_pass_through_uncounted(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["b"] * 3,
+            "o": [1, 2, 3, 4, 1, 2, 3],
+            "v": ["x", None, "x", "y", None, "p", "p"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        running_distinct(df, "k", "o", "v", p=8)
+        .orderBy("k", "o")
+        .toPandas()
+    )
+    assert out["run_distinct"].tolist() == [1, 1, 1, 2, 0, 1, 1]
+
+
+def test_running_distinct_plan_single_exchange(spark):
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    out = running_distinct(events, "user_id", "ts", "event_type", p=12)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # the repartition(key); sort is partition-local
