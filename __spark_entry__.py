@@ -530,6 +530,57 @@ def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def _q_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located sketch-store merge (operators/store.py): two half-tables
+    written bucketed by key merge with ZERO Exchange operators in the plan
+    (asserted); merged counts are exact and merged HLL estimates within
+    bound — the shuffle was paid once at write time."""
+    import tempfile
+
+    from guava_probably_spark.operators import (
+        merge_sketch_tables,
+        write_bucketed_sketches,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    halves = [events.filter(F.pmod(F.col("event_id"), F.lit(2)) == i) for i in range(2)]
+    spec = SketchSpec("hll", {"p": 14})
+    base = tempfile.mkdtemp(prefix="gps_bucketed_")
+    for i, h in enumerate(halves):
+        g = build_grouped(h, "event_type", "user_id", spec, salt=2)
+        spark.sql(f"DROP TABLE IF EXISTS gps_sketch_half_{i}")
+        write_bucketed_sketches(
+            g, f"gps_sketch_half_{i}", "event_type", buckets=4, path=f"{base}/h{i}"
+        )
+    merged = merge_sketch_tables(spark, "gps_sketch_half_0", "gps_sketch_half_1", "event_type")
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    no_exchange = "Exchange" not in plan
+    est = merged.select(
+        "event_type", "n", hll_cardinality()("sketch").alias("est")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"), F.countDistinct("user_id").alias("exact_distinct")
+    )
+    bound = 3 * 1.04 / (2 ** 14) ** 0.5
+    out = exact.join(est, "event_type").select(
+        "event_type",
+        "n_rows",
+        "exact_distinct",
+        (
+            (F.col("n") == F.col("n_rows"))
+            & F.lit(no_exchange)
+            & (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= F.greatest(F.lit(bound) * F.col("exact_distinct"), F.lit(3.0))
+            )
+        ).alias("within"),
+    )
+    rows = out.collect()  # materialize before dropping the tables
+    for i in range(2):
+        spark.sql(f"DROP TABLE IF EXISTS gps_sketch_half_{i}")
+    return spark.createDataFrame(rows)
+
+
 def _q_exact_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ground-truth path validation (FIXTURES.md §5 'exact-checkable')."""
     events = _t(spark, sf_dir, "events")
@@ -577,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct_user_types": _q_running_distinct,
         "hll_window_daily_users": _q_hll_window_daily,
         "hll_setops_users": _q_hll_setops,
+        "bucketed_merge_user_distinct": _q_bucketed_merge,
         "exact_events_type_counts": _q_exact_type_counts,
     }
 
@@ -688,6 +740,11 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'union' AS op, count(DISTINCT user_id) AS exact, true AS within "
             "FROM events"
+        ),
+        "bucketed_merge_user_distinct": (
+            "SELECT event_type, count(*) AS n_rows, "
+            "count(DISTINCT user_id) AS exact_distinct, true AS within "
+            "FROM events GROUP BY event_type"
         ),
         "exact_events_type_counts": (
             "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"

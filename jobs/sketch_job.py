@@ -50,6 +50,12 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None, help="resumable per-file partials dir")
     ap.add_argument("--output", default=None, help="blob file (global) / parquet dir (grouped)")
     ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument(
+        "--window-order",
+        default=None,
+        help="with --key: merge-prefix running distinct of --col per key, "
+        "ordered by this column (writes parquet key, order, run_distinct, estimate)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,6 +65,7 @@ def main() -> None:
         build_with_checkpoint,
         collect_sketch,
         grouped_hll,
+        running_distinct,
     )
     from guava_probably_spark.sketches import SketchSpec
     from guava_probably_spark.sources import load_transcripts
@@ -70,7 +77,17 @@ def main() -> None:
     t0 = time.monotonic()
     status: dict = {"kind": args.kind, "col": args.col, "input": args.input}
 
-    if args.key:
+    if args.key and args.window_order:
+        df = load_transcripts(spark, args.input, args.format)
+        out = running_distinct(
+            df, args.key, args.window_order, args.col,
+            p=int(spec.params.get("p", 12)),
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            status["output"] = args.output
+        status["rows"] = out.count()
+    elif args.key:
         df = load_transcripts(spark, args.input, args.format)
         if args.kind == "hll":
             out = grouped_hll(df, args.key, args.col, **spec.params)

@@ -23,6 +23,7 @@ def spark():
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "6g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.warehouse.dir", "/tmp/gps-test-warehouse")
         .appName("gps-tests")
         .getOrCreate()
     )
