@@ -208,6 +208,11 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms": SketchSpec("cms", {"epsilon": 0.001, "delta": 0.01}),
         "kll": SketchSpec("kll", {"k": 200}),
         "tdigest": SketchSpec("tdigest", {"delta": 200.0}),
+        "mg": SketchSpec("mg", {"k": 32}),
+    }
+    exact_users = {
+        r.user_id: r.c
+        for r in events.groupBy("user_id").agg(F.count("*").alias("c")).collect()
     }
     rows = []
     for kind, spec in specs.items():
@@ -222,6 +227,13 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         right = a.copy().merge(b.copy().merge(c.copy()))
         if kind in ("bloom", "hll", "cms"):
             ok = left.to_bytes() == right.to_bytes()
+        elif kind == "mg":
+            # counters are merge-order-sensitive; the bracketing bound is not
+            ok = all(
+                sk.e <= sk.n / (32 + 1)
+                and all(v <= exact_users[u] <= v + sk.e for u, v in sk.counters.items())
+                for sk in (left, right)
+            )
         elif kind == "cuckoo":
             ok = bool(
                 left.might_contain_batch(eid).all() and right.might_contain_batch(eid).all()
@@ -530,6 +542,44 @@ def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def _q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters (sketches/mg.py): candidates live INSIDE
+    the summary (no candidate-set enumeration, unlike CMS) — every item with
+    freq ≥ φ·n present, stored counts bracket the exact counts within the
+    additive-decrement bound e ≤ n/(k+1)."""
+    events = _t(spark, sf_dir, "events")
+    sk, n, _ = collect_sketch(events, "event_type", SketchSpec("mg", {"k": 64}))
+    # stress pass on a >k-cardinality column: bracketing must hold under decrements
+    sk_u, n_u, _ = collect_sketch(events, "user_id", SketchSpec("mg", {"k": 32}))
+    exact_u = {
+        r.user_id: r.c
+        for r in events.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    stress_ok = sk_u.e <= n_u / (32 + 1) and all(
+        c <= exact_u[u] <= c + sk_u.e for u, c in sk_u.counters.items()
+    )
+    phi = 0.1
+    hh = sk.heavy_hitters(phi)
+    exact = {
+        r.event_type: r.c
+        for r in events.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+    rows = [
+        Row(
+            event_type=t,
+            exact_cnt=int(c),
+            within=bool(
+                t in hh
+                and sk.estimate_count(t) <= c <= sk.estimate_count(t) + sk.e
+                and stress_ok
+            ),
+        )
+        for t, c in sorted(exact.items())
+        if c >= phi * n
+    ]
+    return spark.createDataFrame(rows)
+
+
 def _q_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located sketch-store merge (operators/store.py): two half-tables
     written bucketed by key merge with ZERO Exchange operators in the plan
@@ -628,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct_user_types": _q_running_distinct,
         "hll_window_daily_users": _q_hll_window_daily,
         "hll_setops_users": _q_hll_setops,
+        "mg_heavy_hitters": _q_mg_heavy_hitters,
         "bucketed_merge_user_distinct": _q_bucketed_merge,
         "exact_events_type_counts": _q_exact_type_counts,
     }
@@ -683,7 +734,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "merge_associativity": (
             "SELECT kind, true AS ok FROM (VALUES ('bloom'), ('cuckoo'), ('hll'), "
-            "('cms'), ('kll'), ('tdigest')) AS t(kind)"
+            "('cms'), ('kll'), ('tdigest'), ('mg')) AS t(kind)"
         ),
         "grouped_hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
@@ -740,6 +791,11 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'union' AS op, count(DISTINCT user_id) AS exact, true AS within "
             "FROM events"
+        ),
+        "mg_heavy_hitters": (
+            "SELECT event_type, count(*) AS exact_cnt, true AS within "
+            "FROM events GROUP BY event_type "
+            "HAVING count(*) >= 0.1 * (SELECT count(*) FROM events)"
         ),
         "bucketed_merge_user_distinct": (
             "SELECT event_type, count(*) AS n_rows, "

@@ -21,6 +21,7 @@ from .cms import CmsSketch, cms_geometry
 from .cuckoo import CuckooSketch, cuckoo_geometry
 from .hll import HllSketch
 from .kll import KllSketch
+from .mg import MisraGriesSketch
 from .tdigest import TDigestSketch
 
 _KINDS = {
@@ -30,6 +31,7 @@ _KINDS = {
     "cms": CmsSketch,
     "kll": KllSketch,
     "tdigest": TDigestSketch,
+    "mg": MisraGriesSketch,
 }
 
 
@@ -69,6 +71,7 @@ __all__ = [
     "HllSketch",
     "CmsSketch",
     "KllSketch",
+    "MisraGriesSketch",
     "TDigestSketch",
     "IncompatibleSketchError",
     "bloom_geometry",

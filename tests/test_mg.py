@@ -1,0 +1,101 @@
+"""Misra–Gries mergeable heavy-hitter summary (sketches/mg.py).
+
+Contract: c(x) ≤ f(x) ≤ c(x) + e with e ≤ n/(k+1); no false negatives for
+items above the bound; mergeable with the (k+1)-th-largest decrement rule
+(error additive across merges); canonical serialization round-trip;
+distributed build through the standard partial+tree-merge pipeline.
+"""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from guava_probably_spark.sketches import MisraGriesSketch, Sketch, SketchSpec
+from guava_probably_spark.sketches.base import IncompatibleSketchError
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _zipf_stream(n, n_items, seed):
+    rng = random.Random(seed)
+    return [f"item_{int(rng.paretovariate(1.2)) % n_items}" for _ in range(n)]
+
+
+def test_mg_bounds_and_no_false_negatives():
+    stream = _zipf_stream(50_000, 1000, seed=7)
+    k = 64
+    sk = MisraGriesSketch(k=k)
+    for i in range(0, len(stream), 4096):
+        sk.update(np.array(stream[i : i + 4096], dtype=object))
+    from collections import Counter
+
+    true = Counter(stream)
+    n = len(stream)
+    assert sk.n == n
+    assert sk.e <= n / (k + 1)
+    for item, c in sk.counters.items():
+        assert c <= true[item] <= c + sk.e  # one-sided undercount
+    phi = 0.02
+    hh = sk.heavy_hitters(phi)
+    for item, f in true.items():
+        if f >= phi * n:
+            assert item in hh  # every true heavy hitter survives
+
+
+def test_mg_merge_error_additive_and_order_insensitive_bounds():
+    stream = _zipf_stream(30_000, 500, seed=11)
+    k = 48
+    thirds = [stream[i::3] for i in range(3)]
+    sks = []
+    for part in thirds:
+        s = MisraGriesSketch(k=k)
+        s.update(np.array(part, dtype=object))
+        sks.append(s)
+    left = sks[0].copy().merge(sks[1].copy()).merge(sks[2].copy())
+    right = sks[0].copy().merge(sks[1].copy().merge(sks[2].copy()))
+    from collections import Counter
+
+    true = Counter(stream)
+    n = len(stream)
+    for m in (left, right):
+        assert m.n == n
+        assert m.e <= n / (k + 1)
+        for item, c in m.counters.items():
+            assert c <= true[item] <= c + m.e
+
+
+def test_mg_serialization_round_trip_and_int_keys():
+    sk = MisraGriesSketch(k=8)
+    sk.update(np.array([1, 1, 2, 3, 3, 3, 4], dtype=np.int64))
+    rt = Sketch.from_bytes(sk.to_bytes())
+    assert isinstance(rt, MisraGriesSketch)
+    assert rt.counters == sk.counters and rt.n == sk.n and rt.e == sk.e
+    assert rt.to_bytes() == sk.to_bytes()  # canonical
+    s2 = MisraGriesSketch(k=8)
+    s2.update(np.array(["a", "b", "a"], dtype=object))
+    rt2 = Sketch.from_bytes(s2.to_bytes())
+    assert rt2.counters == {"a": 2, "b": 1}
+
+
+def test_mg_incompatible_merge_raises():
+    with pytest.raises(IncompatibleSketchError):
+        MisraGriesSketch(k=8).merge(MisraGriesSketch(k=16))
+
+
+def test_mg_distributed_matches_local(spark):
+    from guava_probably_spark.operators import collect_sketch
+
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    sk, n, _ = collect_sketch(events, "event_type", SketchSpec("mg", {"k": 64}))
+    assert n == events.count() == sk.n
+    exact = {
+        r.event_type: r.c
+        for r in events.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+    # few distinct types → k=64 never decrements → counts exact
+    assert sk.e == 0
+    assert sk.counters == exact
