@@ -63,27 +63,67 @@ def _hash_stage(col_idx: int):
 
 
 def _pack_registers_matrix(regs: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
-    """(K, m) uint8 registers → concatenated blob buffer + offsets, where each
-    row is a standard HllSketch blob (header + 6-bit packed payload)."""
+    """(K, m) uint8 registers → concatenated blob buffer + offsets, each row a
+    standard HllSketch blob (byte-identical to ``HllSketch.to_bytes()`` of the
+    same registers — verified by test). Emits the adaptive payload: sparse
+    (tag 2, u16 idx + u8 rho) for low-load rows, tagged dense otherwise —
+    at ~10 turns/conv a p=12 group blob is ~50 B instead of 3 KB, which is
+    what keeps a 10^8-conv sketch table shuffle/storage-feasible."""
+    if p > 16:
+        raise ValueError("grouped packer supports p <= 16 (u16 sparse indexes)")
     k, m = regs.shape
-    payload = np.empty((k, (m // 4) * 3), dtype=np.uint8)
-    for s in range(0, k, 512):  # block-wise: uint32 temp is 4x the registers
-        r = regs[s : s + 512].astype(np.uint32).reshape(-1, m // 4, 4)
+    dense_len = (m // 4) * 3
+    header = MAGIC + struct.pack("<BBBB", VERSION, KIND_HLL, 1, 0) + struct.pack("<I", 1) + struct.pack("<B", p)
+    head = np.frombuffer(header, dtype=np.uint8)
+    hl = len(head)
+
+    nnz = np.count_nonzero(regs, axis=1).astype(np.int64)
+    sparse_sz = 5 + 3 * nnz
+    use_sparse = sparse_sz < dense_len
+    row_size = hl + np.where(use_sparse, sparse_sz, 1 + dense_len)
+    offsets = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(row_size, out=offsets[1:])
+    total = int(offsets[-1])
+    buf = np.zeros(total, dtype=np.uint8)
+
+    # headers (vectorized broadcast write)
+    hdr_pos = offsets[:-1, None] + np.arange(hl, dtype=np.int64)
+    buf[hdr_pos.reshape(-1)] = np.broadcast_to(head, (k, hl)).reshape(-1)
+
+    rows_s = np.flatnonzero(use_sparse)
+    if len(rows_s):
+        base = offsets[rows_s] + hl  # payload start
+        cnt = nnz[rows_s]
+        buf[base] = 2  # sparse-u16 tag
+        for i in range(4):
+            buf[base + 1 + i] = ((cnt >> (8 * i)) & 0xFF).astype(np.uint8)
+        sub = regs[rows_s]
+        r_idx, c_idx = np.nonzero(sub)
+        starts = np.zeros(len(rows_s) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=starts[1:])
+        rank = np.arange(len(c_idx), dtype=np.int64) - np.repeat(starts[:-1], cnt)
+        ebase = base[r_idx]
+        pos = ebase + 5 + 2 * rank
+        buf[pos] = (c_idx & 0xFF).astype(np.uint8)
+        buf[pos + 1] = ((c_idx >> 8) & 0xFF).astype(np.uint8)
+        buf[ebase + 5 + 2 * cnt[r_idx] + rank] = sub[r_idx, c_idx]
+
+    rows_d = np.flatnonzero(~use_sparse)
+    for s in range(0, len(rows_d), 512):  # block-wise: uint32 temp is 4x regs
+        blk_rows = rows_d[s : s + 512]
+        r = regs[blk_rows].astype(np.uint32).reshape(-1, m // 4, 4)
         word = r[..., 0] | (r[..., 1] << 6) | (r[..., 2] << 12) | (r[..., 3] << 18)
         blk = np.empty(word.shape + (3,), dtype=np.uint8)
         blk[..., 0] = word & 0xFF
         blk[..., 1] = (word >> 8) & 0xFF
         blk[..., 2] = (word >> 16) & 0xFF
-        payload[s : s + 512] = blk.reshape(blk.shape[0], -1)
+        buf[offsets[blk_rows] + hl] = 0  # dense tag
+        pos = offsets[blk_rows][:, None] + hl + 1 + np.arange(dense_len, dtype=np.int64)
+        buf[pos.reshape(-1)] = blk.reshape(len(blk_rows), -1).reshape(-1)
 
-    header = MAGIC + struct.pack("<BBBB", VERSION, KIND_HLL, 1, 0) + struct.pack("<I", 1) + struct.pack("<B", p)
-    head = np.frombuffer(header, dtype=np.uint8)
-    blob_len = len(head) + payload.shape[1]
-    buf = np.empty((k, blob_len), dtype=np.uint8)
-    buf[:, : len(head)] = head
-    buf[:, len(head):] = payload
-    offsets = np.arange(0, (k + 1) * blob_len, blob_len, dtype=np.int32)
-    return buf.reshape(-1), offsets
+    if total >= 1 << 31:
+        raise ValueError("partition blob buffer exceeds BinaryArray offset range")
+    return buf, offsets.astype(np.int32)
 
 
 def _estimate_matrix(regs: np.ndarray, m: int) -> np.ndarray:

@@ -62,21 +62,43 @@ class HllSketch(Sketch):
         self.m = 1 << p
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
-    # -- serialization: 6-bit packed registers (4 regs -> 3 bytes) ----------
+    # -- serialization --------------------------------------------------------
+    # Adaptive payload (content-deterministic, so blob byte-equality across
+    # merge orders / partitionings is preserved):
+    #   len(payload) == 3m/4      → legacy dense (pre-sparse blobs, no tag)
+    #   tag 0 | 6-bit packed      → dense  (len = 1 + 3m/4)
+    #   tag 2 | u32 nnz | u16 idx[nnz] asc | u8 rho[nnz]   (p ≤ 16)
+    #   tag 1 | u32 nnz | u32 idx[nnz] asc | u8 rho[nnz]   (p > 16)
+    # Rule: sparse iff its size < 3m/4 (strict — also keeps it length-disjoint
+    # from legacy). A p=14 sketch of a 10-element group is ~55 bytes instead
+    # of 12 KB — the 10^8-conv grouped sketch table shrinks ~200×.
     def _params_tuple(self) -> tuple:
         return (self.p,)
 
     def _params_bytes(self) -> bytes:
         return struct.pack("<B", self.p)
 
+    def _sparse_entry_bytes(self) -> int:
+        return 3 if self.p <= 16 else 5
+
     def _payload_bytes(self) -> bytes:
+        nz = np.flatnonzero(self.registers)
+        e = self._sparse_entry_bytes()
+        if 5 + e * len(nz) < (self.m // 4) * 3:
+            idx_dtype = "<u2" if self.p <= 16 else "<u4"
+            tag = 2 if self.p <= 16 else 1
+            return (
+                struct.pack("<BI", tag, len(nz))
+                + nz.astype(idx_dtype).tobytes()
+                + self.registers[nz].tobytes()
+            )
         r = self.registers.astype(np.uint32).reshape(-1, 4)
         word = r[:, 0] | (r[:, 1] << 6) | (r[:, 2] << 12) | (r[:, 3] << 18)  # 24 bits
         out = np.empty((len(word), 3), dtype=np.uint8)
         out[:, 0] = word & 0xFF
         out[:, 1] = (word >> 8) & 0xFF
         out[:, 2] = (word >> 16) & 0xFF
-        return out.tobytes()
+        return b"\x00" + out.tobytes()
 
     @classmethod
     def _from_parts(cls, funnel: int, params: bytes, payload: bytes) -> "HllSketch":
@@ -85,7 +107,21 @@ class HllSketch(Sketch):
         Sketch.__init__(sk, funnel)
         sk.p = p
         sk.m = 1 << p
-        b = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3).astype(np.uint32)
+        dense_len = (sk.m // 4) * 3
+        if len(payload) == dense_len:  # legacy untagged dense
+            packed = payload
+        elif payload[0] == 0:
+            packed = payload[1:]
+        else:
+            (nnz,) = struct.unpack_from("<I", payload, 1)
+            idx_dtype = np.uint16 if payload[0] == 2 else np.uint32
+            idx = np.frombuffer(payload, dtype=idx_dtype, count=nnz, offset=5)
+            off = 5 + idx.itemsize * nnz
+            rho = np.frombuffer(payload, dtype=np.uint8, count=nnz, offset=off)
+            sk.registers = np.zeros(sk.m, dtype=np.uint8)
+            sk.registers[idx.astype(np.int64)] = rho
+            return sk
+        b = np.frombuffer(packed, dtype=np.uint8).reshape(-1, 3).astype(np.uint32)
         word = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
         regs = np.empty((len(word), 4), dtype=np.uint8)
         regs[:, 0] = word & 0x3F
