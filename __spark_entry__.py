@@ -209,6 +209,7 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kll": SketchSpec("kll", {"k": 200}),
         "tdigest": SketchSpec("tdigest", {"delta": 200.0}),
         "mg": SketchSpec("mg", {"k": 32}),
+        "theta": SketchSpec("theta", {"k": 256}),
     }
     exact_users = {
         r.user_id: r.c
@@ -225,7 +226,7 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, c = (collect_sketch(s, col, spec)[0] for s in splits)
         left = a.copy().merge(b.copy()).merge(c.copy())
         right = a.copy().merge(b.copy().merge(c.copy()))
-        if kind in ("bloom", "hll", "cms"):
+        if kind in ("bloom", "hll", "cms", "theta"):
             ok = left.to_bytes() == right.to_bytes()
         elif kind == "mg":
             # counters are merge-order-sensitive; the bracketing bound is not
@@ -542,6 +543,27 @@ def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def _q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV set operations (sketches/theta.py): union, intersection AND
+    difference estimated directly on the retained hash sample — bounded error
+    (vs HLL's unbounded inclusion–exclusion intersection). Below saturation
+    (distinct ≤ k) every estimate is EXACT, so the oracle checks equality."""
+    events = _t(spark, sf_dir, "events")
+    halves = [events.filter(F.pmod(F.col("event_id"), F.lit(2)) == i) for i in range(2)]
+    spec = SketchSpec("theta", {"k": 16384})
+    a, b = (collect_sketch(h, "user_id", spec)[0] for h in halves)
+    ests = {
+        "diff_a_minus_b": a.difference_estimate(b),
+        "intersect": a.intersect_estimate(b),
+        "union": a.union_estimate(b),
+    }
+    rows = [
+        Row(op=op, estimate=int(round(v)), within=bool(a.theta == 1.0 and b.theta == 1.0))
+        for op, v in sorted(ests.items())
+    ]
+    return spark.createDataFrame(rows)
+
+
 def _q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra–Gries heavy hitters (sketches/mg.py): candidates live INSIDE
     the summary (no candidate-set enumeration, unlike CMS) — every item with
@@ -678,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct_user_types": _q_running_distinct,
         "hll_window_daily_users": _q_hll_window_daily,
         "hll_setops_users": _q_hll_setops,
+        "theta_setops_users": _q_theta_setops,
         "mg_heavy_hitters": _q_mg_heavy_hitters,
         "bucketed_merge_user_distinct": _q_bucketed_merge,
         "exact_events_type_counts": _q_exact_type_counts,
@@ -734,7 +757,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "merge_associativity": (
             "SELECT kind, true AS ok FROM (VALUES ('bloom'), ('cuckoo'), ('hll'), "
-            "('cms'), ('kll'), ('tdigest'), ('mg')) AS t(kind)"
+            "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta')) AS t(kind)"
         ),
         "grouped_hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
@@ -791,6 +814,17 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'union' AS op, count(DISTINCT user_id) AS exact, true AS within "
             "FROM events"
+        ),
+        "theta_setops_users": (
+            "WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0), "
+            "b AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1) "
+            "SELECT 'diff_a_minus_b' AS op, "
+            "(SELECT count(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS estimate, "
+            "true AS within "
+            "UNION ALL SELECT 'intersect', "
+            "(SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)), true "
+            "UNION ALL SELECT 'union', "
+            "(SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)), true"
         ),
         "mg_heavy_hitters": (
             "SELECT event_type, count(*) AS exact_cnt, true AS within "

@@ -22,6 +22,7 @@ from .cuckoo import CuckooSketch, cuckoo_geometry
 from .hll import HllSketch
 from .kll import KllSketch
 from .mg import MisraGriesSketch
+from .theta import ThetaSketch
 from .tdigest import TDigestSketch
 
 _KINDS = {
@@ -32,6 +33,7 @@ _KINDS = {
     "kll": KllSketch,
     "tdigest": TDigestSketch,
     "mg": MisraGriesSketch,
+    "theta": ThetaSketch,
 }
 
 
@@ -72,6 +74,7 @@ __all__ = [
     "CmsSketch",
     "KllSketch",
     "MisraGriesSketch",
+    "ThetaSketch",
     "TDigestSketch",
     "IncompatibleSketchError",
     "bloom_geometry",

@@ -35,6 +35,7 @@ KIND_CMS = 4
 KIND_KLL = 5
 KIND_TDIGEST = 6
 KIND_MG = 7
+KIND_THETA = 8
 
 # Funnels: how an element column is reduced to hashable bytes.  The funnel id
 # is part of filter compatibility, mirroring Guava Funnel identity semantics

@@ -1,0 +1,151 @@
+"""Theta (KMV — k minimum values) sketch: distinct counting with BOUNDED
+set-operation estimates.
+
+Closes the documented gap in `HllSketch.intersect_estimate` ("indication,
+not a bounded estimate"): HLL intersection via inclusion–exclusion compounds
+three absolute errors, while a theta sketch keeps a uniform hash SAMPLE of
+the distinct items (the k smallest 64-bit hashes), so intersection /
+union / difference are estimated directly on the retained samples with
+relative error ≈ 1/√(k−1) on the union and ≈ 1/√|sample∩| on the
+intersection (Dasgupta, Lang, Rhodes, Thaler — the Theta Sketch Framework;
+Bar-Yossef et al. 2002 for KMV; Beyer et al. SIGMOD'07 for the unbiased
+(k−1)/θ estimator).
+
+State: sorted u64 array of the k smallest distinct item hashes below
+θ (= k-th smallest seen, or 2^64 while fewer than k). Update folds a hashed
+batch with `np.unique` + `np.partition` — fully vectorized. Merge = union
+of retained sets, re-trim to k: associative and commutative, and the
+retained SET is merge-order-independent (the k smallest of the union),
+so serialized blobs are byte-equal across partitionings — same determinism
+class as bloom/HLL/CMS.
+
+Same murmur3_x64_128 funnel pipeline as every other sketch here; rides the
+standard partial-build + tree-merge operators unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .base import FUNNEL_UTF8, KIND_THETA, Sketch, element_to_hash, hash_column, register_kind
+
+_FULL = float(1 << 64)
+
+
+@register_kind
+class ThetaSketch(Sketch):
+    KIND = KIND_THETA
+
+    def __init__(self, k: int = 4096, funnel: int = FUNNEL_UTF8):
+        if k < 16:
+            raise ValueError("k must be >= 16")
+        super().__init__(funnel)
+        self.k = int(k)
+        self.hashes = np.empty(0, dtype=np.uint64)  # sorted, < theta, distinct
+
+    # -- contract ------------------------------------------------------------
+    def _params_tuple(self) -> tuple:
+        return (self.k,)
+
+    def _params_bytes(self) -> bytes:
+        return struct.pack("<I", self.k)
+
+    def _payload_bytes(self) -> bytes:
+        return self.hashes.tobytes()
+
+    @classmethod
+    def _from_parts(cls, funnel: int, params: bytes, payload: bytes) -> "ThetaSketch":
+        (k,) = struct.unpack_from("<I", params, 0)
+        sk = cls(k=k, funnel=funnel)
+        sk.hashes = np.frombuffer(payload, dtype=np.uint64).copy()
+        return sk
+
+    # -- updates -------------------------------------------------------------
+    @property
+    def theta(self) -> float:
+        """Sampling threshold as a fraction of the hash space."""
+        if len(self.hashes) < self.k:
+            return 1.0
+        return float(self.hashes[-1]) / _FULL
+
+    def _fold(self, h: np.ndarray) -> None:
+        merged = np.unique(np.concatenate([self.hashes, h]))
+        if len(merged) > self.k:
+            # k smallest keep the sample uniform below the new theta
+            merged = np.partition(merged, self.k - 1)[: self.k]
+            merged.sort()
+        self.hashes = merged
+
+    def update_hashes(self, h1: np.ndarray) -> None:
+        self._fold(np.asarray(h1, dtype=np.uint64))
+
+    def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        self.update_hashes(h1)
+
+    def update(self, values) -> None:
+        _, h1, _ = hash_column(values, self.funnel)
+        self.update_hashes(h1)
+
+    def put(self, e) -> None:
+        _, h1, _ = element_to_hash(e)
+        self.update_hashes(np.array([h1], dtype=np.uint64))
+
+    def merge(self, other: "ThetaSketch") -> "ThetaSketch":
+        self._check_compatible(other)
+        # trim both sides to min(theta) first: retained sets stay uniform
+        t = min(self.theta, other.theta)
+        bound = np.uint64(min(int(t * _FULL), (1 << 64) - 1))
+        a = self.hashes[self.hashes <= bound] if t < 1.0 else self.hashes
+        b = other.hashes[other.hashes <= bound] if t < 1.0 else other.hashes
+        self.hashes = np.empty(0, dtype=np.uint64)
+        self._fold(np.unique(np.concatenate([a, b])))
+        return self
+
+    # -- estimates ------------------------------------------------------------
+    def estimate(self) -> float:
+        n = len(self.hashes)
+        if n < self.k:
+            return float(n)  # exact below saturation (all distinct retained)
+        return (self.k - 1) / self.theta  # unbiased KMV estimator
+
+    def cardinality(self) -> int:
+        return int(round(self.estimate()))
+
+    def relative_error_bound(self, nsigma: float = 3.0) -> float:
+        return nsigma / math.sqrt(self.k - 1)
+
+    def union_estimate(self, other: "ThetaSketch") -> float:
+        return self.copy().merge(other).estimate()
+
+    def intersect_estimate(self, other: "ThetaSketch") -> float:
+        """|A ∩ B| = |retained(A) ∩ retained(B) below min θ| / min θ —
+        a direct sample estimate, relative error ≈ 1/√(sample hits)."""
+        self._check_compatible(other)
+        t = min(self.theta, other.theta)
+        bound = np.uint64(min(int(t * _FULL), (1 << 64) - 1))
+        a = self.hashes[self.hashes <= bound]
+        b = other.hashes[other.hashes <= bound]
+        hits = len(np.intersect1d(a, b, assume_unique=True))
+        return hits / t
+
+    def difference_estimate(self, other: "ThetaSketch") -> float:
+        """|A \\ B| on the retained samples below min θ."""
+        self._check_compatible(other)
+        t = min(self.theta, other.theta)
+        bound = np.uint64(min(int(t * _FULL), (1 << 64) - 1))
+        a = self.hashes[self.hashes <= bound]
+        b = other.hashes[other.hashes <= bound]
+        return len(np.setdiff1d(a, b, assume_unique=True)) / t
+
+    def is_empty(self) -> bool:
+        return len(self.hashes) == 0
+
+    def clear(self) -> None:
+        self.hashes = np.empty(0, dtype=np.uint64)
+
+    @property
+    def size(self) -> int:
+        return len(self.hashes)

@@ -1,0 +1,88 @@
+"""Theta/KMV sketch (sketches/theta.py): bounded distinct + set-op estimates.
+
+Determinism class: the retained set is exactly the k smallest distinct item
+hashes of the stream — merge-order- and partitioning-independent, so blobs
+are byte-equal like bloom/HLL/CMS. Below saturation (n ≤ k) every estimate
+is EXACT.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from guava_probably_spark.sketches import Sketch, SketchSpec, ThetaSketch
+from guava_probably_spark.sketches.base import IncompatibleSketchError
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _items(lo, hi):
+    return np.array([f"item_{i}" for i in range(lo, hi)], dtype=object)
+
+
+def test_theta_error_bound_saturated():
+    n, k = 50_000, 4096
+    sk = ThetaSketch(k=k)
+    for s in range(0, n, 8192):
+        sk.update(_items(s, min(s + 8192, n)))
+    assert abs(sk.estimate() - n) / n <= sk.relative_error_bound()  # 3/√(k−1)
+
+
+def test_theta_exact_below_saturation():
+    sk = ThetaSketch(k=1024)
+    sk.update(_items(0, 500))
+    sk.update(_items(200, 600))  # overlap — distinct count must dedupe
+    assert sk.estimate() == 600.0
+
+
+def test_theta_merge_blob_byte_equal_across_orders():
+    parts = [_items(i * 2000, (i + 1) * 2000 + 500) for i in range(3)]  # overlaps
+    sks = []
+    for part in parts:
+        s = ThetaSketch(k=256)
+        s.update(part)
+        sks.append(s)
+    left = sks[0].copy().merge(sks[1].copy()).merge(sks[2].copy())
+    right = sks[0].copy().merge(sks[1].copy().merge(sks[2].copy()))
+    direct = ThetaSketch(k=256)
+    direct.update(np.concatenate(parts))
+    assert left.to_bytes() == right.to_bytes() == direct.to_bytes()
+
+
+def test_theta_setops_bounded():
+    n, overlap, k = 40_000, 10_000, 4096
+    a, b = ThetaSketch(k=k), ThetaSketch(k=k)
+    a.update(_items(0, n))
+    b.update(_items(n - overlap, 2 * n - overlap))
+    rel = 3 / (k - 1) ** 0.5
+    assert abs(a.union_estimate(b) - (2 * n - overlap)) <= rel * (2 * n - overlap)
+    # intersection: sample-hit error ~ 1/√hits; hits ≈ k·overlap/union
+    hits = k * overlap / (2 * n - overlap)
+    i_bound = 3 / hits ** 0.5 * overlap + 3
+    assert abs(a.intersect_estimate(b) - overlap) <= i_bound
+    assert abs(a.difference_estimate(b) - (n - overlap)) <= i_bound + rel * n
+
+
+def test_theta_serialization_and_incompatible():
+    sk = ThetaSketch(k=64)
+    sk.update(_items(0, 1000))
+    rt = Sketch.from_bytes(sk.to_bytes())
+    assert isinstance(rt, ThetaSketch)
+    assert rt.to_bytes() == sk.to_bytes()
+    with pytest.raises(IncompatibleSketchError):
+        ThetaSketch(k=64).merge(ThetaSketch(k=128))
+
+
+def test_theta_distributed_partition_invariant(spark):
+    from guava_probably_spark.operators import collect_sketch
+
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    spec = SketchSpec("theta", {"k": 4096})
+    a, _, _ = collect_sketch(events, "user_id", spec)
+    b, _, _ = collect_sketch(events.repartition(13), "user_id", spec)
+    assert a.to_bytes() == b.to_bytes()  # byte-equal across partitionings
+    exact = events.select(F.countDistinct("user_id").alias("c")).collect()[0].c
+    assert a.estimate() == float(exact)  # below saturation → exact
