@@ -543,6 +543,50 @@ def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def _q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product join-size estimation (Cormode–Muthukrishnan §4.2):
+    |lineitem ⋈ σ(part)| from two CMS blobs — no shuffle, no join executed.
+    One-sided overestimate, est − true ≤ ε·N_A·N_B w.p. ≥ 1−δ."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    spec = SketchSpec("cms", {"epsilon": 5e-5, "delta": 0.01})
+    a, _, _ = collect_sketch(lineitem, "l_partkey", spec)
+    b, _, _ = collect_sketch(part, "p_partkey", spec)
+    est = a.inner_product(b)
+    bound = a.inner_product_bound(b)
+    exact = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey).count()
+    )
+    return spark.createDataFrame(
+        [
+            Row(
+                name="cms_join_size",
+                exact_join=int(exact),
+                within=bool(exact <= est <= exact + bound),
+            )
+        ]
+    )
+
+
+def _q_hll_composite_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite multi-column funnel (functions.composite_key): distinct
+    (user_id, event_type) PAIRS sketched as one canonical JSON-struct string
+    — codegen'd JVM-side, no custom funnel plumbing."""
+    from guava_probably_spark.functions import composite_key
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "pair", composite_key("user_id", "event_type")
+    )
+    sk, _, _ = collect_sketch(events, "pair", SketchSpec("hll", {"p": 14}))
+    exact = (
+        events.select("user_id", "event_type").distinct().count()
+    )
+    within = abs(sk.estimate() - exact) / max(exact, 1) <= sk.relative_error_bound() + 0.005
+    return spark.createDataFrame(
+        [Row(name="hll_composite_pairs", exact_distinct=int(exact), within=bool(within))]
+    )
+
+
 def _q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV set operations (sketches/theta.py): union, intersection AND
     difference estimated directly on the retained hash sample — bounded error
@@ -700,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct_user_types": _q_running_distinct,
         "hll_window_daily_users": _q_hll_window_daily,
         "hll_setops_users": _q_hll_setops,
+        "cms_join_size_lineitem_part": _q_cms_join_size,
+        "hll_composite_user_type_pairs": _q_hll_composite_distinct,
         "theta_setops_users": _q_theta_setops,
         "mg_heavy_hitters": _q_mg_heavy_hitters,
         "bucketed_merge_user_distinct": _q_bucketed_merge,
@@ -814,6 +860,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'union' AS op, count(DISTINCT user_id) AS exact, true AS within "
             "FROM events"
+        ),
+        "cms_join_size_lineitem_part": (
+            "SELECT 'cms_join_size' AS name, count(*) AS exact_join, true AS within "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size < 15"
+        ),
+        "hll_composite_user_type_pairs": (
+            "SELECT 'hll_composite_pairs' AS name, "
+            "(SELECT count(*) FROM (SELECT DISTINCT user_id, event_type FROM events)) "
+            "AS exact_distinct, true AS within"
         ),
         "theta_setops_users": (
             "WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0), "

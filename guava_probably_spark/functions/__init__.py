@@ -144,3 +144,19 @@ def register_sql(spark: SparkSession) -> None:
     spark.udf.register("hll_cardinality", hll_cardinality())
     spark.udf.register("sketch_size", sketch_size())
     spark.udf.register("sketch_expected_fpp", sketch_expected_fpp())
+
+
+def composite_key(*cols):
+    """Canonical multi-column funnel: ``to_json(struct(cols...))``.
+
+    Sketching a composite key — distinct (conv_id, turn_idx) pairs,
+    membership of (user, day) tuples — needs a single unambiguous byte
+    string per tuple. JSON-encoding the struct is canonical (field order =
+    argument order, values escaped) and stays entirely inside whole-stage
+    codegen; the result feeds any sketch's UTF-8 funnel unchanged.
+    """
+    from pyspark.sql import Column, functions as F
+
+    return F.to_json(
+        F.struct(*[F.col(c) if isinstance(c, str) else c for c in cols])
+    )

@@ -125,6 +125,19 @@ class CmsSketch(Sketch):
         thresh = phi * self.total
         return [c for c, est in zip(candidates, ests) if est >= thresh]
 
+    def inner_product(self, other: "CmsSketch") -> int:
+        """Join-size estimate Σ_v fA(v)·fB(v) = min over rows of the row dot
+        products (Cormode & Muthukrishnan 2005 §4.2): one-sided overestimate,
+        est − true ≤ ε·N_A·N_B with probability ≥ 1−δ. The sketch-level
+        answer to "how big is this join?" — no shuffle, no scan of either
+        side, just two CMS blobs."""
+        self._check_compatible(other)
+        return int(np.einsum("ij,ij->i", self.counts, other.counts).min())
+
+    def inner_product_bound(self, other: "CmsSketch") -> float:
+        """The ε·N_A·N_B additive bound for inner_product (holds w.p. ≥ 1−δ)."""
+        return self.epsilon * self.total * other.total
+
     # -- merge -----------------------------------------------------------------------
     def merge(self, other: "CmsSketch") -> "CmsSketch":
         self._check_compatible(other)

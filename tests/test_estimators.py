@@ -172,3 +172,24 @@ def test_hll_set_operation_estimates():
     assert abs(inter - 20000) / 20000 <= 0.15  # compounded error, loose check
     # union_estimate must not mutate its operands
     assert abs(a.estimate() - 60000) / 60000 <= a.relative_error_bound()
+
+
+def test_cms_inner_product_join_size_bound():
+    """CMS inner product (cms.py): one-sided join-size overestimate within
+    eps*Na*Nb (Cormode-Muthukrishnan 2005 section 4.2)."""
+    import numpy as np
+
+    from guava_probably_spark.sketches import FUNNEL_LONG, CmsSketch
+
+    rng = np.random.default_rng(5)
+    a_items = rng.integers(0, 2000, size=30_000)
+    b_items = rng.integers(1000, 3000, size=8_000)
+    a = CmsSketch(epsilon=1e-4, delta=0.01, funnel=FUNNEL_LONG)
+    b = CmsSketch(epsilon=1e-4, delta=0.01, funnel=FUNNEL_LONG)
+    a.update(a_items.astype(np.int64))
+    b.update(b_items.astype(np.int64))
+    ca = np.bincount(a_items, minlength=3000)
+    cb = np.bincount(b_items, minlength=3000)
+    true = int((ca * cb).sum())
+    est = a.inner_product(b)
+    assert true <= est <= true + a.inner_product_bound(b)

@@ -285,3 +285,26 @@ def test_rollup_sketches_by_merge(spark, events):
     direct, n, _ = collect_sketch(events, "user_id", spec)
     assert bytes(by_key[None].sketch) == direct.to_bytes()
     assert by_key[None].n == n
+
+
+def test_composite_key_distinct_pairs(spark, sf_dir):
+    """functions.composite_key: JSON-struct canonical funnel for multi-column
+    sketching; HLL over the pair column tracks exact pair-distinct."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from guava_probably_spark.functions import composite_key
+    from guava_probably_spark.operators import collect_sketch
+    from guava_probably_spark.sketches import SketchSpec
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = events.withColumn("pair", composite_key("user_id", "event_type"))
+    # canonical: same tuple -> same string, different tuple -> different string
+    assert (
+        df.select("pair").distinct().count()
+        == events.select("user_id", "event_type").distinct().count()
+    )
+    sk, _, _ = collect_sketch(df, "pair", SketchSpec("hll", {"p": 14}))
+    exact = events.select("user_id", "event_type").distinct().count()
+    assert abs(sk.estimate() - exact) / exact <= sk.relative_error_bound() + 0.005
