@@ -543,6 +543,20 @@ def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def _q_arrow_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row payload-integrity invariant (BASELINE.json input_hint: per-turn
+    text equality): documents pass through the same JVM→Python Arrow boundary
+    every sketch kernel uses (mapInArrow round-trip) and come back BIT-EXACT —
+    proven by md5 parity with the oracle reading the parquet directly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def ident(batches):
+        yield from batches
+
+    rt = docs.mapInArrow(ident, "doc_id bigint, text string")
+    return rt.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+
+
 def _q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS inner-product join-size estimation (Cormode–Muthukrishnan §4.2):
     |lineitem ⋈ σ(part)| from two CMS blobs — no shuffle, no join executed.
@@ -744,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct_user_types": _q_running_distinct,
         "hll_window_daily_users": _q_hll_window_daily,
         "hll_setops_users": _q_hll_setops,
+        "arrow_text_roundtrip_md5": _q_arrow_text_roundtrip,
         "cms_join_size_lineitem_part": _q_cms_join_size,
         "hll_composite_user_type_pairs": _q_hll_composite_distinct,
         "theta_setops_users": _q_theta_setops,
@@ -860,6 +875,9 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'union' AS op, count(DISTINCT user_id) AS exact, true AS within "
             "FROM events"
+        ),
+        "arrow_text_roundtrip_md5": (
+            "SELECT doc_id, md5(text) AS text_md5 FROM documents"
         ),
         "cms_join_size_lineitem_part": (
             "SELECT 'cms_join_size' AS name, count(*) AS exact_join, true AS within "
