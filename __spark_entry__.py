@@ -543,6 +543,76 @@ def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (streaming.session_sketch_stream): per-conv
+    inactivity-gap sessions closed by event-time timeout; emitted rows carry
+    the session sketch — exact at this cardinality, so the oracle is a
+    literal table."""
+    import tempfile
+
+    import pandas as pd
+
+    from guava_probably_spark.streaming import session_sketch_stream
+
+    base = tempfile.mkdtemp(prefix="gps_sessions_")
+    t0 = pd.Timestamp("2024-03-01 10:00:00")
+
+    def mk(rows, path):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "ts", "tool"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(path)
+
+    mk(
+        [
+            ("A", t0, "bash"),
+            ("A", t0 + pd.Timedelta(minutes=2), "edit"),
+            ("A", t0 + pd.Timedelta(minutes=4), "bash"),
+            ("B", t0 + pd.Timedelta(minutes=1), "grep"),
+        ],
+        base + "/staged/b1",
+    )
+    mk([("C", t0 + pd.Timedelta(hours=10), "x")], base + "/staged/b2")
+    mk([("C", t0 + pd.Timedelta(hours=11), "y")], base + "/staged/b3")
+    incoming = base + "/incoming"
+    os.makedirs(incoming)
+    stream = spark.readStream.schema(
+        "conv_id string, ts timestamp, tool string"
+    ).parquet(incoming)
+    out = session_sketch_stream(
+        stream, "conv_id", "ts", "tool", SketchSpec("hll", {"p": 10}),
+        gap="10 minutes", watermark="1 minute",
+    )
+    import glob as _glob
+    import shutil as _shutil
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gps_sessions_q")
+        .outputMode("append")
+        .option("checkpointLocation", base + "/ck")
+        .start()
+    )
+    try:
+        for b in ("b1", "b2", "b3"):
+            for f in _glob.glob(f"{base}/staged/{b}/part-*.parquet"):
+                _shutil.copy(f, incoming + f"/{b}.parquet")
+            q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM gps_sessions_q").collect()
+    finally:
+        q.stop()
+    out_rows = [
+        Row(
+            conv_id=r.conv_id,
+            n_turns=int(r.n),
+            distinct_tools=int(round(Sketch.from_bytes(bytes(r.sketch)).estimate())),
+            session_minutes=int(
+                (r.session_end - r.session_start).total_seconds() // 60
+            ),
+        )
+        for r in sorted(rows, key=lambda r: r.conv_id)
+    ]
+    return spark.createDataFrame(out_rows)
+
+
 def _q_arrow_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row payload-integrity invariant (BASELINE.json input_hint: per-turn
     text equality): documents pass through the same JVM→Python Arrow boundary
@@ -758,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct_user_types": _q_running_distinct,
         "hll_window_daily_users": _q_hll_window_daily,
         "hll_setops_users": _q_hll_setops,
+        "streaming_session_windows": _q_streaming_sessions,
         "arrow_text_roundtrip_md5": _q_arrow_text_roundtrip,
         "cms_join_size_lineitem_part": _q_cms_join_size,
         "hll_composite_user_type_pairs": _q_hll_composite_distinct,
@@ -875,6 +946,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'union' AS op, count(DISTINCT user_id) AS exact, true AS within "
             "FROM events"
+        ),
+        "streaming_session_windows": (
+            "SELECT * FROM (VALUES ('A', 3, 2, 4), ('B', 1, 1, 0)) "
+            "AS t(conv_id, n_turns, distinct_tools, session_minutes)"
         ),
         "arrow_text_roundtrip_md5": (
             "SELECT doc_id, md5(text) AS text_md5 FROM documents"

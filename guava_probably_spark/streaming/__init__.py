@@ -12,6 +12,14 @@ insensitive.  Two patterns:
 2. ``windowed_sketch_stream`` — event-time tumbling windows via
    ``applyInPandasWithState``: state = serialized sketch per window, updated
    per trigger, emitted in update mode; late data handled by the watermark.
+
+3. ``session_sketch_stream`` — per-key SESSION windows (inactivity gap) via
+   ``applyInPandasWithState`` + EventTimeTimeout: a session's sketch grows
+   while events keep arriving within `gap` of the last one; when the
+   watermark passes last_event + gap the timeout fires, the closed session
+   (key, start, end, sketch, n) is emitted in append mode and its state is
+   removed. "Distinct tools used in each conversation session" at
+   transcript scale.
 """
 
 from __future__ import annotations
@@ -118,4 +126,85 @@ def windowed_sketch_stream(
     )
     return keyed.applyInPandasWithState(
         fn, _OUT_SCHEMA, _STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("sketch", BinaryType()),
+        StructField("n", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+    ]
+)
+
+
+def session_sketch_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    col: str,
+    spec: SketchSpec,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key session-window sketches (inactivity gap): emits one row per
+    CLOSED session (append mode) — (key, session_start, session_end, sketch,
+    n). A session closes when the event-time watermark passes its last event
+    + `gap` (EventTimeTimeout). State per open session is one sketch blob —
+    fixed-size regardless of session length."""
+    gap_ms = int(pd.to_timedelta(gap).total_seconds() * 1000)
+    key_field = stream_df.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("sketch", BinaryType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            blob, n, s_ms, e_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start": [pd.Timestamp(s_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(e_ms, unit="ms")],
+                    "sketch": [bytes(blob)],
+                    "n": [n],
+                }
+            )
+            return
+        if state.exists:
+            blob, n, s_ms, e_ms = state.get
+            sk = Sketch.from_bytes(bytes(blob))
+        else:
+            sk, n, s_ms, e_ms = spec.create(), 0, None, None
+        for pdf in pdfs:
+            vals = pdf[col].dropna()
+            if len(vals):
+                sk.update(vals)
+                n += int(len(vals))
+            ts = pd.to_datetime(pdf[ts_col])
+            lo = int(ts.min().value // 10**6)
+            hi = int(ts.max().value // 10**6)
+            s_ms = lo if s_ms is None else min(s_ms, lo)
+            e_ms = hi if e_ms is None else max(e_ms, hi)
+        if s_ms is None:
+            return
+        state.update((sk.to_bytes(), n, s_ms, e_ms))
+        # event-time timeout must sit beyond the current watermark
+        state.setTimeoutTimestamp(max(e_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
+
+    keyed = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(key_col, ts_col, col)
+        .groupBy(key_col)
+    )
+    return keyed.applyInPandasWithState(
+        fn, out_schema, _SESSION_STATE_SCHEMA, "append", GroupStateTimeout.EventTimeTimeout
     )

@@ -155,3 +155,67 @@ def test_streaming_dedup_bloom_fingerprints(spark, sf_dir, tmp_path):
         spark.read.parquet(staged + "/b1"), state, capacity=10_000
     )
     assert replay.count() == 0
+
+
+def test_session_sketch_stream(spark, tmp_path):
+    """Session windows (inactivity gap): two keys with known event times in
+    batch 1; a far-future event in batch 2 advances the watermark past
+    last_event + gap, so batch 3 fires the timeouts and emits both closed
+    sessions with correct bounds, counts and sketch estimates."""
+    import pandas as pd
+
+    from guava_probably_spark.streaming import session_sketch_stream
+
+    t0 = pd.Timestamp("2024-03-01 10:00:00")
+
+    def mk(rows, path):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "ts", "tool"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(path)
+
+    staged = str(tmp_path / "staged")
+    mk(
+        [
+            ("A", t0, "bash"),
+            ("A", t0 + pd.Timedelta(minutes=2), "edit"),
+            ("A", t0 + pd.Timedelta(minutes=4), "bash"),
+            ("B", t0 + pd.Timedelta(minutes=1), "grep"),
+        ],
+        staged + "/b1",
+    )
+    # far-future sentinel: advances the watermark way past both sessions
+    mk([("C", t0 + pd.Timedelta(hours=10), "x")], staged + "/b2")
+    mk([("C", t0 + pd.Timedelta(hours=11), "y")], staged + "/b3")
+
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    stream = spark.readStream.schema("conv_id string, ts timestamp, tool string").parquet(
+        incoming
+    )
+    out = session_sketch_stream(
+        stream, "conv_id", "ts", "tool", SketchSpec("hll", {"p": 10}),
+        gap="10 minutes", watermark="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .start()
+    )
+    try:
+        for b in ("b1", "b2", "b3"):
+            for f in glob.glob(f"{staged}/{b}/part-*.parquet"):
+                shutil.copy(f, incoming + f"/{b}.parquet")
+            q.processAllAvailable()
+        rows = {r.conv_id: r for r in spark.sql("SELECT * FROM sessions").collect()}
+    finally:
+        q.stop()
+    assert "A" in rows and "B" in rows  # both sessions closed by the timeout
+    a = rows["A"]
+    assert a.n == 3
+    assert a.session_start == t0.to_pydatetime()
+    assert a.session_end == (t0 + pd.Timedelta(minutes=4)).to_pydatetime()
+    sk = Sketch.from_bytes(bytes(a.sketch))
+    assert round(sk.estimate()) == 2  # bash, edit
+    b = rows["B"]
+    assert b.n == 1 and round(Sketch.from_bytes(bytes(b.sketch)).estimate()) == 1
