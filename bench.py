@@ -271,6 +271,14 @@ def run_queries(spark, sf_dir: str, t_path: str, d_path: str, e_path: str) -> tu
         ),
     )
     timed(
+        "q_theta_events",
+        lambda: collect_sketch(events, "user_id", SketchSpec("theta", {"k": 16384})),
+    )
+    timed(
+        "q_mg_event_types",
+        lambda: collect_sketch(events, "event_type", SketchSpec("mg", {"k": 64})),
+    )
+    timed(
         "q_kll_lineitem_price",
         lambda: collect_sketch(lineitem, "l_extendedprice", SketchSpec("kll", {"k": 200})),
     )

@@ -50,3 +50,65 @@ def test_bloom_no_false_negatives_any_input(xs):
     sk = BloomSketch(600, 0.01, funnel=FUNNEL_LONG)
     sk.update(np.array(xs, dtype=np.int64))
     assert sk.might_contain_batch(np.array(xs, dtype=np.int64)).all()
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=200),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_mg_bracketing_under_random_splits(parts):
+    """Misra-Gries: for ANY split of ANY stream into parts built separately
+    and merged in order, every tracked counter brackets the true frequency
+    and the total decrement stays within n/(k+1)."""
+    from collections import Counter
+
+    from guava_probably_spark.sketches import MisraGriesSketch
+
+    k = 16
+    acc = MisraGriesSketch(k=k)
+    for part in parts:
+        s = MisraGriesSketch(k=k)
+        s.update(np.array(part, dtype=np.int64))
+        acc.merge(s)
+    true = Counter(x for part in parts for x in part)
+    n = sum(len(p) for p in parts)
+    assert acc.n == n
+    assert acc.e <= n / (k + 1)
+    for item, c in acc.counters.items():
+        assert c <= true[item] <= c + acc.e
+    # no false negatives above the bound
+    for item, f in true.items():
+        if f > n / (k + 1):
+            assert item in acc.counters
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=400),
+    st.permutations([0, 1, 2]),
+)
+@settings(max_examples=30, deadline=None)
+def test_theta_blob_equal_for_any_split_and_merge_order(xs, order):
+    """Theta/KMV: the retained set is the k smallest distinct hashes of the
+    stream — byte-equal blobs for ANY 3-way split merged in ANY order."""
+    from guava_probably_spark.sketches import ThetaSketch
+    from guava_probably_spark.sketches.base import FUNNEL_LONG
+
+    k = 32
+    direct = ThetaSketch(k=k, funnel=FUNNEL_LONG)
+    direct.update(np.array(xs, dtype=np.int64))
+    parts = [xs[i::3] for i in range(3)]
+    sks = []
+    for part in parts:
+        s = ThetaSketch(k=k, funnel=FUNNEL_LONG)
+        if part:
+            s.update(np.array(part, dtype=np.int64))
+        sks.append(s)
+    acc = sks[order[0]].copy()
+    acc.merge(sks[order[1]]).merge(sks[order[2]])
+    assert acc.to_bytes() == direct.to_bytes()
+    if len(set(xs)) <= k:
+        assert acc.estimate() == float(len(set(xs)))  # exact below saturation

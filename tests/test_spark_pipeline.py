@@ -308,3 +308,53 @@ def test_composite_key_distinct_pairs(spark, sf_dir):
     sk, _, _ = collect_sketch(df, "pair", SketchSpec("hll", {"p": 14}))
     exact = events.select("user_id", "event_type").distinct().count()
     assert abs(sk.estimate() - exact) / exact <= sk.relative_error_bound() + 0.005
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE runtime re-plan (SURVEY.md section 4.2): a pathologically hot join
+    key is split by OptimizeSkewedJoin - the executed plan carries skew=true
+    and results stay exact. This is the runtime complement to the explicit
+    salting in build_grouped."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n_hot = 200_000
+        fact = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": [7] * n_hot + list(range(100)),
+                    "payload": ["x" * 64] * (n_hot + 100),
+                }
+            )
+        )
+        dim = spark.createDataFrame(
+            pd.DataFrame({"k": list(range(200)), "v": list(range(200))})
+        )
+        # keep payload in the output so the hot partition's shuffle bytes are
+        # what skew detection measures
+        joined = fact.join(dim, "k").select("k", "payload")
+        cnt = len(joined.collect())  # same QueryExecution -> final adaptive plan
+        assert cnt == n_hot + 100  # exact under the split
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
