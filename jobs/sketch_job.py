@@ -23,6 +23,12 @@ import os
 import sys
 import time
 
+# spark-submit ships the package via --py-files; for bare `python jobs/...`
+# runs fall back to the repo checkout next to this file
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_repo, "guava_probably_spark")):
+    sys.path.insert(0, _repo)
+
 
 def _parse_params(pairs: list[str]) -> dict:
     out: dict = {}
@@ -45,7 +51,7 @@ def main() -> None:
     ap.add_argument("--col", required=True)
     ap.add_argument("--key", default=None, help="grouped build: one sketch per key")
     ap.add_argument("--kind", required=True,
-                    choices=["bloom", "cuckoo", "hll", "cms", "kll", "tdigest"])
+                    choices=["bloom", "cuckoo", "hll", "cms", "kll", "tdigest", "mg", "theta"])
     ap.add_argument("--param", action="append", default=[], help="k=v, repeatable")
     ap.add_argument("--checkpoint", default=None, help="resumable per-file partials dir")
     ap.add_argument("--output", default=None, help="blob file (global) / parquet dir (grouped)")

@@ -358,3 +358,32 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """Catalyst partition pruning (SURVEY.md section 4.2): a ts-derived filter
+    on a hive-partitioned table prunes at the FILE level - the scan reports
+    the partition filter and reads only the matching day's files."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    t0 = pd.Timestamp("2024-05-01")
+    n = 72 * 30  # 30 rows per hour across exactly 3 day-partitions
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(n)],
+            "ts": [t0 + pd.Timedelta(hours=i % 72) for i in range(n)],
+        }
+    )
+    path = str(tmp_path / "parts")
+    (
+        spark.createDataFrame(pdf)
+        .withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("day") == "2024-05-02")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-05-02" in plan
+    assert df.count() == 24 * 30  # exactly one of the three day-partitions
