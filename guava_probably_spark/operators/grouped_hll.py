@@ -147,6 +147,114 @@ def _estimate_matrix(regs: np.ndarray, m: int) -> np.ndarray:
     return out
 
 
+def _prereduce_stage(col_idx: int, p: int):
+    """Map-side combine: per input partition, collapse rows to one
+    (key, register, max rho) triple per touched register plus one
+    (key, -1, count) row. Caps ANY key's shuffle contribution at m rows per
+    input partition — a 10^9-row hot conversation ships ≤ m (=2^p) register
+    rows instead of 10^9 hash rows; duplicate-heavy inputs shrink
+    proportionally. This is the partial-aggregation step Spark's pandas
+    UDAFs lack (SURVEY.md §3.4), done by hand on the register domain."""
+    m = np.int64(1 << p)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..sketches.base import hash_column
+
+        keys_parts = []
+        h_parts = []
+        for batch in batches:
+            key_arr = batch.column(0)
+            val = batch.column(col_idx)
+            if val.null_count:
+                keep = val.is_valid()
+                key_arr = key_arr.filter(keep)
+                val = val.drop_null()
+            if len(val) == 0:
+                continue
+            _, h1, _ = hash_column(val)
+            keys_parts.append(key_arr)
+            h_parts.append(h1)
+        if not keys_parts:
+            return
+        keys = pa.chunked_array(keys_parts).combine_chunks()
+        h1 = np.concatenate(h_parts)
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary
+        shift = np.uint64(64 - p)
+        reg = (h1 >> shift).astype(np.int64)
+        rho = _leading_zero_rho(h1 << np.uint64(p), 64 - p).astype(np.int64)
+        # per-(code, reg) max via one sort (rho in the low 6 bits)
+        combined = ((codes * m + reg) << np.int64(6)) | rho
+        combined.sort()
+        ck = combined >> np.int64(6)
+        last = np.empty(len(ck), dtype=bool)
+        if len(ck) > 1:
+            np.not_equal(ck[1:], ck[:-1], out=last[:-1])
+        last[-1] = True
+        ucode = (ck[last] // m).astype(np.int64)
+        ureg = (ck[last] % m).astype(np.int32)
+        urho = (combined[last] & np.int64(63)).astype(np.int64)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        out_keys = pa.concat_arrays(
+            [uniq.take(pa.array(ucode)), uniq]
+        )
+        out_reg = np.concatenate([ureg, np.full(len(uniq), -1, dtype=np.int32)])
+        out_v = np.concatenate([urho, counts])
+        yield pa.RecordBatch.from_arrays(
+            [out_keys, pa.array(out_reg), pa.array(out_v)], names=["k", "reg", "v"]
+        )
+
+    return fn
+
+
+def _build_stage_reduced(p: int, output: str):
+    """Build stage over pre-reduced (key, reg, v) rows: max-scatter register
+    rows, sum count rows. Registers are identical to the direct path, so
+    blobs stay byte-compatible."""
+    m = 1 << p
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        keys_parts = []
+        reg_parts = []
+        v_parts = []
+        for batch in batches:
+            keys_parts.append(batch.column(0))
+            reg_parts.append(batch.column(1).to_numpy(zero_copy_only=False))
+            v_parts.append(batch.column(2).to_numpy(zero_copy_only=False))
+        if not keys_parts:
+            return
+        keys = pa.chunked_array(keys_parts).combine_chunks()
+        reg = np.concatenate(reg_parts).astype(np.int64)
+        v = np.concatenate(v_parts).astype(np.int64)
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary
+        k = len(uniq)
+        is_cnt = reg < 0
+        counts = np.zeros(k, dtype=np.int64)
+        np.add.at(counts, codes[is_cnt], v[is_cnt])
+        regs = np.zeros(k * m, dtype=np.uint8)
+        rr = ~is_cnt
+        np.maximum.at(regs, codes[rr] * m + reg[rr], v[rr].astype(np.uint8))
+        regs = regs.reshape(k, m)
+        if output == "estimate":
+            est = _estimate_matrix(regs, m)
+            yield pa.RecordBatch.from_arrays(
+                [uniq, pa.array(est), pa.array(counts)], names=["key", "estimate", "n"]
+            )
+        else:
+            buf, offsets = _pack_registers_matrix(regs, p)
+            blobs = pa.BinaryArray.from_buffers(
+                pa.binary(), k, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [uniq, blobs, pa.array(counts)], names=["key", "sketch", "n"]
+            )
+
+    return fn
+
+
 def _build_stage(p: int, output: str):
     m = 1 << p
 
@@ -199,20 +307,37 @@ def grouped_hll(
     p: int = 14,
     output: str = "sketch",
     partitions: int | None = None,
+    pre_reduce: bool = False,
+    assume_colocated: bool = False,
 ) -> DataFrame:
     """Per-key HLL at high key cardinality. output='sketch' → (key, sketch,
     n) with blobs byte-compatible with the ungrouped HllSketch build;
-    output='estimate' → (key, estimate, n)."""
+    output='estimate' → (key, estimate, n).
+
+    pre_reduce=True inserts a map-side combine on the register domain: the
+    shuffle carries ≤ m register rows + 1 count row per (key, input
+    partition) instead of one row per input row — the skew/duplicate
+    armor (a 10^9-row hot key ships ≤ 2^p rows per source partition).
+    assume_colocated=True skips the repartition entirely — correct when the
+    input is already partitioned by `key` (bucketed table read, upstream
+    repartition); the grouped build then has ZERO shuffle."""
     if output not in ("sketch", "estimate"):
         raise ValueError("output must be 'sketch' or 'estimate'")
     key_type = df.schema[key].dataType.simpleString()
-    hashed = df.select(key, col).mapInArrow(_hash_stage(1), f"k {key_type}, h bigint")
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-    colocated = hashed.repartition(parts, "k")
+    narrow = df.select(key, col)
+    if pre_reduce:
+        rows = narrow.mapInArrow(
+            _prereduce_stage(1, p), f"k {key_type}, reg int, v bigint"
+        )
+        colocated = rows if assume_colocated else rows.repartition(parts, "k")
+        build = _build_stage_reduced(p, output)
+    else:
+        hashed = narrow.mapInArrow(_hash_stage(1), f"k {key_type}, h bigint")
+        colocated = hashed if assume_colocated else hashed.repartition(parts, "k")
+        build = _build_stage(p, output)
     if output == "estimate":
         schema = f"key {key_type}, estimate double, n bigint"
     else:
         schema = f"key {key_type}, sketch binary, n bigint"
-    return colocated.mapInArrow(_build_stage(p, output), schema).withColumnRenamed(
-        "key", key
-    )
+    return colocated.mapInArrow(build, schema).withColumnRenamed("key", key)

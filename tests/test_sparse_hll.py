@@ -110,3 +110,64 @@ def test_grouped_packer_mixed_dense_and_sparse_rows(spark):
     assert rows["cold0"] == cold.to_bytes()
     assert len(rows["cold0"]) < 60
     assert round(cold.estimate()) == 1
+
+
+def test_grouped_prereduce_blob_identical_and_caps_shuffle(spark):
+    """pre_reduce=True must produce byte-identical blobs to the direct path
+    (same registers, same packer) while capping any key's shuffle rows at
+    m register rows + 1 count row per input partition."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from guava_probably_spark.operators import grouped_hll
+    from guava_probably_spark.operators.grouped_hll import _prereduce_stage
+
+    n_hot = 40_000
+    pdf = pd.DataFrame(
+        {
+            "k": ["hot"] * n_hot + [f"c{i}" for i in range(200)],
+            "v": [f"u{i % 5000}" for i in range(n_hot)] + ["x"] * 200,
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    a = {
+        r.k: (r.sketch, r.n)
+        for r in grouped_hll(df, "k", "v", p=10, output="sketch").collect()
+    }
+    b = {
+        r.k: (r.sketch, r.n)
+        for r in grouped_hll(df, "k", "v", p=10, output="sketch", pre_reduce=True).collect()
+    }
+    assert a == b  # byte-identical blobs AND identical counts
+    # shuffle-row cap: pre-reduced rows per partition <= keys*(m+1)
+    reduced = df.select("k", "v").mapInArrow(_prereduce_stage(1, 10), "k string, reg int, v bigint")
+    rows = reduced.count()
+    # hot key alone would be 40k rows un-reduced; with m=1024 it is <= 4*(1024+1)
+    assert rows <= 4 * 201 * 60 and rows < n_hot  # loose bound; key point: << raw rows
+    hot_rows = reduced.filter(F.col("k") == "hot").count()
+    assert hot_rows <= 4 * (1024 + 1)
+
+
+def test_grouped_assume_colocated_zero_shuffle(spark):
+    """assume_colocated on pre-partitioned input: identical results, and the
+    plan contains no Exchange above the scan-side repartition."""
+    import os as _os
+
+    from guava_probably_spark.operators import grouped_hll
+
+    events = spark.read.parquet(_os.path.join(SF_DIR, "events.parquet"))
+    pre = events.repartition(4, "event_type")
+    base = {
+        r.event_type: r.sketch
+        for r in grouped_hll(events, "event_type", "user_id", p=10).collect()
+    }
+    colo = grouped_hll(
+        pre, "event_type", "user_id", p=10, assume_colocated=True, pre_reduce=True
+    )
+    got = {r.event_type: r.sketch for r in colo.collect()}
+    assert got == base
+    plan = colo._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both sections
+    # exactly the one upstream repartition exchange; none added by the operator
+    assert final.count("Exchange") == 1
