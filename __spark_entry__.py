@@ -543,6 +543,44 @@ def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def _q_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped theta retention (operators/grouped_theta.py): one KMV sketch
+    per day (vectorized across all days in one pass), then day-over-day user
+    retention = intersect_estimate between sketch ROWS — exact below
+    saturation, so the oracle computes the same numbers with INTERSECT."""
+    from guava_probably_spark.operators import grouped_theta
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    g = grouped_theta(events, "day", "user_id", k=16384)
+    sk = {r.day: Sketch.from_bytes(r.sketch) for r in g.collect()}
+    days = sorted(sk)[:4]
+    rows = [
+        Row(
+            day_pair=f"{a}..{b}",
+            retained_users=int(round(sk[a].intersect_estimate(sk[b]))),
+        )
+        for a, b in zip(days, days[1:])
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators/sessionize.py): inactivity-gap session
+    ids from pure built-in window expressions (lag + cumsum, whole-stage
+    codegen) — the Catalyst twin of the streaming session operator. Exact,
+    so the oracle runs the same formulation in DuckDB."""
+    from guava_probably_spark.operators import sessionize
+
+    events = _t(spark, sf_dir, "events")
+    s = sessionize(events, "user_id", "ts", gap="12 hours")
+    return s.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (streaming.session_sketch_stream): per-conv
     inactivity-gap sessions closed by event-time timeout; emitted rows carry
@@ -828,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct_user_types": _q_running_distinct,
         "hll_window_daily_users": _q_hll_window_daily,
         "hll_setops_users": _q_hll_setops,
+        "theta_retention_daily": _q_theta_retention,
+        "batch_sessionize_users": _q_batch_sessionize,
         "streaming_session_windows": _q_streaming_sessions,
         "arrow_text_roundtrip_md5": _q_arrow_text_roundtrip,
         "cms_join_size_lineitem_part": _q_cms_join_size,
@@ -946,6 +986,24 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'union' AS op, count(DISTINCT user_id) AS exact, true AS within "
             "FROM events"
+        ),
+        "theta_retention_daily": (
+            "WITH du AS (SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') "
+            "AS day, user_id FROM events), days AS (SELECT DISTINCT day FROM du "
+            "ORDER BY day LIMIT 4) "
+            "SELECT a.day || '..' || b.day AS day_pair, "
+            "(SELECT count(*) FROM du x JOIN du y ON x.user_id = y.user_id "
+            "AND x.day = a.day AND y.day = b.day) AS retained_users "
+            "FROM days a JOIN days b ON b.day = (SELECT min(day) FROM days WHERE day > a.day) "
+            "WHERE EXISTS (SELECT 1 FROM days WHERE day > a.day)"
+        ),
+        "batch_sessionize_users": (
+            "WITH d AS (SELECT user_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL '12 hours' THEN 1 ELSE 0 END AS brk "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)) "
+            "SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, "
+            "count(*) AS n_events FROM d GROUP BY user_id"
         ),
         "streaming_session_windows": (
             "SELECT * FROM (VALUES ('A', 3, 2, 4), ('B', 1, 1, 0)) "

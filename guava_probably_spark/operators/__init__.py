@@ -21,4 +21,6 @@ from .checkpoint import (  # noqa: F401
 from .grouped_hll import grouped_hll  # noqa: F401
 from .window import running_distinct  # noqa: F401
 from .store import merge_sketch_tables, write_bucketed_sketches  # noqa: F401
+from .sessionize import sessionize  # noqa: F401
+from .grouped_theta import grouped_theta  # noqa: F401
 from .rollup import merge_level, rollup_sketches  # noqa: F401

@@ -1,0 +1,130 @@
+"""High-cardinality grouped Theta/KMV: one bounded-set-op sketch per key,
+vectorized across ALL keys in a partition (same architecture as
+operators/grouped_hll.py — narrow (key, hash) shuffle, one sorted pass).
+
+Why: per-group HLL answers "distinct per key" but cannot intersect ACROSS
+keys with a bound. Per-key theta sketches can — "users active on day 1 AND
+day 7" (retention), "conversations touching tool A AND tool B" — each a
+`intersect_estimate` between two rows of the output, with the theta
+sample bound (sketches/theta.py) instead of HLL's unbounded
+inclusion–exclusion.
+
+Kernel: lexsort (key, hash) → drop duplicate (key, hash) pairs → keep the
+first k per key (the k SMALLEST distinct hashes — exactly ThetaSketch's
+retained set, so emitted blobs are byte-identical to a local
+ThetaSketch.to_bytes() of the same group, tested). One sort per partition,
+no per-group Python.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+
+from ..sketches.base import FUNNEL_LONG, FUNNEL_UTF8, KIND_THETA, MAGIC, VERSION
+from .grouped_hll import _hash_stage
+
+
+def _pack_theta_rows(
+    uniq: pa.Array, codes_of_hashes: np.ndarray, hashes: np.ndarray,
+    counts: np.ndarray, k_param: int, funnel: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-key retained-hash runs → concatenated ThetaSketch blobs + offsets.
+    codes_of_hashes is sorted ascending; hashes ascending within each code."""
+    n_keys = len(uniq)
+    per_key = np.bincount(codes_of_hashes, minlength=n_keys).astype(np.int64)
+    header = MAGIC + struct.pack("<BBBB", VERSION, KIND_THETA, funnel, 0) + struct.pack(
+        "<I", 4
+    ) + struct.pack("<I", k_param)
+    head = np.frombuffer(header, dtype=np.uint8)
+    hl = len(head)
+    row_size = hl + 8 * per_key
+    offsets = np.zeros(n_keys + 1, dtype=np.int64)
+    np.cumsum(row_size, out=offsets[1:])
+    buf = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    hdr_pos = offsets[:-1, None] + np.arange(hl, dtype=np.int64)
+    buf[hdr_pos.reshape(-1)] = np.broadcast_to(head, (n_keys, hl)).reshape(-1)
+    starts = np.zeros(n_keys + 1, dtype=np.int64)
+    np.cumsum(per_key, out=starts[1:])
+    rank = np.arange(len(hashes), dtype=np.int64) - np.repeat(starts[:-1], per_key)
+    base = offsets[codes_of_hashes] + hl + 8 * rank
+    for b in range(8):
+        buf[base + b] = ((hashes >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+    if int(offsets[-1]) >= 1 << 31:
+        raise ValueError("partition blob buffer exceeds BinaryArray offset range")
+    return buf, offsets.astype(np.int32)
+
+
+def _build_stage(k_param: int, funnel: int):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        keys_parts = []
+        h_parts = []
+        for batch in batches:
+            keys_parts.append(batch.column(0))
+            h_parts.append(batch.column(1).to_numpy(zero_copy_only=False))
+        if not keys_parts:
+            return
+        keys = pa.chunked_array(keys_parts).combine_chunks()
+        h1 = np.concatenate(h_parts).view(np.uint64)
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+
+        order = np.lexsort((h1, codes))
+        sc = codes[order]
+        sh = h1[order]
+        keep = np.empty(len(sc), dtype=bool)
+        keep[0] = True
+        np.logical_or(sc[1:] != sc[:-1], sh[1:] != sh[:-1], out=keep[1:])
+        sc = sc[keep]
+        sh = sh[keep]  # distinct (key, hash), hash ascending within key
+        # rank of each distinct hash within its key → keep the k smallest
+        starts_mask = np.empty(len(sc), dtype=bool)
+        starts_mask[0] = True
+        np.not_equal(sc[1:], sc[:-1], out=starts_mask[1:])
+        seg_first = np.flatnonzero(starts_mask)
+        seg_id = np.cumsum(starts_mask) - 1
+        rank = np.arange(len(sc), dtype=np.int64) - seg_first[seg_id]
+        top = rank < k_param
+        buf, offsets = _pack_theta_rows(
+            uniq, sc[top], sh[top], counts, k_param, funnel
+        )
+        blobs = pa.BinaryArray.from_buffers(
+            pa.binary(), len(uniq),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+        yield pa.RecordBatch.from_arrays(
+            [uniq, blobs, pa.array(counts)], names=["key", "sketch", "n"]
+        )
+
+    return fn
+
+
+def grouped_theta(
+    df: DataFrame,
+    key: str,
+    col: str,
+    k: int = 4096,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-key ThetaSketch at high key cardinality → (key, sketch, n) with
+    blobs byte-identical to a local ThetaSketch build of the same group.
+    Rows of the output support bounded union/intersect/difference ACROSS
+    keys (retention-style queries)."""
+    from pyspark.sql.types import IntegerType, LongType, ShortType, StringType
+
+    dt = df.schema[col].dataType
+    funnel = FUNNEL_LONG if isinstance(dt, (IntegerType, LongType, ShortType)) else FUNNEL_UTF8
+    key_type = df.schema[key].dataType.simpleString()
+    hashed = df.select(key, col).mapInArrow(_hash_stage(1), f"k {key_type}, h bigint")
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    colocated = hashed.repartition(parts, "k")
+    return colocated.mapInArrow(
+        _build_stage(k, funnel), f"key {key_type}, sketch binary, n bigint"
+    ).withColumnRenamed("key", key)

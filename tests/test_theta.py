@@ -86,3 +86,56 @@ def test_theta_distributed_partition_invariant(spark):
     assert a.to_bytes() == b.to_bytes()  # byte-equal across partitionings
     exact = events.select(F.countDistinct("user_id").alias("c")).collect()[0].c
     assert a.estimate() == float(exact)  # below saturation → exact
+
+
+def test_grouped_theta_blobs_byte_identical_and_retention(spark):
+    """operators.grouped_theta: per-key blobs byte-identical to local
+    ThetaSketch builds; cross-key intersect (retention) exact below
+    saturation."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from guava_probably_spark.operators import grouped_theta
+
+    events = spark.read.parquet(_os.path.join(SF_DIR, "events.parquet"))
+    g = grouped_theta(events, "event_type", "user_id", k=4096)
+    rows = {r.event_type: (r.sketch, r.n) for r in g.collect()}
+    pdf = events.select("event_type", "user_id").toPandas()
+    for etype, (blob, n) in rows.items():
+        sub = pdf[pdf.event_type == etype]["user_id"]
+        ref = ThetaSketch(k=4096, funnel=2)
+        ref.update(np.asarray(sub, dtype=np.int64))
+        assert blob == ref.to_bytes()
+        assert n == len(sub)
+    # retention: users in BOTH of two event types, exact below saturation
+    types = sorted(rows)[:2]
+    a = Sketch.from_bytes(rows[types[0]][0])
+    b = Sketch.from_bytes(rows[types[1]][0])
+    exact = (
+        events.filter(F.col("event_type") == types[0])
+        .select("user_id")
+        .intersect(
+            events.filter(F.col("event_type") == types[1]).select("user_id")
+        )
+        .count()
+    )
+    assert a.intersect_estimate(b) == float(exact)
+
+
+def test_grouped_theta_saturated_keeps_k_smallest(spark):
+    """Above saturation the per-key retained set is the k smallest distinct
+    hashes — byte-identical to the local build and within the error bound."""
+    import pandas as pd
+
+    from guava_probably_spark.operators import grouped_theta
+
+    n = 30_000
+    pdf = pd.DataFrame({"g": ["x"] * n, "v": [f"u{i}" for i in range(n)]})
+    df = spark.createDataFrame(pdf).repartition(5)
+    row = grouped_theta(df, "g", "v", k=512).collect()[0]
+    ref = ThetaSketch(k=512, funnel=1)
+    ref.update(np.array([f"u{i}" for i in range(n)], dtype=object))
+    assert row.sketch == ref.to_bytes()
+    got = Sketch.from_bytes(row.sketch)
+    assert abs(got.estimate() - n) / n <= got.relative_error_bound()

@@ -104,3 +104,33 @@ def test_running_distinct_plan_single_exchange(spark):
     out = running_distinct(events, "user_id", "ts", "event_type", p=12)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # the repartition(key); sort is partition-local
+
+
+def test_sessionize_batch_known_sessions(spark):
+    """operators.sessionize: hand-crafted timeline with known session breaks."""
+    import pandas as pd
+
+    from guava_probably_spark.operators import sessionize
+
+    t0 = pd.Timestamp("2024-06-01 09:00:00")
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 2,
+            "ts": [
+                t0,
+                t0 + pd.Timedelta(minutes=10),
+                t0 + pd.Timedelta(minutes=50),  # > 30m gap -> new session
+                t0 + pd.Timedelta(minutes=55),
+                t0 + pd.Timedelta(hours=3),     # new session
+                t0,
+                t0 + pd.Timedelta(minutes=29),  # within gap
+            ],
+        }
+    )
+    out = (
+        sessionize(spark.createDataFrame(pdf), "k", "ts", gap="30 minutes")
+        .orderBy("k", "ts")
+        .toPandas()
+    )
+    assert out[out.k == "a"]["session_id"].tolist() == [0, 0, 1, 1, 2]
+    assert out[out.k == "b"]["session_id"].tolist() == [0, 0]
