@@ -308,6 +308,31 @@ def run_queries(spark, sf_dir: str, t_path: str, d_path: str, e_path: str) -> tu
         best_g = dt if best_g is None else min(best_g, dt)
     timings["q_grouped_hll_conv_highcard"] = round(best_g, 3)
 
+    def grouped_theta_daily():
+        from guava_probably_spark.operators import grouped_theta
+
+        df = spark.read.parquet(t_path).withColumn(
+            "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        )
+        return grouped_theta(df, "day", "conv_id", k=16384, partitions=64).count()
+
+    grouped_theta_daily()
+    timed("q_grouped_theta_daily", grouped_theta_daily)
+
+    def sessionize_convs():
+        from guava_probably_spark.operators import sessionize
+
+        df = spark.read.parquet(t_path)
+        return (
+            sessionize(df, "conv_id", "ts", gap="30 minutes")
+            .groupBy("conv_id")
+            .agg(F.max("session_id"))
+            .count()
+        )
+
+    sessionize_convs()
+    timed("q_sessionize_convs", sessionize_convs)
+
     def running_tools():
         from guava_probably_spark.operators import running_distinct
 
