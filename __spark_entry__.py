@@ -543,6 +543,18 @@ def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def _q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact high-cardinality grouped quantiles (operators/grouped_quantiles):
+    one lexsort pass answers every quantile for every key — nearest-rank
+    convention matches DuckDB quantile_disc exactly."""
+    from guava_probably_spark.operators import grouped_quantiles
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return grouped_quantiles(
+        lineitem, "l_partkey", "l_extendedprice", qs=(0.25, 0.5, 0.75)
+    )
+
+
 def _q_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped theta retention (operators/grouped_theta.py): one KMV sketch
     per day (vectorized across all days in one pass), then day-over-day user
@@ -866,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct_user_types": _q_running_distinct,
         "hll_window_daily_users": _q_hll_window_daily,
         "hll_setops_users": _q_hll_setops,
+        "grouped_quantiles_part_price": _q_grouped_quantiles,
         "theta_retention_daily": _q_theta_retention,
         "batch_sessionize_users": _q_batch_sessionize,
         "streaming_session_windows": _q_streaming_sessions,
@@ -986,6 +999,13 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'union' AS op, count(DISTINCT user_id) AS exact, true AS within "
             "FROM events"
+        ),
+        "grouped_quantiles_part_price": (
+            "SELECT l_partkey, count(*) AS n, "
+            "quantile_disc(l_extendedprice, 0.25) AS q25, "
+            "quantile_disc(l_extendedprice, 0.50) AS q50, "
+            "quantile_disc(l_extendedprice, 0.75) AS q75 "
+            "FROM lineitem GROUP BY l_partkey"
         ),
         "theta_retention_daily": (
             "WITH du AS (SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') "

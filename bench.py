@@ -308,6 +308,17 @@ def run_queries(spark, sf_dir: str, t_path: str, d_path: str, e_path: str) -> tu
         best_g = dt if best_g is None else min(best_g, dt)
     timings["q_grouped_hll_conv_highcard"] = round(best_g, 3)
 
+    def grouped_quantiles_conv():
+        from guava_probably_spark.operators import grouped_quantiles
+
+        df = spark.read.parquet(t_path)
+        return grouped_quantiles(
+            df, "conv_id", "turn_idx", qs=(0.5, 0.9), partitions=128
+        ).count()
+
+    grouped_quantiles_conv()
+    timed("q_grouped_quantiles_conv", grouped_quantiles_conv)
+
     def grouped_theta_daily():
         from guava_probably_spark.operators import grouped_theta
 

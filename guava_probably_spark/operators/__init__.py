@@ -23,4 +23,5 @@ from .window import running_distinct  # noqa: F401
 from .store import merge_sketch_tables, write_bucketed_sketches  # noqa: F401
 from .sessionize import sessionize  # noqa: F401
 from .grouped_theta import grouped_theta  # noqa: F401
+from .grouped_quantiles import grouped_quantiles  # noqa: F401
 from .rollup import merge_level, rollup_sketches  # noqa: F401

@@ -134,3 +134,26 @@ def test_sessionize_batch_known_sessions(spark):
     )
     assert out[out.k == "a"]["session_id"].tolist() == [0, 0, 1, 1, 2]
     assert out[out.k == "b"]["session_id"].tolist() == [0, 0]
+
+
+def test_grouped_quantiles_matches_numpy_reference(spark):
+    """operators.grouped_quantiles: nearest-rank (ceil(qn)-1) per key equals
+    a direct numpy computation, including duplicate-heavy groups."""
+    import numpy as np
+    import pandas as pd
+
+    from guava_probably_spark.operators import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 50, 20_000)
+    vals = np.round(rng.normal(100, 20, 20_000), 1)
+    vals[keys == 7] = 5.0  # an all-duplicates group
+    df = spark.createDataFrame(pd.DataFrame({"k": keys, "v": vals}))
+    out = grouped_quantiles(df, "k", "v", qs=(0.1, 0.5, 0.9)).toPandas().set_index("k")
+    for k in range(50):
+        sv = np.sort(vals[keys == k])
+        n = len(sv)
+        for q, colname in ((0.1, "q10"), (0.5, "q50"), (0.9, "q90")):
+            idx = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+            assert out.loc[k, colname] == sv[idx], (k, q)
+        assert out.loc[k, "n"] == n
