@@ -543,6 +543,17 @@ def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def _q_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped mode (operators/grouped_mode.py): each user's most
+    frequent event_type, ties to the smallest value — vectorized run-length
+    kernel, oracle reproduces the tie-break with min() over the max-count
+    set."""
+    from guava_probably_spark.operators import grouped_mode
+
+    events = _t(spark, sf_dir, "events")
+    return grouped_mode(events, "user_id", "event_type")
+
+
 def _q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact high-cardinality grouped quantiles (operators/grouped_quantiles):
     one lexsort pass answers every quantile for every key — nearest-rank
@@ -878,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct_user_types": _q_running_distinct,
         "hll_window_daily_users": _q_hll_window_daily,
         "hll_setops_users": _q_hll_setops,
+        "grouped_mode_user_event_type": _q_grouped_mode,
         "grouped_quantiles_part_price": _q_grouped_quantiles,
         "theta_retention_daily": _q_theta_retention,
         "batch_sessionize_users": _q_batch_sessionize,
@@ -999,6 +1011,16 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'union' AS op, count(DISTINCT user_id) AS exact, true AS within "
             "FROM events"
+        ),
+        "grouped_mode_user_event_type": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS cnt "
+            "FROM events GROUP BY user_id, event_type), "
+            "m AS (SELECT user_id, max(cnt) AS mc, sum(cnt) AS total "
+            "FROM c GROUP BY user_id) "
+            "SELECT c.user_id, min(c.event_type) AS top_value, "
+            "m.mc AS top_count, m.total AS n "
+            "FROM c JOIN m ON c.user_id = m.user_id AND c.cnt = m.mc "
+            "GROUP BY c.user_id, m.mc, m.total"
         ),
         "grouped_quantiles_part_price": (
             "SELECT l_partkey, count(*) AS n, "

@@ -24,4 +24,5 @@ from .store import merge_sketch_tables, write_bucketed_sketches  # noqa: F401
 from .sessionize import sessionize  # noqa: F401
 from .grouped_theta import grouped_theta  # noqa: F401
 from .grouped_quantiles import grouped_quantiles  # noqa: F401
+from .grouped_mode import grouped_mode  # noqa: F401
 from .rollup import merge_level, rollup_sketches  # noqa: F401

@@ -157,3 +157,30 @@ def test_grouped_quantiles_matches_numpy_reference(spark):
             idx = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
             assert out.loc[k, colname] == sv[idx], (k, q)
         assert out.loc[k, "n"] == n
+
+
+def test_grouped_mode_matches_pandas_with_ties(spark):
+    """operators.grouped_mode: winner and deterministic tie-break (smallest
+    value) against a pandas reference, including engineered ties."""
+    import numpy as np
+    import pandas as pd
+
+    from guava_probably_spark.operators import grouped_mode
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 40, 10_000)
+    vals = np.array([f"t{v}" for v in rng.integers(0, 6, 10_000)])
+    # engineered exact tie in group 0: equal counts of "zz" and "aa"
+    keys = np.concatenate([keys, np.full(8, 40)])
+    vals = np.concatenate([vals, np.array(["zz", "aa"] * 4)])
+    df = spark.createDataFrame(pd.DataFrame({"k": keys, "v": vals}))
+    out = grouped_mode(df, "k", "v").toPandas().set_index("k")
+    pdf = pd.DataFrame({"k": keys, "v": vals})
+    for k, grp in pdf.groupby("k"):
+        counts = grp["v"].value_counts()
+        mc = counts.max()
+        expect = min(c for c, n in counts.items() if n == mc)
+        assert out.loc[k, "top_value"] == expect, k
+        assert out.loc[k, "top_count"] == mc
+        assert out.loc[k, "n"] == len(grp)
+    assert out.loc[40, "top_value"] == "aa"  # tie broken to smallest
