@@ -438,6 +438,37 @@ def _q_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cube_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-CUBE over sketches (operators.cube_sketches): all 2^k subset
+    levels from ONE finest-level scan, coarser levels by blob merge;
+    estimates within bound at every level (oracle: GROUP BY CUBE)."""
+    from guava_probably_spark.operators import cube_sketches
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    spec = SketchSpec("hll", {"p": 14})
+    keys = ["l_returnflag", "l_linestatus"]
+    g = build_grouped(lineitem, keys, "l_orderkey", spec, salt=2)
+    cubed = cube_sketches(g, keys)
+    est = cubed.select(*keys, hll_cardinality()("sketch").alias("est"))
+    exact = lineitem.cube(*keys).agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    bound = 3 * 1.04 / (2 ** 14) ** 0.5 + 0.005
+    return (
+        exact.join(est, [exact[k].eqNullSafe(est[k]) for k in keys])
+        .select(
+            exact["l_returnflag"],
+            exact["l_linestatus"],
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                / F.greatest(F.col("exact_distinct"), F.lit(1))
+                <= F.lit(bound)
+            ).alias("within"),
+        )
+    )
+
+
 def _q_grouped_kll_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group KLL medians via the grouped sketch column + quantile UDF;
     self-check: exact rank of each group's estimated median within bound."""
@@ -885,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_text_membership": _q_documents_text_membership,
         "grouped_hll_highcard_parts": _q_grouped_hll_highcard,
         "hll_rollup_two_level": _q_rollup_two_level,
+        "hll_cube_two_level": _q_cube_two_level,
         "grouped_kll_median_by_type": _q_grouped_kll_median,
         "running_distinct_user_types": _q_running_distinct,
         "hll_window_daily_users": _q_hll_window_daily,
@@ -988,6 +1020,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, "
             "count(DISTINCT l_orderkey) AS exact_distinct, true AS within "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "hll_cube_two_level": (
+            "SELECT l_returnflag, l_linestatus, "
+            "count(DISTINCT l_orderkey) AS exact_distinct, true AS within "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
         ),
         "grouped_kll_median_by_type": (
             "SELECT event_type, true AS within FROM events GROUP BY event_type"

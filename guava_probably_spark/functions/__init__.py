@@ -138,12 +138,53 @@ def quantile_udf(q: float):
     return f
 
 
+def sketch_merge_udf():
+    """Row-wise blob merge: merge(a, b) → blob (null-safe: null acts as the
+    identity). Lets SQL express incremental merges over sketch columns."""
+    from pyspark.sql.types import BinaryType
+
+    def _f(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None:
+                out.append(y)
+            elif y is None:
+                out.append(x)
+            else:
+                out.append(Sketch.from_bytes(x).merge(Sketch.from_bytes(y)).to_bytes())
+        return pd.Series(out)
+
+    return pandas_udf(_f, BinaryType())
+
+
+def sketch_intersect_udf():
+    """Bounded intersection estimate between two theta (or HLL) sketch
+    columns — retention queries in pure SQL over a grouped-sketch table."""
+
+    def _f(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)
+            else:
+                out.append(
+                    float(
+                        Sketch.from_bytes(x).intersect_estimate(Sketch.from_bytes(y))
+                    )
+                )
+        return pd.Series(out)
+
+    return pandas_udf(_f, DoubleType())
+
+
 def register_sql(spark: SparkSession) -> None:
     """SQL veneer: spark.sql("SELECT hll_estimate(sketch) FROM ...")."""
     spark.udf.register("hll_estimate", hll_estimate())
     spark.udf.register("hll_cardinality", hll_cardinality())
     spark.udf.register("sketch_size", sketch_size())
     spark.udf.register("sketch_expected_fpp", sketch_expected_fpp())
+    spark.udf.register("sketch_merge", sketch_merge_udf())
+    spark.udf.register("sketch_intersect", sketch_intersect_udf())
 
 
 def composite_key(*cols):

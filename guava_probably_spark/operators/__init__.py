@@ -25,4 +25,4 @@ from .sessionize import sessionize  # noqa: F401
 from .grouped_theta import grouped_theta  # noqa: F401
 from .grouped_quantiles import grouped_quantiles  # noqa: F401
 from .grouped_mode import grouped_mode  # noqa: F401
-from .rollup import merge_level, rollup_sketches  # noqa: F401
+from .rollup import cube_sketches, merge_level, rollup_sketches  # noqa: F401

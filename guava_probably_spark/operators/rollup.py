@@ -71,6 +71,29 @@ def merge_level(grouped: DataFrame, keys: list[str]) -> DataFrame:
     return sel.repartition(*keys).mapInArrow(_merge_groups_fn(n_keys), out_schema)
 
 
+def cube_sketches(grouped: DataFrame, keys: list[str]) -> DataFrame:
+    """SQL CUBE over a sketch DataFrame: every SUBSET of `keys` (2^k
+    levels), each coarser level a blob merge of the finest one — mirrors
+    ``GROUP BY CUBE`` without rescanning. Dropped keys are NULL."""
+    from itertools import combinations
+
+    finest = grouped.select(*keys, "sketch", "n")
+    levels = [finest]
+    for depth in range(len(keys) - 1, -1, -1):
+        for subset in combinations(keys, depth):
+            lvl = merge_level(finest, list(subset))
+            for k in keys:
+                if k not in subset:
+                    lvl = lvl.withColumn(
+                        k, F.lit(None).cast(grouped.schema[k].dataType.simpleString())
+                    )
+            levels.append(lvl.select(*keys, "sketch", "n"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out
+
+
 def rollup_sketches(grouped: DataFrame, keys: list[str]) -> DataFrame:
     """SQL ROLLUP over a sketch DataFrame: every prefix level of `keys`,
     coarser levels computed by merging the finer ones (never rescanning).

@@ -387,3 +387,51 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2024-05-02" in plan
     assert df.count() == 24 * 30  # exactly one of the three day-partitions
+
+
+def test_cube_sketches_and_sql_setops(spark, lineitem):
+    """cube_sketches: every subset level by blob merge, estimates within
+    bound vs exact GROUP BY CUBE; SQL surface: sketch_merge/sketch_intersect
+    express retention in pure SQL over a grouped-theta view."""
+    import os as _os
+
+    from guava_probably_spark.operators import build_grouped, cube_sketches, grouped_theta
+
+    spec = SketchSpec("hll", {"p": 12})
+    keys = ["l_returnflag", "l_linestatus"]
+    g = build_grouped(lineitem, keys, "l_orderkey", spec, salt=2)
+    cubed = cube_sketches(g, keys)
+    est = {
+        (r.l_returnflag, r.l_linestatus): Sketch.from_bytes(r.sketch).estimate()
+        for r in cubed.collect()
+    }
+    exact = {
+        (r.l_returnflag, r.l_linestatus): r.d
+        for r in lineitem.cube(*keys)
+        .agg(F.countDistinct("l_orderkey").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)  # all 2^2 levels present
+    bound = 3 * 1.04 / (2**12) ** 0.5 + 0.01
+    for k, d in exact.items():
+        assert abs(est[k] - d) / max(d, 1) <= bound, k
+    # SQL set ops over grouped theta (exact below saturation)
+    register_sql(spark)
+    events = spark.read.parquet(
+        _os.path.join(_os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"), "events.parquet")
+    )
+    gt = grouped_theta(events, "event_type", "user_id", k=4096)
+    gt.createOrReplaceTempView("theta_v")
+    rows = spark.sql(
+        "SELECT a.event_type AS ta, b.event_type AS tb, "
+        "sketch_intersect(a.sketch, b.sketch) AS common "
+        "FROM theta_v a JOIN theta_v b ON a.event_type < b.event_type"
+    ).collect()
+    for r in rows:
+        exact_common = (
+            events.filter(F.col("event_type") == r.ta)
+            .select("user_id")
+            .intersect(events.filter(F.col("event_type") == r.tb).select("user_id"))
+            .count()
+        )
+        assert r.common == float(exact_common), (r.ta, r.tb)
