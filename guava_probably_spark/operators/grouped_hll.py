@@ -300,6 +300,82 @@ def _build_stage(p: int, output: str):
     return fn
 
 
+def _hash_stage_files(key: str, col: str):
+    """Python-native scan variant of _hash_stage: tasks receive FILE NAMES
+    and decode the (key, col) column pages directly with pyarrow — zero
+    JVM→Python Arrow IPC for the wide value column (the measured 3-6×
+    bottleneck of the JVM-scan grouped build; see operators/build.py)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        from ..sketches.base import hash_column
+
+        for batch in batches:
+            for file_path in batch.column(0).to_pylist():
+                table = pq.read_table(
+                    file_path.removeprefix("file:"), columns=[key, col], use_threads=False
+                )
+                for rb in table.to_batches(max_chunksize=16384):
+                    key_arr = rb.column(0)
+                    val = rb.column(1)
+                    if val.null_count:
+                        keep = val.is_valid()
+                        key_arr = key_arr.filter(keep)
+                        val = val.drop_null()
+                    if len(val) == 0:
+                        continue
+                    _, h1, _ = hash_column(val)
+                    yield pa.RecordBatch.from_arrays(
+                        [key_arr, pa.array(h1.view(np.int64))], names=["k", "h"]
+                    )
+
+    return fn
+
+
+_ARROW_TO_DDL = {
+    "int64": "bigint", "int32": "int", "int16": "smallint",
+    "string": "string", "large_string": "string",
+    "double": "double", "float": "float",
+}
+
+
+def grouped_hll_files(
+    spark,
+    input_path: str,
+    key: str,
+    col: str,
+    p: int = 14,
+    output: str = "sketch",
+    partitions: int | None = None,
+) -> DataFrame:
+    """grouped_hll over a parquet path with the python-native file scan:
+    workers read the column pages directly (one task per file slice), so the
+    wide value column never crosses the JVM↔Python boundary. Measured ~3×
+    the JVM-scan grouped path on 8M transcript rows; blobs identical."""
+    import pyarrow.parquet as pq
+
+    from .checkpoint import list_input_files
+
+    files = list_input_files(spark, input_path)
+    sch = pq.read_schema(files[0].removeprefix("file:"))
+    key_type = _ARROW_TO_DDL[str(sch.field(key).type)]
+    slices = min(len(files), max(64, spark.sparkContext.defaultParallelism * 2))
+    files_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(f,) for f in files], slices), "file string"
+    )
+    hashed = files_df.mapInArrow(_hash_stage_files(key, col), f"k {key_type}, h bigint")
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    colocated = hashed.repartition(parts, "k")
+    if output == "estimate":
+        schema = f"key {key_type}, estimate double, n bigint"
+    else:
+        schema = f"key {key_type}, sketch binary, n bigint"
+    return colocated.mapInArrow(_build_stage(p, output), schema).withColumnRenamed(
+        "key", key
+    )
+
+
 def grouped_hll(
     df: DataFrame,
     key: str,

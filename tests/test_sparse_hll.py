@@ -171,3 +171,21 @@ def test_grouped_assume_colocated_zero_shuffle(spark):
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both sections
     # exactly the one upstream repartition exchange; none added by the operator
     assert final.count("Exchange") == 1
+
+
+def test_grouped_hll_files_matches_jvm_scan_path(spark):
+    """grouped_hll_files (python-native file scan) produces byte-identical
+    blobs to the JVM-scan grouped path."""
+    from guava_probably_spark.operators import grouped_hll, grouped_hll_files
+
+    path = os.path.join(SF_DIR, "events.parquet")
+    events = spark.read.parquet(path)
+    a = {
+        r.event_type: (r.sketch, r.n)
+        for r in grouped_hll(events, "event_type", "user_id", p=12).collect()
+    }
+    b = {
+        r.event_type: (r.sketch, r.n)
+        for r in grouped_hll_files(spark, path, "event_type", "user_id", p=12).collect()
+    }
+    assert a == b
