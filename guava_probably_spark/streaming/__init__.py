@@ -108,11 +108,22 @@ def windowed_sketch_stream(
             sk = Sketch.from_bytes(bytes(blob))
         else:
             sk, n = spec.create(), 0
+        # arbitrary-stateful operators do NOT auto-drop late input rows (the
+        # watermark only drives timeouts/eviction) — enforce the late-data
+        # contract explicitly against the current watermark
+        wm_ms = state.getCurrentWatermarkMs()
+        updated = False
         for pdf in pdfs:
+            if wm_ms > 0:
+                ts_ms = pd.to_datetime(pdf[ts_col]).astype("int64") // 10**6
+                pdf = pdf[ts_ms >= wm_ms]
             vals = pdf[col].dropna()
             if len(vals):
                 sk.update(vals)
                 n += int(len(vals))
+                updated = True
+        if not (updated or state.exists):
+            return  # all rows were late for a window with no prior state
         state.update((sk.to_bytes(), n))
         yield pd.DataFrame(
             {"window_start": [key[0]], "sketch": [sk.to_bytes()], "n": [n]}
@@ -121,7 +132,11 @@ def windowed_sketch_stream(
     keyed = (
         stream_df.withWatermark(ts_col, watermark)
         .withColumn("_w", F.window(F.col(ts_col), window).getField("start"))
-        .select("_w", col)
+        # the watermark attribute (ts_col) must SURVIVE the projection or
+        # Spark cannot filter late rows before the stateful operator —
+        # dropping it silently disables late-data semantics (caught by
+        # test_windowed_stream_drops_late_data_past_watermark)
+        .select("_w", ts_col, col)
         .groupBy("_w")
     )
     return keyed.applyInPandasWithState(

@@ -35,9 +35,13 @@ def test_windowed_sketch_stream(spark, stream_dir, tmp_path):
     stream = (
         spark.readStream.schema(TRANSCRIPT_DDL).parquet(incoming)
     )
+    # watermark wider than the fixture's whole time span: this test checks
+    # per-window accuracy with NO late drops (the unordered two-file replay
+    # makes old-window rows arrive "late"); late-drop semantics are covered
+    # by test_windowed_stream_drops_late_data_past_watermark
     out = windowed_sketch_stream(
         stream, "ts", "conv_id", SketchSpec("hll", {"p": 12}), window="1 day",
-        watermark="2 days",
+        watermark="3650 days",
     )
     q = (
         out.writeStream.format("memory")
@@ -219,3 +223,61 @@ def test_session_sketch_stream(spark, tmp_path):
     assert round(sk.estimate()) == 2  # bash, edit
     b = rows["B"]
     assert b.n == 1 and round(Sketch.from_bytes(bytes(b.sketch)).estimate()) == 1
+
+
+def test_windowed_stream_drops_late_data_past_watermark(spark, tmp_path):
+    """Late-data semantics: an event older than (max event time - watermark)
+    arriving in a later micro-batch must NOT update its window's sketch."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-04-01 00:30:00")
+
+    def mk(rows, path):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "ts"])
+        pdf["turn_idx"] = 0
+        pdf["role"] = "user"
+        pdf["text"] = "x"
+        pdf["tool"] = ""
+        spark.createDataFrame(
+            pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    staged = str(tmp_path / "staged")
+    mk([("a", t0), ("b", t0 + pd.Timedelta(minutes=5))], staged + "/b1")
+    # advance watermark far past window(t0) + delay
+    mk([("c", t0 + pd.Timedelta(hours=30))], staged + "/b2")
+    # LATE: new conv for the t0 window, arriving after the watermark passed it
+    mk([("late_conv", t0 + pd.Timedelta(minutes=1))], staged + "/b3")
+    mk([("d", t0 + pd.Timedelta(hours=31))], staged + "/b4")
+
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    stream = spark.readStream.schema(TRANSCRIPT_DDL).parquet(incoming)
+    out = windowed_sketch_stream(
+        stream, "ts", "conv_id", SketchSpec("hll", {"p": 10}),
+        window="1 hour", watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .start()
+    )
+    try:
+        for b in ("b1", "b2", "b3", "b4"):
+            for f in glob.glob(f"{staged}/{b}/part-*.parquet"):
+                shutil.copy(f, incoming + f"/{b}.parquet")
+            q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM late_test").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        latest[r.window_start] = r
+    w0 = pd.Timestamp("2024-04-01 00:00:00").to_pydatetime()
+    first_window = latest[min(latest)]
+    # the late event never reached the state: count stays 2, estimate ~2
+    assert first_window.n == 2
+    sk = Sketch.from_bytes(bytes(first_window.sketch))
+    assert round(sk.estimate()) == 2
