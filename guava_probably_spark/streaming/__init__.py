@@ -199,12 +199,21 @@ def session_sketch_stream(
             sk = Sketch.from_bytes(bytes(blob))
         else:
             sk, n, s_ms, e_ms = spec.create(), 0, None, None
+        # drop late rows explicitly (same contract as windowed_sketch_stream):
+        # a late event must not resurrect an already-emitted session
+        wm_ms = state.getCurrentWatermarkMs()
         for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            if wm_ms > 0:
+                keep = (ts.astype("int64") // 10**6) >= wm_ms
+                pdf = pdf[keep.to_numpy()]
+                ts = ts[keep]
+            if len(pdf) == 0:
+                continue
             vals = pdf[col].dropna()
             if len(vals):
                 sk.update(vals)
                 n += int(len(vals))
-            ts = pd.to_datetime(pdf[ts_col])
             lo = int(ts.min().value // 10**6)
             hi = int(ts.max().value // 10**6)
             s_ms = lo if s_ms is None else min(s_ms, lo)

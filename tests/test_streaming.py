@@ -281,3 +281,52 @@ def test_windowed_stream_drops_late_data_past_watermark(spark, tmp_path):
     assert first_window.n == 2
     sk = Sketch.from_bytes(bytes(first_window.sketch))
     assert round(sk.estimate()) == 2
+
+
+def test_session_stream_ignores_late_event_after_close(spark, tmp_path):
+    """A late event for an already-closed session must not resurrect it —
+    exactly one emitted session per key despite the late replay."""
+    import pandas as pd
+
+    from guava_probably_spark.streaming import session_sketch_stream
+
+    t0 = pd.Timestamp("2024-03-05 08:00:00")
+
+    def mk(rows, path):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "ts", "tool"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(path)
+
+    staged = str(tmp_path / "staged")
+    mk([("A", t0, "bash"), ("A", t0 + pd.Timedelta(minutes=3), "edit")], staged + "/b1")
+    mk([("C", t0 + pd.Timedelta(hours=10), "x")], staged + "/b2")  # advance watermark
+    mk([("C", t0 + pd.Timedelta(hours=11), "y")], staged + "/b3")  # close A
+    # LATE event for A, far behind the watermark
+    mk([("A", t0 + pd.Timedelta(minutes=4), "grep")], staged + "/b4")
+    mk([("C", t0 + pd.Timedelta(hours=12), "z")], staged + "/b5")
+
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    stream = spark.readStream.schema("conv_id string, ts timestamp, tool string").parquet(
+        incoming
+    )
+    out = session_sketch_stream(
+        stream, "conv_id", "ts", "tool", SketchSpec("hll", {"p": 10}),
+        gap="10 minutes", watermark="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ls"))
+        .start()
+    )
+    try:
+        for b in ("b1", "b2", "b3", "b4", "b5"):
+            for f in glob.glob(f"{staged}/{b}/part-*.parquet"):
+                shutil.copy(f, incoming + f"/{b}.parquet")
+            q.processAllAvailable()
+        rows = [r for r in spark.sql("SELECT * FROM late_sessions").collect() if r.conv_id == "A"]
+    finally:
+        q.stop()
+    assert len(rows) == 1  # the late event neither extended nor re-opened it
+    assert rows[0].n == 2
