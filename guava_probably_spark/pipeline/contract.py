@@ -222,8 +222,42 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(ids1 + ids2, "doc_id long, batch int")
 
 
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from guava_probably_spark.pipeline.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, ["doc_id"], 256).select("doc_id")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from guava_probably_spark.pipeline.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", ["doc_id"], 20).select("source", "doc_id")
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from guava_probably_spark.pipeline.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split"
+    )
+
+
+def _q_threshold_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from guava_probably_spark.pipeline.sampling import hash_threshold_sample
+
+    events = _t(spark, sf_dir, "events")
+    return hash_threshold_sample(events, ["event_id"], 0.1).select("event_id")
+
+
 def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "hash_sample_documents": _q_hash_sample,
+        "stratified_sample_documents": _q_stratified_sample,
+        "hash_split_documents": _q_hash_split,
+        "threshold_sample_events": _q_threshold_sample,
         "exact_dedup_documents": _q_exact_dedup,
         "minhash_neardup_pairs": _q_minhash_neardup,
         "simhash_documents": _q_simhash_docs,
@@ -282,7 +316,26 @@ def pipeline_oracle_sql() -> dict[str, str]:
     fp = textexpr.md5_fingerprint_expr("text", "duck")
     tri = textexpr.trigrams_expr("text", "duck")
     wc = textexpr.word_count_expr("text", "duck")
+    doc_rank = textexpr.sample_rank_expr(["doc_id"], "duck")
+    split_fr = {"train": 0.8, "val": 0.1, "test": 0.1}
     return {
+        "hash_sample_documents": (
+            f"SELECT doc_id FROM documents ORDER BY {doc_rank}, doc_id LIMIT 256"
+        ),
+        "stratified_sample_documents": (
+            f"SELECT source, doc_id FROM documents "
+            f"QUALIFY row_number() OVER (PARTITION BY source "
+            f"ORDER BY {doc_rank}, doc_id) <= 20"
+        ),
+        "hash_split_documents": (
+            f"SELECT doc_id, {textexpr.split_label_expr(['doc_id'], split_fr, 'duck')} "
+            f"AS split FROM documents"
+        ),
+        "threshold_sample_events": (
+            f"SELECT event_id FROM events WHERE "
+            f"{textexpr.split_label_expr(['event_id'], {'keep': 0.1, 'drop': 0.9}, 'duck')}"
+            f" = 'keep'"
+        ),
         "exact_dedup_documents": (
             f"WITH aug AS ({_AUG_EXACT_SQL}) "
             f"SELECT {fp} AS fp, min(doc_id) AS keep_id, count(*) AS n_copies "

@@ -1,0 +1,98 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Sampling at 100 TB has two hard requirements the built-in ``df.sample``
+cannot give you: (1) reproducibility independent of partitioning, task
+retries and cluster size, and (2) an exact oracle.  Every operator here
+ranks rows by ``md5(key)`` (a frozen dual-dialect expression from
+``textexpr.sample_rank_expr``), so the selected set is a pure function of
+the data — rerun the job on a different cluster layout and you get the
+same bytes.
+
+Scale notes (local[32] verifies correctness; the plan is what matters):
+
+- ``hash_sample`` compiles to ``TakeOrderedAndProject``: each task keeps a
+  k-row heap and only k rows per partition cross to the driver-side merge —
+  no full sort, no full shuffle.  Fine up to k ~ 10^6; beyond that use
+  ``hash_threshold_sample`` (one scan + scalar filter, no ordering at all).
+- ``stratified_sample`` is one hash-shuffle on the stratum key plus a
+  partition-local sort (standard window top-k).  Hot strata are bounded by
+  the per-stratum sort, not a driver collect; for 10^8-row strata prefer
+  ``hash_threshold_sample`` per stratum.
+- ``hash_split`` is a pure projection (whole-stage codegen, zero shuffle):
+  the train/val/test label is a string comparison on an md5 prefix.
+
+Reference parity: the reference library (guava-probably) has no sampler —
+this module covers the prompt's training-data pipeline tier; determinism
+discipline follows the same frozen-hash-contract style as its
+murmur3-backed filters (reference CuckooFilter.java:60 funnel contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textexpr import sample_rank_expr, split_label_expr
+
+_RANK = "__gps_rank"
+
+
+def hash_sample(df: DataFrame, key_cols: list[str], k: int, salt: str = "") -> DataFrame:
+    """Global uniform sample of exactly ``min(k, n)`` rows: bottom-k by hash.
+
+    Deterministic in the data alone — partitioning, parallelism and retry
+    schedules cannot change the result.  Different ``salt`` values give
+    independent samples.
+    """
+    rank = F.expr(sample_rank_expr(key_cols, "spark", salt))
+    ordered = df.withColumn(_RANK, rank).orderBy(_RANK, *key_cols)
+    return ordered.limit(k).drop(_RANK)
+
+
+def hash_threshold_sample(
+    df: DataFrame, key_cols: list[str], fraction: float, salt: str = ""
+) -> DataFrame:
+    """Approximate-size uniform sample with NO ordering: keep rows whose
+    hash-rank prefix falls below ``fraction``.
+
+    The row count is Binomial(n, fraction) — tight at scale — and the scan
+    stays a single codegen filter, so this is the 10^12-row path where even
+    per-partition top-k heaps would be waste.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    expr = split_label_expr(key_cols, {"keep": fraction, "drop": 1.0 - fraction}, "spark", salt)
+    return df.filter(F.expr(expr) == "keep")
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, key_cols: list[str], k_per_stratum: int, salt: str = ""
+) -> DataFrame:
+    """Exactly ``min(k, stratum size)`` rows from every stratum.
+
+    One shuffle on the stratum key; per-stratum deterministic order by
+    (hash-rank, key) so ties cannot flap between runs.
+    """
+    rank = F.expr(sample_rank_expr(key_cols, "spark", salt))
+    w = Window.partitionBy(strata_col).orderBy(rank, *[F.col(c) for c in key_cols])
+    return (
+        df.withColumn(_RANK, F.row_number().over(w))
+        .filter(F.col(_RANK) <= k_per_stratum)
+        .drop(_RANK)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str],
+    fractions: dict[str, float],
+    label_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment as a zero-shuffle projection.
+
+    A row's label depends only on its key (and salt): append new data and
+    existing rows never migrate between splits — the property that keeps a
+    100 TB train/eval boundary stable across pipeline reruns.
+    """
+    return df.withColumn(label_col, F.expr(split_label_expr(key_cols, fractions, "spark", salt)))

@@ -225,3 +225,56 @@ def simhash_hex_from_bits(bit_exprs: list[str]) -> str:
         v = f"(8 * {b[0]} + 4 * {b[1]} + 2 * {b[2]} + {b[3]})"
         nibbles.append(f"substr('{_HEX}', {v} + 1, 1)")
     return " || ".join(nibbles)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (hash-rank) expressions
+# ---------------------------------------------------------------------------
+
+# Field separator for multi-column sample keys: unlikely in real keys, and
+# frozen — part of the oracle contract like STOPWORDS above.
+SAMPLE_SEP = "\x01"
+
+
+def sample_rank_expr(cols: list[str] | tuple[str, ...], dialect: str, salt: str = "") -> str:
+    """Uniform deterministic rank in [0, 16^32) as a 32-char hex string.
+
+    md5 over the concatenated stringified key columns (plus an optional
+    salt, so independent samples of the same table decorrelate).  Both
+    engines emit identical lowercase hex, so lexicographic comparison is
+    the same total order on both sides.
+    """
+    _q(dialect)
+    parts = [f"cast({c} as string)" for c in cols]
+    if salt:
+        parts.append(f"'{salt}'")
+    key = parts[0] if len(parts) == 1 else f"concat_ws('{SAMPLE_SEP}', {', '.join(parts)})"
+    return f"md5({key})"
+
+
+def split_label_expr(
+    cols: list[str] | tuple[str, ...],
+    fractions: dict[str, float],
+    dialect: str,
+    salt: str = "",
+) -> str:
+    """CASE expression assigning each row a deterministic split label.
+
+    The first 8 hex nibbles of the sample rank are compared against
+    cumulative thresholds formatted as fixed-width hex — pure string
+    comparison, bit-identical across engines, no float anywhere.
+    Fractions must sum to 1 (the last label absorbs rounding).
+    """
+    _q(dialect)
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    rank8 = f"substring({sample_rank_expr(cols, dialect, salt)}, 1, 8)"
+    labels = list(fractions)
+    cum = 0.0
+    arms = []
+    for label in labels[:-1]:
+        cum += fractions[label]
+        threshold = format(min(int(round(cum * 16**8)), 16**8 - 1), "08x")
+        arms.append(f"WHEN {rank8} < '{threshold}' THEN '{label}'")
+    return f"CASE {' '.join(arms)} ELSE '{labels[-1]}' END"

@@ -1,0 +1,111 @@
+"""Deterministic sampling operators (pipeline/sampling.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from guava_probably_spark.pipeline.sampling import (
+    hash_sample,
+    hash_split,
+    hash_threshold_sample,
+    stratified_sample,
+)
+from guava_probably_spark.pipeline.textexpr import sample_rank_expr, split_label_expr
+
+
+def _ids(df, col="id"):
+    return sorted(r[col] for r in df.select(col).collect())
+
+
+def test_hash_sample_partition_invariant_and_exact_k(spark):
+    base = spark.range(10_000)
+    a = _ids(hash_sample(base.repartition(3), ["id"], 500))
+    b = _ids(hash_sample(base.repartition(17), ["id"], 500))
+    assert a == b
+    assert len(a) == 500
+    # uniformity sanity: the chosen ids should spread across the domain
+    assert min(a) < 500 and max(a) > 9_500
+    mean = sum(a) / len(a)
+    assert 4_000 < mean < 6_000
+
+
+def test_hash_sample_salt_decorrelates(spark):
+    base = spark.range(10_000)
+    a = set(_ids(hash_sample(base, ["id"], 500)))
+    b = set(_ids(hash_sample(base, ["id"], 500, salt="s2")))
+    overlap = len(a & b)
+    # independent 5% samples: E[overlap] = 25, far from 500
+    assert overlap < 100
+
+
+def test_hash_sample_plan_is_take_ordered(spark):
+    plan = hash_sample(spark.range(1000), ["id"], 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition heap, no full sort
+
+
+def test_hash_threshold_sample_fraction_and_determinism(spark):
+    base = spark.range(40_000)
+    a = _ids(hash_threshold_sample(base.repartition(5), ["id"], 0.1))
+    b = _ids(hash_threshold_sample(base.repartition(13), ["id"], 0.1))
+    assert a == b
+    # Binomial(40000, 0.1): 3σ ≈ 180
+    assert abs(len(a) - 4_000) < 300
+    # threshold sample at fraction f is a superset-consistent prefix of ranks:
+    # every row kept at 0.05 is kept at 0.1
+    small = set(_ids(hash_threshold_sample(base, ["id"], 0.05)))
+    assert small <= set(a)
+
+
+def test_stratified_sample_exact_k_per_stratum(spark):
+    df = spark.range(2_000).withColumn("s", (F.col("id") % 7).cast("string"))
+    # one tiny stratum with 3 rows
+    df = df.union(
+        spark.range(3).select((F.col("id") + 10_000).alias("id"), F.lit("tiny").alias("s"))
+    )
+    out = stratified_sample(df, "s", ["id"], 50)
+    counts = {r.s: r.c for r in out.groupBy("s").agg(F.count("*").alias("c")).collect()}
+    for s in map(str, range(7)):
+        assert counts[s] == 50
+    assert counts["tiny"] == 3
+    # partition invariance
+    again = stratified_sample(df.repartition(11), "s", ["id"], 50)
+    assert _ids(out) == _ids(again)
+
+
+def test_hash_split_fractions_disjoint_and_stable(spark):
+    df = spark.range(30_000)
+    out = hash_split(df, ["id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 30_000
+    assert abs(counts["train"] - 24_000) < 400
+    assert abs(counts["val"] - 3_000) < 250
+    # appending data never migrates existing rows: label is a pure key fn
+    sub = hash_split(df.filter(F.col("id") < 1_000), ["id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    full_map = {r.id: r.split for r in out.filter(F.col("id") < 1_000).collect()}
+    assert {r.id: r.split for r in sub.collect()} == full_map
+
+
+def test_split_label_expr_rejects_bad_fractions():
+    with pytest.raises(ValueError):
+        split_label_expr(["id"], {"a": 0.5, "b": 0.4}, "spark")
+    with pytest.raises(ValueError):
+        hash_threshold_sample(None, ["id"], 1.5)
+
+
+def test_sampling_dialect_parity(spark):
+    """Spark and DuckDB compute the identical rank and split label."""
+    pdf = spark.range(2_000).withColumn(
+        "k", F.concat(F.lit("key-"), F.col("id").cast("string"))
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    for cols in (["id"], ["k"], ["id", "k"]):
+        s_rank = sample_rank_expr(cols, "spark", salt="z")
+        d_rank = sample_rank_expr(cols, "duck", salt="z")
+        s_lab = split_label_expr(cols, {"train": 0.9, "test": 0.1}, "spark")
+        d_lab = split_label_expr(cols, {"train": 0.9, "test": 0.1}, "duck")
+        spark.createDataFrame(pdf).createOrReplaceTempView("t")
+        a = spark.sql(f"SELECT id, {s_rank} r, {s_lab} l FROM t ORDER BY id").toPandas()
+        b = con.execute(f"SELECT id, {d_rank} r, {d_lab} l FROM t ORDER BY id").fetchdf()
+        assert (a["r"] == b["r"]).all() and (a["l"] == b["l"]).all()
