@@ -597,6 +597,16 @@ def _q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quantile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier trim (operators/grouped_quantiles.quantile_trim):
+    drop documents longer than their source's p90 — threshold pass via the
+    exact lexsort kernel, then a broadcast-join codegen filter."""
+    from guava_probably_spark.operators.grouped_quantiles import quantile_trim
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_trim(docs, "source", "n_chars", 0.9).select("doc_id")
+
+
 def _q_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped theta retention (operators/grouped_theta.py): one KMV sketch
     per day (vectorized across all days in one pass), then day-over-day user
@@ -923,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_setops_users": _q_hll_setops,
         "grouped_mode_user_event_type": _q_grouped_mode,
         "grouped_quantiles_part_price": _q_grouped_quantiles,
+        "quantile_trim_documents": _q_quantile_trim,
         "theta_retention_daily": _q_theta_retention,
         "batch_sessionize_users": _q_batch_sessionize,
         "streaming_session_windows": _q_streaming_sessions,
@@ -1065,6 +1076,12 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(l_extendedprice, 0.50) AS q50, "
             "quantile_disc(l_extendedprice, 0.75) AS q75 "
             "FROM lineitem GROUP BY l_partkey"
+        ),
+        "quantile_trim_documents": (
+            "SELECT d.doc_id FROM documents d JOIN "
+            "(SELECT source, quantile_disc(n_chars, 0.9) AS t "
+            "FROM documents GROUP BY source) th ON d.source = th.source "
+            "WHERE d.n_chars <= th.t"
         ),
         "theta_retention_daily": (
             "WITH du AS (SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') "

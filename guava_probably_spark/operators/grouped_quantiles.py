@@ -86,3 +86,52 @@ def grouped_quantiles(
     return colocated.mapInArrow(_build_stage(qs), schema).withColumnRenamed(
         "key", key
     )
+
+
+def quantile_trim(
+    df: DataFrame,
+    key: str,
+    col: str,
+    q: float = 0.9,
+    keep: str = "below",
+    method: str = "exact",
+    kll_k: int = 200,
+) -> DataFrame:
+    """Filter rows relative to their own group's q-quantile.
+
+    The outlier-trim step of a training-data pipeline ("drop documents
+    longer than their source's p90") as two passes over the data:
+
+      pass 1 computes one threshold per key — ``method="exact"`` uses the
+      lexsort kernel above (bounded per-key rows), ``method="kll"`` the
+      mergeable sketch path (unbounded rows, bounded error);
+      pass 2 broadcast-joins the tiny (key, threshold) relation back and
+      filters with a codegen comparison — no second shuffle of the data.
+
+    ``keep="below"`` retains rows with value <= threshold (ties kept on
+    both sides, matching the SQL oracle); ``keep="above"`` the complement.
+    The broadcast holds one float per key: fine to ~10^7 keys, beyond that
+    fall back to a shuffled join on key.
+    """
+    from pyspark.sql import functions as F
+
+    if keep not in ("below", "above"):
+        raise ValueError(f"keep must be 'below' or 'above', got {keep!r}")
+    qname = f"q{int(round(q * 100))}"
+    th_col = "__gps_trim_threshold"
+    if method == "exact":
+        th = grouped_quantiles(df, key, col, qs=(q,)).select(
+            key, F.col(qname).alias(th_col)
+        )
+    elif method == "kll":
+        from guava_probably_spark import SketchSpec
+        from guava_probably_spark.functions import quantile_udf
+        from guava_probably_spark.operators.build import build_grouped
+
+        g = build_grouped(df, key, col, SketchSpec("kll", {"k": kll_k}))
+        th = g.select(key, quantile_udf(q)("sketch").alias(th_col))
+    else:
+        raise ValueError(f"method must be 'exact' or 'kll', got {method!r}")
+    cond = F.col(col).cast("double") <= F.col(th_col)
+    joined = df.join(F.broadcast(th), key)
+    return joined.filter(cond if keep == "below" else ~cond).drop(th_col)

@@ -184,3 +184,54 @@ def test_grouped_mode_matches_pandas_with_ties(spark):
         assert out.loc[k, "top_count"] == mc
         assert out.loc[k, "n"] == len(grp)
     assert out.loc[40, "top_value"] == "aa"  # tie broken to smallest
+
+
+def test_quantile_trim_exact_matches_pandas(spark):
+    """Per-group p90 trim keeps exactly the rows a pandas nearest-rank
+    reference keeps, for both tails, under any partitioning."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from guava_probably_spark.operators.grouped_quantiles import quantile_trim
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.integers(0, 13, 5000).astype(str),
+            "v": np.round(rng.lognormal(3, 1, 5000), 3),
+            "rid": np.arange(5000),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(9)
+
+    def ref_threshold(s):
+        a = np.sort(s.to_numpy())
+        return a[max(0, int(np.ceil(0.9 * len(a))) - 1)]  # nearest-rank
+
+    th = pdf.groupby("g")["v"].apply(ref_threshold)
+    expect_below = set(pdf[pdf["v"] <= pdf["g"].map(th)]["rid"])
+    got_below = {r.rid for r in quantile_trim(df, "g", "v", 0.9).select("rid").collect()}
+    assert got_below == expect_below
+    got_above = {r.rid for r in quantile_trim(df, "g", "v", 0.9, keep="above").select("rid").collect()}
+    assert got_above == set(pdf["rid"]) - expect_below
+
+
+def test_quantile_trim_kll_close_to_exact(spark):
+    """The sketch path keeps a set within KLL rank-error of the exact trim."""
+    import numpy as np
+    import pandas as pd
+
+    from guava_probably_spark.operators.grouped_quantiles import quantile_trim
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    pdf = pd.DataFrame(
+        {"g": rng.integers(0, 4, n).astype(str), "v": rng.normal(0, 1, n), "rid": np.arange(n)}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    exact = {r.rid for r in quantile_trim(df, "g", "v", 0.5).select("rid").collect()}
+    approx = {r.rid for r in quantile_trim(df, "g", "v", 0.5, method="kll").select("rid").collect()}
+    # symmetric difference bounded by rank error (3*1.33/k per group tail)
+    eps = 3 * 1.33 / 200
+    assert len(exact ^ approx) <= 2 * eps * n + 64
