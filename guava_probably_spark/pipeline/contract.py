@@ -222,6 +222,17 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(ids1 + ids2, "doc_id long, batch int")
 
 
+def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: simhash near-pairs (oracle-matched edge set) →
+    distributed min-label components; label = canonical (min) doc id."""
+    from guava_probably_spark.pipeline.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    sim = simhash_df(_aug_simhash(docs), "doc_id", "text")
+    pairs = simhash_near_pairs(sim, max_hamming=3)
+    return connected_components(pairs, "a", "b")
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guava_probably_spark.pipeline.sampling import hash_sample
 
@@ -254,6 +265,7 @@ def _q_threshold_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "neardup_components": _q_neardup_components,
         "hash_sample_documents": _q_hash_sample,
         "stratified_sample_documents": _q_stratified_sample,
         "hash_split_documents": _q_hash_split,
@@ -319,6 +331,14 @@ def pipeline_oracle_sql() -> dict[str, str]:
     doc_rank = textexpr.sample_rank_expr(["doc_id"], "duck")
     split_fr = {"train": 0.8, "val": 0.1, "test": 0.1}
     return {
+        "neardup_components": (
+            f"WITH RECURSIVE pairs AS ({_simhash_pairs_sql()}), "
+            "e AS (SELECT a AS v, b AS w FROM pairs "
+            "UNION SELECT b, a FROM pairs), "
+            "reach(v, w) AS (SELECT v, v FROM (SELECT DISTINCT v FROM e) "
+            "UNION SELECT r.v, e.w FROM reach r JOIN e ON r.w = e.v) "
+            "SELECT v, min(w) AS component FROM reach GROUP BY v"
+        ),
         "hash_sample_documents": (
             f"SELECT doc_id FROM documents ORDER BY {doc_rank}, doc_id LIMIT 256"
         ),

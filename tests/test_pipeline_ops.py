@@ -438,3 +438,43 @@ def test_pipeline_plans_prune_and_avoid_shuffles(spark, sf_dir):
     # exact dedup: exactly one exchange (the hash aggregation on fp)
     d = exact_dedup(docs, "doc_id", "text")
     assert physical_plan(d).count("Exchange") == 1
+
+
+def test_connected_components_planted_clusters(spark):
+    """Components over random planted clusters match a union-find reference,
+    including a 60-node chain (pointer jumping must contract it)."""
+    import numpy as np
+
+    from guava_probably_spark.pipeline.components import (
+        connected_components,
+        keep_canonical,
+    )
+
+    rng = np.random.default_rng(3)
+    edges = []
+    base = 0
+    truth = {}
+    for cid in range(12):
+        size = int(rng.integers(2, 9))
+        nodes = list(range(base, base + size))
+        # random spanning tree + a few extras
+        for i in range(1, size):
+            edges.append((nodes[i], nodes[int(rng.integers(0, i))]))
+        for _ in range(2):
+            x, y = rng.choice(nodes, 2, replace=False)
+            if x != y:
+                edges.append((int(x), int(y)))
+        for v in nodes:
+            truth[v] = nodes[0]
+        base += size + int(rng.integers(1, 4))  # gaps → singletons absent
+    chain = list(range(10_000, 10_060))
+    edges += list(zip(chain[:-1], chain[1:]))
+    truth.update({v: chain[0] for v in chain})
+
+    df = spark.createDataFrame(edges, "a long, b long").repartition(7)
+    got = {r.v: r.component for r in connected_components(df).collect()}
+    assert got == truth
+
+    ids = spark.createDataFrame([(v,) for v in truth], "doc_id long")
+    kept = {r.doc_id for r in keep_canonical(ids, "doc_id", connected_components(df)).collect()}
+    assert kept == set(truth.values())
