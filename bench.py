@@ -439,6 +439,46 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     warmed("q_simhash_fast_docs", simhash_bulk)
 
+    from guava_probably_spark.operators.grouped_quantiles import quantile_trim
+    from guava_probably_spark.pipeline.components import connected_components
+    from guava_probably_spark.pipeline.sampling import hash_sample, hash_split
+
+    # sampling tier: split is a pure codegen projection; sample is
+    # TakeOrderedAndProject (per-partition heap, no full sort)
+    warmed(
+        "q_hash_split_docs",
+        lambda: hash_split(big_docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .count()
+        .collect(),
+    )
+    warmed("q_hash_sample_docs", lambda: hash_sample(big_docs, ["doc_id"], 10_000).count())
+
+    def trim():
+        d = big_docs.withColumn("src", (F.col("doc_id") % 50).cast("string")).withColumn(
+            "n_chars", F.length("text")
+        )
+        return quantile_trim(d, "src", "n_chars", 0.9).count()
+
+    warmed("q_quantile_trim_docs", trim)
+
+    # components over a planted 2M-edge near-dup graph (500k clusters of 4
+    # + 10k-node chains): measures the iterate-join machinery, not the pair
+    # generators benched above
+    def components():
+        star = spark.range(2_000_000).select(
+            (F.col("id") + 1_000_000_000).alias("a"),
+            ((F.col("id") % 500_000) + 3_000_000_000).alias("b"),
+        )
+        chain = spark.range(10_000).select(
+            (F.col("id") + 5_000_000_000).alias("a"),
+            (F.col("id") + 5_000_000_001).alias("b"),
+        )
+        return connected_components(star.union(chain)).count()
+
+    components()
+    timed("q_components_2m_edges", components)
+
     emb = spark.read.parquet(e_path)
     extras["pipeline_vectors"] = emb.count()
     qvecs = [

@@ -472,8 +472,10 @@ def test_connected_components_planted_clusters(spark):
     truth.update({v: chain[0] for v in chain})
 
     df = spark.createDataFrame(edges, "a long, b long").repartition(7)
-    got = {r.v: r.component for r in connected_components(df).collect()}
-    assert got == truth
+    # both execution modes run the same math and must agree with union-find
+    for mode in ("driver", "distributed"):
+        got = {r.v: r.component for r in connected_components(df, mode=mode).collect()}
+        assert got == truth, mode
 
     ids = spark.createDataFrame([(v,) for v in truth], "doc_id long")
     kept = {r.doc_id for r in keep_canonical(ids, "doc_id", connected_components(df)).collect()}
