@@ -6,6 +6,8 @@ dedup, similarity search, text analysis and multimodal plumbing. These are
 first-class operators here, built Spark-first:
 
 - ``dedup``      — exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard
+- ``components`` — connected components over near-dup pairs + canonical pick
+- ``sampling``   — deterministic hash-rank samples / stratified / splits
 - ``similarity`` — brute-force cosine top-k, random-hyperplane LSH ANN
 - ``textops``    — language-ID heuristic, quality scoring, token counting,
                    rolling-hash fingerprinting
@@ -15,6 +17,10 @@ first-class operators here, built Spark-first:
 """
 
 from guava_probably_spark.pipeline import textexpr
+from guava_probably_spark.pipeline.components import (
+    connected_components,
+    keep_canonical,
+)
 from guava_probably_spark.pipeline.dedup import (
     exact_dedup,
     exact_jaccard_pairs,
@@ -23,6 +29,12 @@ from guava_probably_spark.pipeline.dedup import (
     shingle_df,
     simhash_df,
     simhash_near_pairs,
+)
+from guava_probably_spark.pipeline.sampling import (
+    hash_sample,
+    hash_split,
+    hash_threshold_sample,
+    stratified_sample,
 )
 from guava_probably_spark.pipeline.multimodal import (
     decode_image,
@@ -44,6 +56,12 @@ from guava_probably_spark.pipeline.textops import (
 
 __all__ = [
     "textexpr",
+    "connected_components",
+    "keep_canonical",
+    "hash_sample",
+    "hash_split",
+    "hash_threshold_sample",
+    "stratified_sample",
     "exact_dedup",
     "exact_jaccard_pairs",
     "lsh_candidate_pairs",

@@ -233,6 +233,21 @@ def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "a", "b")
 
 
+def _q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup pipeline end to end: simhash → near-pairs →
+    connected components → drop every non-canonical duplicate."""
+    from guava_probably_spark.pipeline.components import (
+        connected_components,
+        keep_canonical,
+    )
+
+    docs = _aug_simhash(_t(spark, sf_dir, "documents"))
+    sim = simhash_df(docs, "doc_id", "text")
+    pairs = simhash_near_pairs(sim, max_hamming=3)
+    comps = connected_components(pairs, "a", "b")
+    return keep_canonical(docs, "doc_id", comps).select("doc_id")
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guava_probably_spark.pipeline.sampling import hash_sample
 
@@ -266,6 +281,7 @@ def _q_threshold_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "neardup_components": _q_neardup_components,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
         "hash_sample_documents": _q_hash_sample,
         "stratified_sample_documents": _q_stratified_sample,
         "hash_split_documents": _q_hash_split,
@@ -338,6 +354,17 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "reach(v, w) AS (SELECT v, v FROM (SELECT DISTINCT v FROM e) "
             "UNION SELECT r.v, e.w FROM reach r JOIN e ON r.w = e.v) "
             "SELECT v, min(w) AS component FROM reach GROUP BY v"
+        ),
+        "dedup_keep_canonical": (
+            f"WITH RECURSIVE pairs AS ({_simhash_pairs_sql()}), "
+            "e AS (SELECT a AS v, b AS w FROM pairs "
+            "UNION SELECT b, a FROM pairs), "
+            "reach(v, w) AS (SELECT v, v FROM (SELECT DISTINCT v FROM e) "
+            "UNION SELECT r.v, e.w FROM reach r JOIN e ON r.w = e.v), "
+            "losers AS (SELECT v FROM reach GROUP BY v "
+            "HAVING v <> min(w)), "
+            f"aug AS ({_AUG_SIMHASH_SQL}) "
+            "SELECT doc_id FROM aug WHERE doc_id NOT IN (SELECT v FROM losers)"
         ),
         "hash_sample_documents": (
             f"SELECT doc_id FROM documents ORDER BY {doc_rank}, doc_id LIMIT 256"
