@@ -271,6 +271,18 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample, weights = document length.
+
+    The ES rank ln(u)/w uses a bit-identical hash-derived uniform on both
+    engines; rank gaps at the k-boundary are ~1e-3 on this data, nine
+    orders above any libm ulp drift, so the exact oracle is stable."""
+    from guava_probably_spark.pipeline.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, ["doc_id"], "n_chars", 200).select("doc_id")
+
+
 def _q_threshold_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guava_probably_spark.pipeline.sampling import hash_threshold_sample
 
@@ -286,6 +298,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": _q_stratified_sample,
         "hash_split_documents": _q_hash_split,
         "threshold_sample_events": _q_threshold_sample,
+        "weighted_sample_documents": _q_weighted_sample,
         "exact_dedup_documents": _q_exact_dedup,
         "minhash_neardup_pairs": _q_minhash_neardup,
         "simhash_documents": _q_simhash_docs,
@@ -382,6 +395,12 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"SELECT event_id FROM events WHERE "
             f"{textexpr.split_label_expr(['event_id'], {'keep': 0.1, 'drop': 0.9}, 'duck')}"
             f" = 'keep'"
+        ),
+        "weighted_sample_documents": (
+            f"SELECT doc_id FROM documents "
+            f"WHERE n_chars IS NOT NULL AND n_chars > 0 "
+            f"ORDER BY ln({textexpr.hash_uniform_expr(['doc_id'], 'duck')}) "
+            f"/ CAST(n_chars AS DOUBLE) DESC, doc_id LIMIT 200"
         ),
         "exact_dedup_documents": (
             f"WITH aug AS ({_AUG_EXACT_SQL}) "

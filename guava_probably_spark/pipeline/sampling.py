@@ -96,3 +96,30 @@ def hash_split(
     100 TB train/eval boundary stable across pipeline reruns.
     """
     return df.withColumn(label_col, F.expr(split_label_expr(key_cols, fractions, "spark", salt)))
+
+
+def weighted_sample(
+    df: DataFrame, key_cols: list[str], weight_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis &
+    Spirakis 2006): top-k by ``u^(1/w)`` with ``u`` a hash-derived uniform.
+
+    Ordering by ``ln(u)/w`` descending is the same total order without the
+    pow — a single codegen projection feeding ``TakeOrderedAndProject``
+    (per-partition k-row heaps, no full sort), so the plan is identical to
+    ``hash_sample``'s.  P(row in sample) is proportional to weight in the
+    without-replacement sense; rows with null or non-positive weight are
+    excluded.  Deterministic in (data, salt) alone, like every sampler
+    here — reruns and retries cannot flap the selected set.
+    """
+    from .textexpr import hash_uniform_expr
+
+    u = F.expr(hash_uniform_expr(key_cols, "spark", salt))
+    es_rank = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col).cast("double") > 0))
+        .withColumn(_RANK, es_rank)
+        .orderBy(F.desc(_RANK), *key_cols)
+        .limit(k)
+        .drop(_RANK)
+    )

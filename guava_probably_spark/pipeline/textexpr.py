@@ -278,3 +278,22 @@ def split_label_expr(
         threshold = format(min(int(round(cum * 16**8)), 16**8 - 1), "08x")
         arms.append(f"WHEN {rank8} < '{threshold}' THEN '{label}'")
     return f"CASE {' '.join(arms)} ELSE '{labels[-1]}' END"
+
+
+def hash_uniform_expr(cols: list[str] | tuple[str, ...], dialect: str, salt: str = "") -> str:
+    """Deterministic uniform in (0, 1]: 15 md5 nibbles → BIGINT → (v+1)/2^60.
+
+    Integer nibble assembly (same trick as the simhash builders) makes the
+    BIGINT — and therefore the double — bit-identical across engines; no
+    engine-specific hex-parse builtin involved.
+    """
+    _q(dialect)
+    h = sample_rank_expr(cols, dialect, salt)
+    terms = []
+    for i in range(15):
+        nib = _nibble_value(f"substr({h}, {i + 1}, 1)", dialect)
+        # small 16^k literals type as INT32 — force 64-bit arithmetic (Spark
+        # ANSI mode raises on the 32-bit product otherwise)
+        terms.append(f"cast({nib} as bigint) * {16 ** (14 - i)}")
+    v = " + ".join(terms)
+    return f"((({v}) + 1) / {float(2 ** 60)})"

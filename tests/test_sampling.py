@@ -109,3 +109,32 @@ def test_sampling_dialect_parity(spark):
         a = spark.sql(f"SELECT id, {s_rank} r, {s_lab} l FROM t ORDER BY id").toPandas()
         b = con.execute(f"SELECT id, {d_rank} r, {d_lab} l FROM t ORDER BY id").fetchdf()
         assert (a["r"] == b["r"]).all() and (a["l"] == b["l"]).all()
+
+
+def test_weighted_sample_inclusion_proportional_to_weight(spark):
+    """ES weighted sampling: items with 10x weight appear ~10x as often
+    across independent salts; deterministic per salt; excludes w<=0."""
+    import pandas as pd
+
+    from guava_probably_spark.pipeline.sampling import weighted_sample
+
+    pdf = pd.DataFrame({"id": range(1_000)})
+    pdf["w"] = [10.0 if i < 100 else 1.0 for i in pdf["id"]]
+    pdf.loc[pdf.index[:3], "w"] = [0.0, -1.0, None]  # excluded rows
+    df = spark.createDataFrame(pdf)
+
+    heavy = light = 0
+    for s in range(8):
+        got = {r.id for r in weighted_sample(df, ["id"], "w", 100, salt=str(s)).collect()}
+        assert len(got) == 100
+        assert not (got & {0, 1, 2})
+        again = {r.id for r in weighted_sample(df.repartition(9), ["id"], "w", 100, salt=str(s)).collect()}
+        assert got == again
+        heavy += len([i for i in got if i < 100])
+        light += len([i for i in got if i >= 100])
+    # 97 heavy (w=10) vs 900 light (w=1): heavy inclusion ~63%/item*... just
+    # require a strong, stable separation: heavy rate >> light rate
+    heavy_rate = heavy / (8 * 97)
+    light_rate = light / (8 * 900)
+    assert heavy_rate > 4 * light_rate
+    assert heavy_rate > 0.4
