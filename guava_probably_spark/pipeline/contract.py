@@ -92,6 +92,31 @@ _AUG_SIMHASH_SQL = (
 )
 
 
+def _aug_pii(docs: DataFrame) -> DataFrame:
+    """Plant deterministic PII in every 5th document (the testdata corpus
+    has none): an email, an IPv4 and a 16-digit card-length run."""
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 card 4111111111111111 ok"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, planted).otherwise(F.col("text")).alias("text"),
+    )
+
+
+_AUG_PII_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com at 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7 card 4111111111111111 ok' "
+    "ELSE text END AS text FROM documents"
+)
+
+
 def _aug_embeddings(emb: DataFrame) -> DataFrame:
     copies = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
@@ -271,6 +296,20 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from guava_probably_spark.pipeline.textops import redact_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return redact_df(_aug_pii(docs), "doc_id", "text")
+
+
+def _q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from guava_probably_spark.pipeline.textops import word_repetition_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return word_repetition_df(docs, "doc_id", "text")
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sample, weights = document length.
 
@@ -299,6 +338,8 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_documents": _q_hash_split,
         "threshold_sample_events": _q_threshold_sample,
         "weighted_sample_documents": _q_weighted_sample,
+        "redact_documents": _q_redact,
+        "word_repetition_documents": _q_word_repetition,
         "exact_dedup_documents": _q_exact_dedup,
         "minhash_neardup_pairs": _q_minhash_neardup,
         "simhash_documents": _q_simhash_docs,
@@ -395,6 +436,18 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"SELECT event_id FROM events WHERE "
             f"{textexpr.split_label_expr(['event_id'], {'keep': 0.1, 'drop': 0.9}, 'duck')}"
             f" = 'keep'"
+        ),
+        "redact_documents": (
+            f"WITH aug AS ({_AUG_PII_SQL}) SELECT doc_id AS id, "
+            f"{textexpr.redact_expr('text', 'duck')} AS text FROM aug"
+        ),
+        "word_repetition_documents": (
+            f"WITH w AS (SELECT doc_id AS id, "
+            f"unnest({textexpr.words_expr('text', 'duck')}) AS word FROM documents), "
+            "pw AS (SELECT id, word, count(*) AS c FROM w GROUP BY 1, 2) "
+            "SELECT id, CAST(sum(c) AS BIGINT) AS n_words, "
+            "CAST(count(*) AS BIGINT) AS n_distinct_words, "
+            "CAST(max(c) AS BIGINT) AS top_word_count FROM pw GROUP BY id"
         ),
         "weighted_sample_documents": (
             f"SELECT doc_id FROM documents "

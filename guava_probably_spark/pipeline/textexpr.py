@@ -297,3 +297,30 @@ def hash_uniform_expr(cols: list[str] | tuple[str, ...], dialect: str, salt: str
         terms.append(f"cast({nib} as bigint) * {16 ** (14 - i)}")
     v = " + ".join(terms)
     return f"((({v}) + 1) / {float(2 ** 60)})"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction expressions
+# ---------------------------------------------------------------------------
+
+# (label, RE2-and-Java-compatible pattern, replacement) applied in order.
+# Patterns deliberately stick to the syntax intersection of Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \b \d.
+REDACT_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("card", r"\b\d{13,16}\b", "<CARD>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_expr(col: str, dialect: str) -> str:
+    """Chained regexp_replace masking emails, long digit runs and IPv4s."""
+    _q(dialect)
+    e = col
+    for _, pat, rep in REDACT_PATTERNS:
+        if dialect == "spark":
+            spat = pat.replace("\\", "\\\\")
+            e = f"regexp_replace({e}, '{spat}', '{rep}')"
+        else:
+            e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+    return e

@@ -96,3 +96,43 @@ def winnowing_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
     sw = np.lib.stride_tricks.sliding_window_view(h, window)
     mins = sw.min(axis=1)
     return sorted(set(int(x) for x in mins))
+
+
+def word_repetition_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals as exact integer counts per doc:
+    (id, n_words, n_distinct_words, top_word_count).
+
+    Filters like "drop docs whose most frequent word exceeds 20% of tokens"
+    or "distinct/total ratio below 0.3" are threshold checks on these
+    columns (integer cross-multiplication — no float drift vs the oracle).
+
+    Explode + two-level hash aggregation, all JVM: scalar array-lambda
+    formulations re-evaluate the split per element (Catalyst does not CSE
+    into lambda bodies — measured ~50x on the trigram path), and partial
+    aggregation keeps a hot word from concentrating a partition.
+    """
+    w = F.explode(F.expr(textexpr.words_expr(text_col, "spark"))).alias("word")
+    per_word = (
+        df.select(F.col(id_col).cast("long").alias("id"), w)
+        .groupBy("id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_word.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct_words"),
+        F.max("c").cast("long").alias("top_word_count"),
+    )
+
+
+def redact_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text) with emails, card-length digit runs and IPv4s masked.
+
+    A chained codegen ``regexp_replace`` projection — patterns restricted
+    to the Java-regex ∩ RE2 syntax intersection so the DuckDB oracle
+    recomputes the identical output (textexpr.REDACT_PATTERNS is the one
+    source of truth).
+    """
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.expr(textexpr.redact_expr(text_col, "spark")).alias("text"),
+    )

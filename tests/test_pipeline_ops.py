@@ -60,6 +60,7 @@ def _docs_duck(sf_dir):
         textexpr.langid_expr,
         textexpr.char_count_expr,
         textexpr.quality_flag_expr,
+        textexpr.redact_expr,
     ],
     ids=lambda b: b.__name__,
 )
@@ -480,3 +481,34 @@ def test_connected_components_planted_clusters(spark):
     ids = spark.createDataFrame([(v,) for v in truth], "doc_id long")
     kept = {r.doc_id for r in keep_canonical(ids, "doc_id", connected_components(df)).collect()}
     assert kept == set(truth.values())
+
+
+def test_redact_masks_pii_and_preserves_clean_text(spark):
+    from guava_probably_spark.pipeline.textops import redact_df
+
+    rows = [
+        (1, "write to Bob.Smith+x@Corp.IO today"),
+        (2, "server 192.168.1.254 and card 4111111111111111"),
+        (3, "clean text with numbers 123 and 1.5 stays"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.text for r in redact_df(df, "doc_id", "text").collect()}
+    assert got[1] == "write to <EMAIL> today"
+    assert got[2] == "server <IP> and card <CARD>"
+    assert got[3] == rows[2][1]  # untouched
+
+
+def test_word_repetition_matches_pandas(spark):
+    import pandas as pd
+
+    from guava_probably_spark.pipeline.textops import word_repetition_df
+
+    rows = [(1, "a a a b c"), (2, "x y"), (3, "Spam  spam SPAM")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: (r.n_words, r.n_distinct_words, r.top_word_count)
+        for r in word_repetition_df(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (5, 3, 3)
+    assert got[2] == (2, 2, 1)
+    assert got[3] == (3, 1, 3)  # normalization lowercases + collapses ws
