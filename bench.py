@@ -486,6 +486,19 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
         for r in emb.filter(F.col("vec_id") < 16).collect()
     ]
     warmed("q_ann_cosine_topk", lambda: cosine_topk(emb, qvecs, k=10).count())
+
+    # IVF scale path: codebook trained once (offline in production), search
+    # prunes to nprobe/nlist of the corpus — the 10^9-vector answer
+    from guava_probably_spark.pipeline.ivf import assign_lists, ivf_topk, train_codebook
+
+    cb = train_codebook(emb, nlist=32, iters=4)
+    assigned = assign_lists(emb, cb)
+    assigned.cache().count()
+    warmed(
+        "q_ivf_topk_nprobe4",
+        lambda: ivf_topk(assigned, cb, qvecs, k=10, nprobe=4).count(),
+    )
+    assigned.unpersist()
     return timings, extras
 
 
