@@ -487,6 +487,14 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
     ]
     warmed("q_ann_cosine_topk", lambda: cosine_topk(emb, qvecs, k=10).count())
 
+    def pack():
+        from guava_probably_spark.pipeline.packing import pack_sequences
+
+        d = big_docs.withColumn("tok", F.length("text"))
+        return pack_sequences(d, ["doc_id"], "tok", budget=8192).count()
+
+    warmed("q_pack_sequences_docs", pack)
+
     # IVF scale path: codebook trained once (offline in production), search
     # prunes to nprobe/nlist of the corpus — the 10^9-vector answer
     from guava_probably_spark.pipeline.ivf import assign_lists, ivf_topk, train_codebook

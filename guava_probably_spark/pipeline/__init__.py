@@ -8,6 +8,7 @@ first-class operators here, built Spark-first:
 - ``dedup``      — exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard
 - ``components`` — connected components over near-dup pairs + canonical pick
 - ``sampling``   — deterministic hash-rank samples / stratified / splits
+- ``packing``    — exact distributed prefix sum + context-window packing
 - ``similarity`` — brute-force cosine top-k, random-hyperplane LSH ANN
 - ``textops``    — language-ID heuristic, quality scoring, token counting,
                    rolling-hash fingerprinting
@@ -36,6 +37,7 @@ from guava_probably_spark.pipeline.sampling import (
     hash_threshold_sample,
     stratified_sample,
 )
+from guava_probably_spark.pipeline.packing import pack_sequences, prefix_sum
 from guava_probably_spark.pipeline.multimodal import (
     decode_image,
     extract_binary_features,
@@ -62,6 +64,8 @@ __all__ = [
     "hash_split",
     "hash_threshold_sample",
     "stratified_sample",
+    "prefix_sum",
+    "pack_sequences",
     "exact_dedup",
     "exact_jaccard_pairs",
     "lsh_candidate_pairs",

@@ -296,6 +296,19 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing over a deterministic hash-shuffled order:
+    two-phase exact prefix sum (range shuffle + broadcast offsets), never
+    a single-partition window."""
+    from guava_probably_spark.pipeline.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "rank", F.expr(textexpr.sample_rank_expr(["doc_id"], "spark"))
+    )
+    out = pack_sequences(docs, ["rank", "doc_id"], "n_chars", budget=4096)
+    return out.select("doc_id", F.col("bin").cast("long").alias("bin"))
+
+
 def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guava_probably_spark.pipeline.textops import redact_df
 
@@ -339,6 +352,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sample_events": _q_threshold_sample,
         "weighted_sample_documents": _q_weighted_sample,
         "redact_documents": _q_redact,
+        "pack_sequences_documents": _q_pack_sequences,
         "word_repetition_documents": _q_word_repetition,
         "exact_dedup_documents": _q_exact_dedup,
         "minhash_neardup_pairs": _q_minhash_neardup,
@@ -436,6 +450,13 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"SELECT event_id FROM events WHERE "
             f"{textexpr.split_label_expr(['event_id'], {'keep': 0.1, 'drop': 0.9}, 'duck')}"
             f" = 'keep'"
+        ),
+        "pack_sequences_documents": (
+            f"WITH o AS (SELECT doc_id, n_chars, "
+            f"{textexpr.sample_rank_expr(['doc_id'], 'duck')} AS rank FROM documents), "
+            "r AS (SELECT doc_id, SUM(n_chars) OVER (ORDER BY rank, doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n_chars AS excl FROM o) "
+            "SELECT doc_id, CAST(excl // 4096 AS BIGINT) AS bin FROM r"
         ),
         "redact_documents": (
             f"WITH aug AS ({_AUG_PII_SQL}) SELECT doc_id AS id, "

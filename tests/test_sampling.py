@@ -138,3 +138,39 @@ def test_weighted_sample_inclusion_proportional_to_weight(spark):
     light_rate = light / (8 * 900)
     assert heavy_rate > 4 * light_rate
     assert heavy_rate > 0.4
+
+
+def test_prefix_sum_matches_pandas_any_partitioning(spark):
+    import numpy as np
+    import pandas as pd
+
+    from guava_probably_spark.pipeline.packing import prefix_sum
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({"k": rng.permutation(20_000), "v": rng.integers(0, 50, 20_000)})
+    pdf.loc[pdf.index[:5], "v"] = None  # nulls count as 0
+    want = pdf.sort_values("k").assign(run=lambda d: d["v"].fillna(0).cumsum())
+    expect = dict(zip(want["k"], want["run"].astype("int64")))
+    df = spark.createDataFrame(pdf)
+    for parts in (3, 16):
+        got = {r.k: r.running for r in prefix_sum(df.repartition(7), ["k"], "v", partitions=parts).collect()}
+        assert got == expect
+
+
+def test_pack_sequences_bins_contiguous_and_budgeted(spark):
+    import numpy as np
+    import pandas as pd
+
+    from guava_probably_spark.pipeline.packing import pack_sequences
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({"k": np.arange(5_000), "tok": rng.integers(1, 400, 5_000)})
+    out = pack_sequences(spark.createDataFrame(pdf), ["k"], "tok", budget=2048).toPandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    bins = out["bin"].to_numpy()
+    assert (np.diff(bins) >= 0).all()  # contiguous runs of the order
+    # every bin except possibly via its straddling last doc stays in budget:
+    # the exclusive prefix within a bin is < budget by construction
+    excl = out["tok"].cumsum() - out["tok"]
+    assert ((excl - bins * 2048) < 2048).all() and ((excl - bins * 2048) >= 0).all()
+    assert bins.max() > 100  # actually packed many bins
