@@ -296,6 +296,17 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_concat_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-ordered text flattening (the transcript → training-sequence
+    step, demonstrated per source); md5 of the flattened text keeps the
+    compared values small while pinning every byte and the order."""
+    from guava_probably_spark.pipeline.packing import concat_group_texts
+
+    docs = _t(spark, sf_dir, "documents")
+    flat = concat_group_texts(docs, "source", "doc_id", "text")
+    return flat.select("source", "n_rows", F.md5("text").alias("fp"))
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing over a deterministic hash-shuffled order:
     two-phase exact prefix sum (range shuffle + broadcast offsets), never
@@ -353,6 +364,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": _q_weighted_sample,
         "redact_documents": _q_redact,
         "pack_sequences_documents": _q_pack_sequences,
+        "concat_group_texts_documents": _q_concat_groups,
         "word_repetition_documents": _q_word_repetition,
         "exact_dedup_documents": _q_exact_dedup,
         "minhash_neardup_pairs": _q_minhash_neardup,
@@ -450,6 +462,11 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"SELECT event_id FROM events WHERE "
             f"{textexpr.split_label_expr(['event_id'], {'keep': 0.1, 'drop': 0.9}, 'duck')}"
             f" = 'keep'"
+        ),
+        "concat_group_texts_documents": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "
+            "md5(string_agg(text, chr(10) ORDER BY doc_id)) AS fp "
+            "FROM documents GROUP BY source"
         ),
         "pack_sequences_documents": (
             f"WITH o AS (SELECT doc_id, n_chars, "

@@ -114,3 +114,34 @@ def pack_sequences(
     # exceed double's 2^53 exact-integer range
     excl = f"(__gps_run - coalesce(try_cast({token_col} as bigint), 0))"
     return run.withColumn(bin_col, F.expr(f"{excl} div {budget}")).drop("__gps_run")
+
+
+def concat_group_texts(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    text_col: str,
+    sep: str = "\n",
+    out_col: str = "text",
+) -> DataFrame:
+    """Flatten a group of rows into one ordered text per key — the
+    multi-turn-transcript → single-training-sequence step (key=conv_id,
+    order=turn_idx): (key, n_rows, text).
+
+    One hash aggregation: ``collect_list(struct(order, text))`` builds the
+    group unordered (partial aggregation runs map-side), ``sort_array``
+    orders by the leading struct field, then a transform + array_join —
+    all JVM, no window and no per-group Python.  Per-row text bytes pass
+    through untouched, preserving the per-turn equality invariant under
+    stable (key, order) ordering.
+
+    Skew note: one group's turns must meet in one task (the output row IS
+    the group) — bound the worst key's payload, not the key count; a
+    10^5-turn conversation is ~10 MB, fine.
+    """
+    pair = F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t"))
+    ordered = F.sort_array(F.collect_list(pair))
+    return df.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.array_join(F.transform(ordered, lambda x: x["t"]), sep).alias(out_col),
+    )

@@ -174,3 +174,21 @@ def test_pack_sequences_bins_contiguous_and_budgeted(spark):
     excl = out["tok"].cumsum() - out["tok"]
     assert ((excl - bins * 2048) < 2048).all() and ((excl - bins * 2048) >= 0).all()
     assert bins.max() > 100  # actually packed many bins
+
+
+def test_concat_group_texts_preserves_per_turn_bytes(spark):
+    """Flattening a synthetic transcripts table then re-splitting must give
+    back every turn's exact text in (conv_id, turn_idx) order — the
+    per-row integrity invariant through the flatten step."""
+    from guava_probably_spark.pipeline.packing import concat_group_texts
+    from guava_probably_spark.sources import synth_transcripts
+
+    df = synth_transcripts(spark, 4_000, seed=42).repartition(7)
+    flat = {r.conv_id: r.text for r in concat_group_texts(df, "conv_id", "turn_idx", "text", sep="\x1e").collect()}
+    rows = df.select("conv_id", "turn_idx", "text").collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append((r.turn_idx, r.text))
+    for conv, turns in by_conv.items():
+        want = [t for _, t in sorted(turns)]
+        assert flat[conv].split("\x1e") == want
