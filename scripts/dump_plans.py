@@ -118,6 +118,52 @@ def main() -> None:
         fmt(bm),
     ))
 
+    from guava_probably_spark.operators.grouped_quantiles import quantile_trim
+    from guava_probably_spark.pipeline.packing import concat_group_texts, pack_sequences
+    from guava_probably_spark.pipeline.sampling import hash_sample, hash_split
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    sections.append((
+        "Deterministic hash sample (bottom-k)",
+        "`TakeOrderedAndProject`: every task keeps a k-row heap, only "
+        "k rows per partition reach the driver merge — no full sort, no "
+        "shuffle stage at all.",
+        fmt(hash_sample(docs, ["doc_id"], 256)),
+    ))
+    sections.append((
+        "Deterministic train/val/test split",
+        "A pure `Project` inside `WholeStageCodegen` over the scan — "
+        "zero Exchange; a 100 TB split costs one scan.",
+        fmt(hash_split(docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})),
+    ))
+    sections.append((
+        "Per-group quantile trim",
+        "Threshold relation (one double per key) enters a "
+        "`BroadcastExchange` + `BroadcastHashJoin`; the data side is "
+        "scanned once and filtered by codegen — the raw table never "
+        "shuffles.",
+        fmt(quantile_trim(docs, "source", "n_chars", 0.9)),
+    ))
+    sections.append((
+        "Sequence packing (exact prefix sum)",
+        "The upstream range shuffle + partition-local sort are "
+        "materialized by the `localCheckpoint` (the `Scan ExistingRDD` "
+        "below IS that shuffle output, paid exactly once and shared with "
+        "the O(#partitions) totals job); what remains on the critical "
+        "path is one `MapInArrow` + a codegen `Project`. A naive `SUM "
+        "OVER (ORDER BY)` would be `Exchange SinglePartition` — the "
+        "anti-plan this operator exists to avoid.",
+        fmt(pack_sequences(docs, ["doc_id"], "n_chars", budget=4096)),
+    ))
+    sections.append((
+        "Group-ordered text flattening",
+        "One hash aggregation (`ObjectHashAggregate` partial → final): "
+        "`collect_list` partials run map-side, the per-group ordering is "
+        "`sort_array` inside the aggregate expression — no window, no "
+        "per-group Python.",
+        fmt(concat_group_texts(docs, "source", "doc_id", "text")),
+    ))
+
     out = [
         "# Physical plans of the core operators",
         "",
