@@ -296,6 +296,22 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: every 4th doc leaked (case-mangled copy),
+    the rest suffixed novel. Bloom prune (zero FN) + exact verify ⇒ the
+    output is exact."""
+    from guava_probably_spark.pipeline.contamination import flag_contaminated
+
+    train = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = train.select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 4 == 0, F.upper("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" zzz novel suffix")))
+        .alias("text"),
+    )
+    return flag_contaminated(train, ev, "doc_id", "text")
+
+
 def _q_concat_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-ordered text flattening (the transcript → training-sequence
     step, demonstrated per source); md5 of the flattened text keeps the
@@ -365,6 +381,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_documents": _q_redact,
         "pack_sequences_documents": _q_pack_sequences,
         "concat_group_texts_documents": _q_concat_groups,
+        "contamination_check_documents": _q_contamination,
         "word_repetition_documents": _q_word_repetition,
         "exact_dedup_documents": _q_exact_dedup,
         "minhash_neardup_pairs": _q_minhash_neardup,
@@ -462,6 +479,15 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"SELECT event_id FROM events WHERE "
             f"{textexpr.split_label_expr(['event_id'], {'keep': 0.1, 'drop': 0.9}, 'duck')}"
             f" = 'keep'"
+        ),
+        "contamination_check_documents": (
+            "WITH ev AS (SELECT doc_id + 500000 AS id, "
+            "CASE WHEN doc_id % 4 = 0 THEN upper(text) "
+            "ELSE text || ' zzz novel suffix' END AS text FROM documents), "
+            f"tf AS (SELECT DISTINCT {textexpr.md5_fingerprint_expr('text', 'duck')} "
+            "AS fp FROM documents) "
+            f"SELECT id, ({textexpr.md5_fingerprint_expr('text', 'duck')} "
+            "IN (SELECT fp FROM tf)) AS leaked FROM ev"
         ),
         "concat_group_texts_documents": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "

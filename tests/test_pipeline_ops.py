@@ -512,3 +512,27 @@ def test_word_repetition_matches_pandas(spark):
     assert got[1] == (5, 3, 3)
     assert got[2] == (2, 2, 1)
     assert got[3] == (3, 1, 3)  # normalization lowercases + collapses ws
+
+
+def test_flag_contaminated_exact_and_zero_fn(spark, sf_dir):
+    """Every planted leak is flagged (zero FN through the bloom), nothing
+    clean is flagged after verification, under both verify modes."""
+    from guava_probably_spark.pipeline.contamination import flag_contaminated
+
+    train = _docs(spark, sf_dir).select("doc_id", "text")
+    # eval: every 4th doc leaked (case-mangled — fingerprint-identical),
+    # the rest made novel by a suffix
+    ev = train.select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 4 == 0, F.upper("text")).otherwise(
+            F.concat(F.col("text"), F.lit(" zzz novel suffix"))
+        ).alias("text"),
+    )
+    got = {r.id: r.leaked for r in flag_contaminated(train, ev, "doc_id", "text").collect()}
+    want = {
+        r.doc_id + 500_000: r.doc_id % 4 == 0 for r in train.select("doc_id").collect()
+    }
+    assert got == want
+    # unverified mode: may overflag, never underflags
+    loose = {r.id: r.leaked for r in flag_contaminated(train, ev, "doc_id", "text", verify=False).collect()}
+    assert all(loose[i] for i, leaked in want.items() if leaked)
