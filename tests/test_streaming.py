@@ -330,3 +330,60 @@ def test_session_stream_ignores_late_event_after_close(spark, tmp_path):
         q.stop()
     assert len(rows) == 1  # the late event neither extended nor re-opened it
     assert rows[0].n == 2
+
+
+def test_windowed_stream_generic_over_sketch_kinds(spark, stream_dir, tmp_path):
+    """The streaming state machinery is kind-generic: a Misra-Gries
+    heavy-hitter stream and a CMS stream produce per-window sketches whose
+    decoded answers match batch-built sketches over the same rows."""
+    import pandas as pd
+
+    incoming, files = stream_dir
+    for i, f in enumerate(files):
+        shutil.copy(f, incoming + f"/mgk{i}.parquet")
+
+    for kind, params in (("mg", {"k": 32}), ("cms", {"epsilon": 0.01, "delta": 0.01})):
+        stream = spark.readStream.schema(TRANSCRIPT_DDL).parquet(incoming)
+        out = windowed_sketch_stream(
+            stream, "ts", "role", SketchSpec(kind, params), window="1 day",
+            watermark="3650 days",
+        )
+        name = f"win_{kind}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ck_{kind}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+        finally:
+            q.stop()
+        assert rows
+        batch = spark.read.parquet(incoming)
+        for r in rows:
+            sk = Sketch.from_bytes(bytes(r.sketch))
+            day = pd.Timestamp(r.window_start)
+            want = (
+                batch.filter(
+                    (F.col("ts") >= F.lit(day)) & (F.col("ts") < F.lit(day + pd.Timedelta(days=1)))
+                )
+                .groupBy("role")
+                .count()
+                .collect()
+            )
+            truth = {w.role: w["count"] for w in want}
+            n = sum(truth.values())
+            for role, c in truth.items():
+                est = (
+                    float(sk.estimate([role])[0])
+                    if kind == "cms"
+                    else sk.estimate_count(role)
+                )
+                if kind == "cms":
+                    assert c <= est <= c + 0.01 * n + 1
+                else:
+                    # MG bracketing: c - n/(k+1) <= counter <= c
+                    assert c - n / 33 - 1 <= est <= c
