@@ -296,6 +296,17 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary via MG candidate pruning + exact verify of the
+    retained set only — the token stream itself is never shuffled."""
+    from guava_probably_spark.pipeline.textops import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out, guaranteed = vocab_topk(docs, "text", k=25, mg_k=4096)
+    assert guaranteed  # containment certificate must hold on this corpus
+    return out
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: every 4th doc leaked (case-mangled copy),
     the rest suffixed novel. Bloom prune (zero FN) + exact verify ⇒ the
@@ -382,6 +393,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": _q_pack_sequences,
         "concat_group_texts_documents": _q_concat_groups,
         "contamination_check_documents": _q_contamination,
+        "vocab_topk_documents": _q_vocab_topk,
         "word_repetition_documents": _q_word_repetition,
         "exact_dedup_documents": _q_exact_dedup,
         "minhash_neardup_pairs": _q_minhash_neardup,
@@ -479,6 +491,12 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"SELECT event_id FROM events WHERE "
             f"{textexpr.split_label_expr(['event_id'], {'keep': 0.1, 'drop': 0.9}, 'duck')}"
             f" = 'keep'"
+        ),
+        "vocab_topk_documents": (
+            f"WITH w AS (SELECT unnest({textexpr.words_expr('text', 'duck')}) "
+            "AS word FROM documents) "
+            "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w "
+            "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"
         ),
         "contamination_check_documents": (
             "WITH ev AS (SELECT doc_id + 500000 AS id, "

@@ -136,3 +136,41 @@ def redact_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).cast("long").alias("id"),
         F.expr(textexpr.redact_expr(text_col, "spark")).alias("text"),
     )
+
+
+def vocab_topk(df: DataFrame, text_col: str, k: int = 100, mg_k: int = 4096):
+    """Corpus top-k vocabulary WITHOUT shuffling the token stream:
+    returns ((word, cnt) DataFrame, guaranteed: bool).
+
+    Pass 1: one scan folds per-partition Misra–Gries summaries over the
+    exploded words and tree-merges KB-sized blobs — no token ever crosses
+    an exchange.  Pass 2: exact counts for the ≤ mg_k retained candidates
+    only (broadcast join + hash agg over the filtered stream), ordered by
+    (count desc, word).
+
+    ``guaranteed`` certifies containment: MG retains every item with true
+    frequency > n/(mg_k+1) ≥ its decrement total, so if the k-th exact
+    candidate count exceeds the sketch's error bound, the true top-k is
+    provably inside the candidate set (size mg_k to the corpus tail for
+    this at 10^11 tokens; any word soup's head satisfies it easily).
+    """
+    from guava_probably_spark import SketchSpec
+    from guava_probably_spark.operators import collect_sketch
+
+    spark = df.sparkSession
+    words = df.select(
+        F.explode(F.expr(textexpr.words_expr(text_col, "spark"))).alias("word")
+    )
+    sk, _, _ = collect_sketch(words, "word", SketchSpec("mg", {"k": mg_k}))
+    cand = spark.createDataFrame([(w,) for w in sk.counters], "word string")
+    exact = (
+        words.join(F.broadcast(cand), "word")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(k)
+    )
+    rows = exact.collect()
+    kth = rows[-1].cnt if len(rows) == min(k, len(rows)) and rows else 0
+    guaranteed = bool(rows) and kth > sk.error_bound()
+    return spark.createDataFrame(rows, "word string, cnt long"), guaranteed

@@ -536,3 +536,23 @@ def test_flag_contaminated_exact_and_zero_fn(spark, sf_dir):
     # unverified mode: may overflag, never underflags
     loose = {r.id: r.leaked for r in flag_contaminated(train, ev, "doc_id", "text", verify=False).collect()}
     assert all(loose[i] for i, leaked in want.items() if leaked)
+
+
+def test_vocab_topk_matches_exact_and_certifies(spark, sf_dir):
+    """Sketch-pruned top-k vocabulary equals the exact full-shuffle answer
+    (same tie-break) and the containment certificate holds."""
+    from guava_probably_spark.pipeline.textops import vocab_topk
+
+    docs = _docs(spark, sf_dir).select("text")
+    got, guaranteed = vocab_topk(docs, "text", k=25, mg_k=4096)
+    want = (
+        docs.select(F.explode(F.expr(textexpr.words_expr("text", "spark"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(25)
+    )
+    assert [(r.word, r.cnt) for r in got.collect()] == [
+        (r.word, r.cnt) for r in want.collect()
+    ]
+    assert guaranteed  # tiny vocab: every word retained exactly
