@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Cluster curation job — spark-submit entry point for the pipeline tier.
+
+    spark-submit --py-files sketchlib.zip jobs/curate_job.py \
+        --op dedup --input /data/docs --id doc_id --text text \
+        --output /out/clean
+    --op sample    --k 100000 | --fraction 0.01 | --stratify source \
+                   | --weight n_chars
+    --op split     --fractions train=0.8,val=0.1,test=0.1
+    --op pack      --tokens n_chars --budget 8192 [--order doc_id]
+    --op redact
+    --op decontaminate --train /data/train (flags rows of --input)
+
+Each op reads parquet (sandbox) or Iceberg (--format iceberg), writes
+parquet, and emits one JSON status line.  Ops compose by chaining runs
+over intermediate directories — the deployment-shaped version of the
+library calls (see guava_probably_spark/pipeline/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_repo, "guava_probably_spark")):
+    sys.path.insert(0, _repo)
+
+
+def _read(spark, args, path):
+    if args.format == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    return spark.read.parquet(path)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--op", required=True,
+                    choices=["dedup", "sample", "split", "pack", "redact", "decontaminate"])
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--id", default="doc_id")
+    ap.add_argument("--text", default="text")
+    ap.add_argument("--output", required=True)
+    # sample
+    ap.add_argument("--k", type=int, default=None)
+    ap.add_argument("--fraction", type=float, default=None)
+    ap.add_argument("--stratify", default=None)
+    ap.add_argument("--weight", default=None)
+    ap.add_argument("--salt", default="")
+    # split
+    ap.add_argument("--fractions", default="train=0.9,val=0.05,test=0.05")
+    # pack
+    ap.add_argument("--tokens", default=None)
+    ap.add_argument("--budget", type=int, default=8192)
+    ap.add_argument("--order", default=None)
+    # dedup
+    ap.add_argument("--max-hamming", type=int, default=3)
+    # decontaminate
+    ap.add_argument("--train", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName(f"gps-curate-{args.op}").getOrCreate()
+    t0 = time.monotonic()
+    df = _read(spark, args, args.input)
+    status: dict = {"op": args.op, "input_rows": df.count()}
+
+    if args.op == "dedup":
+        from guava_probably_spark.pipeline.components import (
+            connected_components,
+            keep_canonical,
+        )
+        from guava_probably_spark.pipeline.dedup import simhash_df, simhash_near_pairs
+
+        sim = simhash_df(df, args.id, args.text)
+        pairs = simhash_near_pairs(sim, max_hamming=args.max_hamming)
+        comps = connected_components(pairs, "a", "b")
+        out = keep_canonical(df, args.id, comps)
+    elif args.op == "sample":
+        from guava_probably_spark.pipeline.sampling import (
+            hash_sample,
+            hash_threshold_sample,
+            stratified_sample,
+            weighted_sample,
+        )
+
+        if args.weight is not None and args.k is not None:
+            out = weighted_sample(df, [args.id], args.weight, args.k, salt=args.salt)
+        elif args.stratify is not None and args.k is not None:
+            out = stratified_sample(df, args.stratify, [args.id], args.k, salt=args.salt)
+        elif args.k is not None:
+            out = hash_sample(df, [args.id], args.k, salt=args.salt)
+        elif args.fraction is not None:
+            out = hash_threshold_sample(df, [args.id], args.fraction, salt=args.salt)
+        else:
+            raise SystemExit("sample requires --k or --fraction")
+    elif args.op == "split":
+        from guava_probably_spark.pipeline.sampling import hash_split
+
+        fr = {}
+        for part in args.fractions.split(","):
+            name, v = part.split("=", 1)
+            fr[name] = float(v)
+        out = hash_split(df, [args.id], fr, salt=args.salt)
+    elif args.op == "pack":
+        from guava_probably_spark.pipeline.packing import pack_sequences
+
+        token_col = args.tokens or "__tok"
+        if args.tokens is None:
+            df = df.withColumn("__tok", F.length(args.text))
+        order = [args.order] if args.order else [args.id]
+        out = pack_sequences(df, order, token_col, budget=args.budget)
+        if args.tokens is None:
+            out = out.drop("__tok")
+    elif args.op == "redact":
+        from guava_probably_spark.pipeline.textops import redact_df
+
+        red = redact_df(df, args.id, args.text).withColumnRenamed("id", args.id)
+        out = df.drop(args.text).join(red, args.id)
+    else:  # decontaminate
+        if not args.train:
+            raise SystemExit("decontaminate requires --train")
+        from guava_probably_spark.pipeline.contamination import flag_contaminated
+
+        train = _read(spark, args, args.train)
+        flags = flag_contaminated(train, df, args.id, args.text).withColumnRenamed(
+            "id", args.id
+        )
+        out = df.join(flags, args.id)
+        status["leaked_rows"] = out.filter(F.col("leaked")).count()
+
+    out.write.mode("overwrite").parquet(args.output)
+    status["output_rows"] = spark.read.parquet(args.output).count()
+    status["wall_s"] = round(time.monotonic() - t0, 2)
+    print(json.dumps(status))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
