@@ -323,6 +323,21 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_contaminated(train, ev, "doc_id", "text")
 
 
+def _q_packed_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing pipeline end to end: hash-shuffled order → budget bins →
+    per-bin ordered concat = the actual training sequences (md5-pinned)."""
+    from guava_probably_spark.pipeline.packing import concat_group_texts, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "rank", F.expr(textexpr.sample_rank_expr(["doc_id"], "spark"))
+    )
+    binned = pack_sequences(docs, ["rank"], "n_chars", budget=4096)
+    flat = concat_group_texts(binned, "bin", "rank", "text")
+    return flat.select(
+        F.col("bin").cast("long").alias("bin"), "n_rows", F.md5("text").alias("fp")
+    )
+
+
 def _q_concat_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-ordered text flattening (the transcript → training-sequence
     step, demonstrated per source); md5 of the flattened text keeps the
@@ -392,6 +407,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_documents": _q_redact,
         "pack_sequences_documents": _q_pack_sequences,
         "concat_group_texts_documents": _q_concat_groups,
+        "packed_sequences_text_documents": _q_packed_sequences_text,
         "contamination_check_documents": _q_contamination,
         "vocab_topk_documents": _q_vocab_topk,
         "word_repetition_documents": _q_word_repetition,
@@ -506,6 +522,14 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "AS fp FROM documents) "
             f"SELECT id, ({textexpr.md5_fingerprint_expr('text', 'duck')} "
             "IN (SELECT fp FROM tf)) AS leaked FROM ev"
+        ),
+        "packed_sequences_text_documents": (
+            f"WITH o AS (SELECT doc_id, text, n_chars, "
+            f"{textexpr.sample_rank_expr(['doc_id'], 'duck')} AS rank FROM documents), "
+            "r AS (SELECT text, rank, CAST((SUM(n_chars) OVER (ORDER BY rank "
+            "ROWS UNBOUNDED PRECEDING) - n_chars) // 4096 AS BIGINT) AS bin FROM o) "
+            "SELECT bin, CAST(count(*) AS BIGINT) AS n_rows, "
+            "md5(string_agg(text, chr(10) ORDER BY rank)) AS fp FROM r GROUP BY bin"
         ),
         "concat_group_texts_documents": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "
