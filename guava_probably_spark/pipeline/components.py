@@ -50,16 +50,28 @@ def _local_components(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndar
     dst = edges_flat[len(a):]
     label = np.arange(len(verts), dtype=np.int64)
     while True:
-        la, lb = label[src], label[dst]
-        active = la != lb
+        # contract edges INTO LABEL SPACE (star contraction): an edge must
+        # keep connecting the current representatives, not the original
+        # endpoints — dropping an edge merely because its endpoints' labels
+        # are momentarily equal loses future merges that reach only one of
+        # them (found by hypothesis: edges [(0,3),(1,2),(3,2)] stranded
+        # node 1). Self-loops then drop soundly, so the active set still
+        # collapses after the first pass.
+        src, dst = label[src], label[dst]
+        active = src != dst
         if not active.any():
             break
-        # contract away settled edges: the active set collapses to the few
-        # unfinished chains after the first pass, so later passes are free
         src, dst = src[active], dst[active]
         np.minimum.at(label, dst, label[src])
         np.minimum.at(label, src, label[dst])
         label = label[label]  # path halving
+    # full pointer compression: halving leaves stale multi-hop chains when
+    # the edge set drains first
+    while True:
+        nxt = label[label]
+        if np.array_equal(nxt, label):
+            break
+        label = nxt
     # at fixpoint label[v] is a root, and roots map to the component's
     # minimum dense index = minimum original id (np.unique sorts)
     return verts, verts[label]

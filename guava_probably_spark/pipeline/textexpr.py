@@ -245,6 +245,10 @@ def sample_rank_expr(cols: list[str] | tuple[str, ...], dialect: str, salt: str 
     the same total order on both sides.
     """
     _q(dialect)
+    if salt and not all(c.isalnum() or c in "_-." for c in salt):
+        # the salt is spliced into a SQL string literal in both dialects —
+        # restrict it rather than attempt cross-engine escaping
+        raise ValueError(f"salt must be alphanumeric/_-. only, got {salt!r}")
     parts = [f"cast({c} as string)" for c in cols]
     if salt:
         parts.append(f"'{salt}'")

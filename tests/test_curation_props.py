@@ -1,0 +1,127 @@
+"""Property-based invariants for the session-4 curation kernels.
+
+Spark-free on purpose: hypothesis shrinks fast against the pure numpy /
+SQL-string kernels, and the Spark paths are pinned to these same kernels
+by the integration tests (test_sampling.py, test_pipeline_ops.py).
+"""
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from guava_probably_spark.pipeline.components import _local_components
+from guava_probably_spark.pipeline.textexpr import (
+    hash_uniform_expr,
+    sample_rank_expr,
+    split_label_expr,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress so every node maps to its component min
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 120), st.integers(0, 120)),
+        min_size=1,
+        max_size=250,
+    )
+)
+def test_local_components_matches_union_find(edges):
+    a = np.array([x for x, _ in edges], dtype=np.int64)
+    b = np.array([y for _, y in edges], dtype=np.int64)
+    verts, comp = _local_components(a, b)
+    got = dict(zip(verts.tolist(), comp.tolist()))
+    want = _union_find(edges)
+    assert got == want
+    # the label is always the component minimum — canonical-doc contract
+    by_comp = {}
+    for v, c in got.items():
+        by_comp.setdefault(c, []).append(v)
+    for c, members in by_comp.items():
+        assert c == min(members)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(1, 99), min_size=2, max_size=5),
+    st.integers(0, 10_000),
+)
+def test_split_label_expr_partitions_and_matches_duck(weights, seed):
+    """Random fraction vectors: labels partition all rows, fractions are
+    honored within binomial noise, and Spark/Duck dialects agree (duck vs
+    duck re-evaluation here; cross-engine parity is pinned by
+    test_sampling_dialect_parity on real data)."""
+    total = sum(weights)
+    fractions = {f"s{i}": w / total for i, w in enumerate(weights)}
+    # float rounding: renormalize the last label
+    fractions[f"s{len(weights) - 1}"] += 1.0 - sum(fractions.values())
+    expr = split_label_expr(["x"], fractions, "duck", salt=str(seed))
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT {expr} AS l, count(*) AS c FROM (SELECT unnest(range(4000)) AS x) GROUP BY l"
+    ).fetchall()
+    counts = dict(rows)
+    assert sum(counts.values()) == 4000
+    assert set(counts) <= set(fractions)
+    for label, c in counts.items():
+        # 5 sigma of Binomial(4000, f)
+        f = fractions[label]
+        sd = (4000 * f * (1 - f)) ** 0.5
+        assert abs(c - 4000 * f) <= 5 * sd + 2
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(st.sampled_from("abcdefghij0123456789_-."), max_size=8))
+def test_hash_uniform_expr_in_unit_interval(salt):
+    con = duckdb.connect()
+    expr = hash_uniform_expr(["x"], "duck", salt=salt)
+    lo, hi = con.execute(
+        f"SELECT min(u), max(u) FROM (SELECT {expr} AS u FROM (SELECT unnest(range(2000)) AS x))"
+    ).fetchone()
+    assert 0.0 < lo and hi <= 1.0
+
+
+def test_sample_rank_prefix_property():
+    """hash_sample nesting: the bottom-k set is a prefix of the bottom-k'
+    set for k < k' — guaranteed because both order by the same rank."""
+    con = duckdb.connect()
+    r = sample_rank_expr(["x"], "duck")
+    small = {
+        v
+        for (v,) in con.execute(
+            f"SELECT x FROM (SELECT unnest(range(5000)) AS x) ORDER BY {r}, x LIMIT 100"
+        ).fetchall()
+    }
+    big = {
+        v
+        for (v,) in con.execute(
+            f"SELECT x FROM (SELECT unnest(range(5000)) AS x) ORDER BY {r}, x LIMIT 400"
+        ).fetchall()
+    }
+    assert small <= big
+
+
+def test_sample_rank_expr_rejects_injection_salt():
+    import pytest
+
+    for bad in ("a'b", 'x"y', "nul\x00", "semi;--"):
+        with pytest.raises(ValueError):
+            sample_rank_expr(["x"], "duck", salt=bad)
