@@ -556,3 +556,14 @@ def test_vocab_topk_matches_exact_and_certifies(spark, sf_dir):
         (r.word, r.cnt) for r in want.collect()
     ]
     assert guaranteed  # tiny vocab: every word retained exactly
+
+
+def test_connected_components_regression_stranded_node(spark):
+    """The hypothesis-shrunk counterexample that broke the driver kernel's
+    edge contraction — pinned against both execution modes."""
+    from guava_probably_spark.pipeline.components import connected_components
+
+    df = spark.createDataFrame([(0, 3), (1, 2), (3, 2)], "a long, b long")
+    for mode in ("driver", "distributed"):
+        got = {r.v: r.component for r in connected_components(df, mode=mode).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0}, mode
