@@ -192,3 +192,19 @@ def test_concat_group_texts_preserves_per_turn_bytes(spark):
     for conv, turns in by_conv.items():
         want = [t for _, t in sorted(turns)]
         assert flat[conv].split("\x1e") == want
+
+
+def test_prefix_sum_edge_cases(spark):
+    """More partitions than rows (empty partitions get zero offsets) and
+    negative values both stay exact."""
+    import pandas as pd
+
+    from guava_probably_spark.pipeline.packing import prefix_sum
+
+    pdf = pd.DataFrame({"k": range(10), "v": [5, -3, 0, 7, -7, 2, 2, -1, 9, -9]})
+    got = {
+        r.k: r.running
+        for r in prefix_sum(spark.createDataFrame(pdf), ["k"], "v", partitions=64).collect()
+    }
+    want = dict(zip(pdf["k"], pdf["v"].cumsum()))
+    assert got == want
