@@ -104,3 +104,44 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 def frame_sample(payload: bytes, n_frames: int = 4, fake: bool = False) -> list[np.ndarray]:
     """Sample n deterministic 'frames' from a fake video payload (stub)."""
     return [decode_image(payload + bytes([i]), fake=fake) for i in range(n_frames)]
+
+
+def resize_image(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy — REAL (not a stub): index-gather
+    on the decoded (H, W[, C]) array, no codec needed."""
+    if img.ndim not in (2, 3):
+        raise ValueError(f"expected (H, W[, C]) array, got shape {img.shape}")
+    rows = (np.arange(h) * img.shape[0] // h).astype(np.intp)
+    cols = (np.arange(w) * img.shape[1] // w).astype(np.intp)
+    return img[rows][:, cols]
+
+
+def decode_resize_features(
+    payloads: DataFrame, h: int = 8, w: int = 8, fake: bool = False
+) -> DataFrame:
+    """The full image-pipeline plumbing in one Arrow-batched mapInPandas
+    stage: decode (stubbed) → resize (real numpy) → per-image features
+    (mean/std over the resized pixels, exact ints via sums).
+
+    Returns (id, height, width, px_sum, px_sq_sum) — integer outputs so a
+    test (or oracle) can recompute them exactly from the payload bytes.
+    """
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"id": pdf["id"].astype("int64"), "height": [], "width": [],
+                   "px_sum": [], "px_sq_sum": []}
+            for b in pdf["payload"]:
+                img = resize_image(decode_image(bytes(b), fake=fake), h, w)
+                px = img.astype(np.int64)
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["px_sum"].append(int(px.sum()))
+                out["px_sq_sum"].append(int((px * px).sum()))
+            yield pd.DataFrame(out)
+
+    return payloads.select("id", "payload").mapInPandas(
+        stage, "id long, height long, width long, px_sum long, px_sq_sum long"
+    )

@@ -567,3 +567,36 @@ def test_connected_components_regression_stranded_node(spark):
     for mode in ("driver", "distributed"):
         got = {r.v: r.component for r in connected_components(df, mode=mode).collect()}
         assert got == {0: 0, 1: 0, 2: 0, 3: 0}, mode
+
+
+def test_resize_and_decode_pipeline_plumbing(spark):
+    """decode (fake) → nearest-neighbor resize (real numpy) → exact pixel
+    stats through the Arrow mapInPandas stage; resize verified directly."""
+    import numpy as np
+
+    from guava_probably_spark.pipeline.multimodal import (
+        decode_image,
+        decode_resize_features,
+        resize_image,
+        with_payload,
+    )
+
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    small = resize_image(img, 3, 4)
+    assert small.shape == (3, 4)
+    assert (small == img[::2][:, ::2]).all()  # exact 2x decimation
+    with pytest.raises(ValueError):
+        resize_image(np.zeros(5), 2, 2)
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    payloads = with_payload(docs, "doc_id", "text")
+    got = {
+        r.id: (r.height, r.width, r.px_sum, r.px_sq_sum)
+        for r in decode_resize_features(payloads, 8, 8, fake=True).collect()
+    }
+    raw = {r.id: bytes(r.payload) for r in payloads.collect()}
+    for i, payload in raw.items():
+        px = resize_image(decode_image(payload, fake=True), 8, 8).astype(np.int64)
+        assert got[i] == (8, 8, int(px.sum()), int((px * px).sum()))
