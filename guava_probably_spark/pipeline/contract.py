@@ -296,6 +296,19 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = {f"src{i}": (i % 3) + 1 for i in range(20)}
+
+
+def _q_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source mixing: integer stride-scheduling key under
+    which every prefix holds the configured source proportions."""
+    from guava_probably_spark.pipeline.sampling import interleave_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    out = interleave_sources(docs, "source", _MIX_WEIGHTS, ["doc_id"])
+    return out.select("doc_id", "mix_key")
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k vocabulary via MG candidate pruning + exact verify of the
     retained set only — the token stream itself is never shuffled."""
@@ -410,6 +423,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences_text_documents": _q_packed_sequences_text,
         "contamination_check_documents": _q_contamination,
         "vocab_topk_documents": _q_vocab_topk,
+        "interleave_sources_documents": _q_interleave,
         "word_repetition_documents": _q_word_repetition,
         "exact_dedup_documents": _q_exact_dedup,
         "minhash_neardup_pairs": _q_minhash_neardup,
@@ -508,6 +522,19 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"{textexpr.split_label_expr(['event_id'], {'keep': 0.1, 'drop': 0.9}, 'duck')}"
             f" = 'keep'"
         ),
+        "interleave_sources_documents": (lambda: (
+            f"WITH r AS (SELECT doc_id, source, row_number() OVER "
+            f"(PARTITION BY source ORDER BY "
+            f"{textexpr.sample_rank_expr(['doc_id'], 'duck')}, doc_id) AS rn "
+            f"FROM documents WHERE source IN "
+            f"({', '.join(repr(s) for s in _MIX_WEIGHTS)})) "
+            f"SELECT doc_id, CAST(rn * CASE source "
+            + " ".join(
+                f"WHEN '{s}' THEN {__import__('math').lcm(*_MIX_WEIGHTS.values()) // w}"
+                for s, w in _MIX_WEIGHTS.items()
+            )
+            + " END AS BIGINT) AS mix_key FROM r"
+        ))(),
         "vocab_topk_documents": (
             f"WITH w AS (SELECT unnest({textexpr.words_expr('text', 'duck')}) "
             "AS word FROM documents) "

@@ -123,3 +123,51 @@ def weighted_sample(
         .limit(k)
         .drop(_RANK)
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, int],
+    key_cols: list[str],
+    out_col: str = "mix_key",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic data mixing: an integer sort key under which sources
+    appear in proportion to their weights (stride scheduling).
+
+    Rows are ranked within their source by hash (deterministic shuffle
+    order), then ``mix_key = rank · (L / w_source)`` with L = lcm of the
+    integer weights — consuming rows in ``(mix_key, source, rank)`` order
+    yields every prefix with source proportions ≈ weights, exactly the
+    curriculum/mixture guarantee a trainer wants, with no randomness to
+    replay.  Unknown sources are dropped (explicit mixture contract).
+
+    One per-source window shuffle + codegen arithmetic; the key is exact
+    integer (no float ordering), so the oracle and any re-run agree
+    bit-for-bit.  Order by (mix_key, source, rank) downstream — or
+    range-partition on mix_key to split the mixture into ordered shards.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 or not isinstance(w, int) for w in weights.values()):
+        raise ValueError(f"weights must be positive integers, got {weights}")
+    lcm = math.lcm(*weights.values())
+    rank = F.expr(sample_rank_expr(key_cols, "spark", salt))
+    w = Window.partitionBy(source_col).orderBy(rank, *[F.col(c) for c in key_cols])
+    stride = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s, F.lit(lcm // wt))
+            for s, wt in weights.items()
+        ]
+    )
+    return (
+        df.filter(F.col(source_col).isin(list(weights)))
+        .withColumn("__gps_rn", F.row_number().over(w))
+        .withColumn(out_col, F.col("__gps_rn").cast("long") * stride)
+        .withColumnRenamed("__gps_rn", "rank_in_source")
+    )

@@ -208,3 +208,34 @@ def test_prefix_sum_edge_cases(spark):
     }
     want = dict(zip(pdf["k"], pdf["v"].cumsum()))
     assert got == want
+
+
+def test_interleave_sources_proportions_and_determinism(spark):
+    """Every prefix of the mixed order holds source proportions within one
+    stride of exact; the key is deterministic under repartitioning."""
+    import pandas as pd
+
+    from guava_probably_spark.pipeline.sampling import interleave_sources
+
+    rows = []
+    for s, n in (("a", 4_000), ("b", 4_000), ("c", 4_000)):
+        rows += [(s, f"{s}{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "src string, k string")
+    weights = {"a": 3, "b": 2, "c": 1}
+    out = interleave_sources(df, "src", weights, ["k"]).toPandas()
+    out = out.sort_values(["mix_key", "src", "rank_in_source"]).reset_index(drop=True)
+    for T in (600, 3_000, 6_000):
+        prefix = out.head(T)["src"].value_counts()
+        for s, w in weights.items():
+            assert abs(prefix.get(s, 0) - T * w / 6) <= 3, (T, s)
+    again = interleave_sources(df.repartition(13), "src", weights, ["k"]).toPandas()
+    a = out[["src", "k", "mix_key"]].sort_values(["src", "k"]).reset_index(drop=True)
+    b = again[["src", "k", "mix_key"]].sort_values(["src", "k"]).reset_index(drop=True)
+    assert a.equals(b)
+    # unknown sources are dropped; bad weights rejected
+    df2 = df.union(spark.createDataFrame([("zz", "x")], "src string, k string"))
+    assert interleave_sources(df2, "src", weights, ["k"]).filter("src = 'zz'").count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        interleave_sources(df, "src", {"a": 0}, ["k"])
