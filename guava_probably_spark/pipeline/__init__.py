@@ -35,12 +35,22 @@ from guava_probably_spark.pipeline.sampling import (
     hash_sample,
     hash_split,
     hash_threshold_sample,
+    interleave_sources,
     stratified_sample,
+    weighted_sample,
 )
-from guava_probably_spark.pipeline.packing import pack_sequences, prefix_sum
+from guava_probably_spark.pipeline.contamination import flag_contaminated
+from guava_probably_spark.pipeline.packing import (
+    concat_group_texts,
+    pack_sequences,
+    prefix_sum,
+)
 from guava_probably_spark.pipeline.multimodal import (
     decode_image,
+    decode_resize_features,
     extract_binary_features,
+    frame_sample,
+    resize_image,
     with_payload,
 )
 from guava_probably_spark.pipeline.ivf import assign_lists, ivf_topk, train_codebook
@@ -52,8 +62,11 @@ from guava_probably_spark.pipeline.similarity import (
 from guava_probably_spark.pipeline.textops import (
     langid_df,
     quality_df,
+    redact_df,
     rolling_fingerprint_df,
     token_counts_df,
+    vocab_topk,
+    word_repetition_df,
 )
 
 __all__ = [
@@ -66,6 +79,16 @@ __all__ = [
     "stratified_sample",
     "prefix_sum",
     "pack_sequences",
+    "concat_group_texts",
+    "flag_contaminated",
+    "weighted_sample",
+    "interleave_sources",
+    "redact_df",
+    "word_repetition_df",
+    "vocab_topk",
+    "resize_image",
+    "frame_sample",
+    "decode_resize_features",
     "exact_dedup",
     "exact_jaccard_pairs",
     "lsh_candidate_pairs",
