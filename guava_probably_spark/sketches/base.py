@@ -126,20 +126,29 @@ class Sketch(ABC):
     def from_bytes(blob: bytes) -> "Sketch":
         if blob[:4] != MAGIC:
             raise ValueError("not a GPSK sketch blob")
-        version, kind, funnel, comp = struct.unpack_from("<BBBB", blob, 4)
-        if version != VERSION:
-            raise ValueError(f"unsupported sketch version {version}")
-        (plen,) = struct.unpack_from("<I", blob, 8)
-        params = blob[12 : 12 + plen]
-        payload = blob[12 + plen :]
-        if comp == 1:
-            import zlib
+        # one uniform failure type for ANY corruption: checkpoint heal and
+        # store readers catch ValueError — a leaked struct.error/IndexError
+        # from a kind decoder would crash a resume instead of triggering the
+        # rebuild path (surfaced by blob fuzzing, 400 mutations × 8 kinds)
+        try:
+            version, kind, funnel, comp = struct.unpack_from("<BBBB", blob, 4)
+            if version != VERSION:
+                raise ValueError(f"unsupported sketch version {version}")
+            (plen,) = struct.unpack_from("<I", blob, 8)
+            params = blob[12 : 12 + plen]
+            payload = blob[12 + plen :]
+            if comp == 1:
+                import zlib
 
-            payload = zlib.decompress(payload)
-        cls = _REGISTRY.get(kind)
-        if cls is None:
-            raise ValueError(f"unknown sketch kind {kind}")
-        return cls._from_parts(funnel, params, payload)
+                payload = zlib.decompress(payload)
+            cls = _REGISTRY.get(kind)
+            if cls is None:
+                raise ValueError(f"unknown sketch kind {kind}")
+            return cls._from_parts(funnel, params, payload)
+        except ValueError:
+            raise
+        except Exception as e:
+            raise ValueError(f"corrupt sketch blob: {type(e).__name__}: {e}") from e
 
     def copy(self) -> "Sketch":
         return Sketch.from_bytes(self.to_bytes())

@@ -140,3 +140,41 @@ def test_merge_commutativity(spec):
         for sk in (ab, ba):
             ranks = np.searchsorted(srt, sk.quantile(qs)) / len(srt)
             assert (np.abs(ranks - qs) <= sk.rank_error_bound()).all()
+
+
+def test_from_bytes_corruption_always_raises_valueerror():
+    """Any truncation/bitflip/byte-swap of a valid blob either decodes or
+    raises ValueError — never a leaked struct.error/IndexError (the
+    checkpoint heal path catches ValueError to trigger rebuild)."""
+    import random
+
+    from guava_probably_spark.sketches.base import FUNNEL_UTF8
+
+    all_specs = SPECS + [
+        SketchSpec("mg", {"k": 64, "funnel": FUNNEL_UTF8}),
+        SketchSpec("theta", {"k": 256}),
+    ]
+    vals = _data(2000)
+    for spec in all_specs:
+        sk = spec.create()
+        try:
+            sk.update(vals)
+        except IncompatibleSketchError:
+            sk.update([f"item-{v}" for v in vals[:500]])
+        blob = sk.to_bytes()
+        r = random.Random(spec.kind)
+        for _ in range(150):
+            b = bytearray(blob)
+            mode = r.randrange(3)
+            if mode == 0:
+                b = b[: r.randrange(len(b))]
+            elif mode == 1:
+                for _ in range(r.randrange(1, 8)):
+                    b[r.randrange(len(b))] ^= 1 << r.randrange(8)
+            else:
+                i, j = r.randrange(len(b)), r.randrange(len(b))
+                b[i], b[j] = b[j], b[i]
+            try:
+                Sketch.from_bytes(bytes(b)).to_bytes()
+            except ValueError:
+                pass  # the one allowed failure type
