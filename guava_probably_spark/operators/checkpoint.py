@@ -151,21 +151,51 @@ def build_with_checkpoint(
         partials = wave_df.mapInArrow(_build_file_fn(col, spec, lineage), CHECKPOINT_SCHEMA)
         partials.write.mode("append").parquet(checkpoint_dir)
 
-    ck = spark.read.parquet(checkpoint_dir).filter(
-        (F.col("lineage") == lineage) & (F.col("file").isin(files))
-    )
-    rows = ck.select("sketch", "n", "overflow").collect()
+    def _collect_rows():
+        ck = spark.read.parquet(checkpoint_dir).filter(
+            (F.col("lineage") == lineage) & (F.col("file").isin(files))
+        )
+        return ck.select("file", "sketch", "n", "overflow").collect()
+
+    # decode with corruption healing: a corrupt row (torn disk write, bad
+    # replica) raises ValueError — treat its file as not-done and rebuild,
+    # keyed per file so the healed append never double-counts
+    good: dict[str, tuple] = {}
+    corrupt: set[str] = set()
+    for r in _collect_rows():
+        try:
+            good.setdefault(r.file, (Sketch.from_bytes(r.sketch), r.n, r.overflow))
+        except ValueError:
+            corrupt.add(r.file)
+    bad = sorted(corrupt - set(good))
+    if bad:
+        wave_df = spark.createDataFrame(
+            spark.sparkContext.parallelize([(f,) for f in bad], len(bad)),
+            "file string",
+        )
+        wave_df.mapInArrow(
+            _build_file_fn(col, spec, lineage), CHECKPOINT_SCHEMA
+        ).write.mode("append").parquet(checkpoint_dir)
+        for r in _collect_rows():
+            if r.file in good:
+                continue
+            try:
+                good[r.file] = (Sketch.from_bytes(r.sketch), r.n, r.overflow)
+            except ValueError:
+                continue  # the original corrupt row; the healed one also exists
+        still_bad = [f for f in bad if f not in good]
+        if still_bad:
+            raise ValueError(f"checkpoint heal failed for {still_bad[:3]}")
     acc: Sketch | None = None
     n = 0
     overflow = 0
-    for r in rows:
-        sk = Sketch.from_bytes(r.sketch)
+    for sk, rn, rov in good.values():
         if acc is None:
             acc = sk
         else:
             overflow += _merge_into(acc, sk)
-        n += r.n
-        overflow += r.overflow
+        n += rn
+        overflow += rov
     if acc is None:
         acc = spec.create()
     return acc, ResumeStats(

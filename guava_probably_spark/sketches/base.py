@@ -120,6 +120,11 @@ class Sketch(ABC):
             payload = zlib.compress(payload, 1)
             comp = 1
         header = MAGIC + struct.pack("<BBBB", VERSION, self.KIND, self.funnel, comp)
+        # no per-blob checksum by design: the grouped packers emit this exact
+        # layout fully vectorized (a per-row crc would serialize them), and
+        # blobs at rest ride in parquet (page checksums) or behind the
+        # checkpoint heal path — structural corruption surfaces as ValueError
+        # in from_bytes, which that path catches and rebuilds
         return header + struct.pack("<I", len(params)) + params + payload
 
     @staticmethod
