@@ -1,0 +1,32 @@
+"""The spark-submit curation CLI (jobs/curate_job.py) — one subprocess
+smoke per fast op; the slow ops (dedup, decontaminate) are covered by
+their operator tests and the session's spark-submit runs."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(tmp_path, *args):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate_job.py"),
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(tmp_path / "out"), *args],
+        capture_output=True, text=True, timeout=240,
+        env={**os.environ, "PYSPARK_SUBMIT_ARGS":
+             "--master local[2] --conf spark.ui.enabled=false pyspark-shell"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def test_curate_job_split_and_sample(tmp_path):
+    s = _run(tmp_path, "--op", "split", "--fractions", "train=0.8,val=0.1,test=0.1")
+    assert s["input_rows"] == s["output_rows"] == 500
+
+    s = _run(tmp_path, "--op", "sample", "--k", "50")
+    assert s["output_rows"] == 50
