@@ -495,6 +495,23 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     warmed("q_pack_sequences_docs", pack)
 
+    def weighted():
+        from guava_probably_spark.pipeline.sampling import weighted_sample
+
+        d = big_docs.withColumn("w", F.length("text").cast("double"))
+        return weighted_sample(d, ["doc_id"], "w", 10_000).count()
+
+    warmed("q_weighted_sample_docs", weighted)
+
+    def interleave():
+        from guava_probably_spark.pipeline.sampling import interleave_sources
+
+        d = big_docs.withColumn("src", (F.col("doc_id") % 8).cast("string"))
+        weights = {str(i): (i % 3) + 1 for i in range(8)}
+        return interleave_sources(d, "src", weights, ["doc_id"]).count()
+
+    warmed("q_interleave_sources_docs", interleave)
+
     # IVF scale path: codebook trained once (offline in production), search
     # prunes to nprobe/nlist of the corpus — the 10^9-vector answer
     from guava_probably_spark.pipeline.ivf import assign_lists, ivf_topk, train_codebook
