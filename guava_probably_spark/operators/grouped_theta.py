@@ -26,15 +26,20 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
-from ..sketches.base import FUNNEL_LONG, FUNNEL_UTF8, KIND_THETA, MAGIC, VERSION
+from ..sketches.base import FUNNEL_LONG, FUNNEL_UTF8, KIND_THETA, MAGIC, VERSION, Sketch
 from .grouped_hll import _hash_stage
 
 
 def _pack_theta_rows(
     uniq: pa.Array, codes_of_hashes: np.ndarray, hashes: np.ndarray,
     counts: np.ndarray, k_param: int, funnel: int,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Per-key retained-hash runs → concatenated ThetaSketch blobs + offsets.
+) -> pa.Array:
+    """Per-key retained-hash runs → ThetaSketch blob per key, byte-identical
+    to a local ThetaSketch.to_bytes() of the same group INCLUDING the
+    compression rule: payloads above Sketch._COMPRESS_THRESHOLD are
+    zlib(level 1)-compressed with comp=1 in the header, exactly like
+    base.Sketch.to_bytes (ADVICE r1: the packer used to always write comp=0,
+    breaking blob-equality for saturated k>8192 sketches).
     codes_of_hashes is sorted ascending; hashes ascending within each code."""
     n_keys = len(uniq)
     per_key = np.bincount(codes_of_hashes, minlength=n_keys).astype(np.int64)
@@ -57,7 +62,27 @@ def _pack_theta_rows(
         buf[base + b] = ((hashes >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
     if int(offsets[-1]) >= 1 << 31:
         raise ValueError("partition blob buffer exceeds BinaryArray offset range")
-    return buf, offsets.astype(np.int32)
+
+    big = (8 * per_key) > Sketch._COMPRESS_THRESHOLD
+    if big.any():
+        # rare regime (saturated keys at k > 8192): per-row zlib matches the
+        # local to_bytes() rule; the loop cost is dominated by zlib itself
+        import zlib
+
+        head_c = bytes(head[:7]) + b"\x01" + bytes(head[8:])
+        mv = memoryview(buf)
+        out = []
+        for i in range(n_keys):
+            lo, hi = int(offsets[i]), int(offsets[i + 1])
+            if big[i]:
+                out.append(head_c + zlib.compress(bytes(mv[lo + hl : hi]), 1))
+            else:
+                out.append(bytes(mv[lo:hi]))
+        return pa.array(out, type=pa.binary())
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n_keys,
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(buf.tobytes())],
+    )
 
 
 def _build_stage(k_param: int, funnel: int):
@@ -92,13 +117,7 @@ def _build_stage(k_param: int, funnel: int):
         seg_id = np.cumsum(starts_mask) - 1
         rank = np.arange(len(sc), dtype=np.int64) - seg_first[seg_id]
         top = rank < k_param
-        buf, offsets = _pack_theta_rows(
-            uniq, sc[top], sh[top], counts, k_param, funnel
-        )
-        blobs = pa.BinaryArray.from_buffers(
-            pa.binary(), len(uniq),
-            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
-        )
+        blobs = _pack_theta_rows(uniq, sc[top], sh[top], counts, k_param, funnel)
         yield pa.RecordBatch.from_arrays(
             [uniq, blobs, pa.array(counts)], names=["key", "sketch", "n"]
         )

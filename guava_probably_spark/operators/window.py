@@ -92,19 +92,28 @@ def _kernel(p: int, n_carry: int):
         seg = np.cumsum(is_start, dtype=np.int64) - 1
         seg_first_pos = np.flatnonzero(is_start)
 
-        # --- exact running distinct: first occurrence of value within segment
+        # --- exact running distinct: first occurrence of value within segment.
+        # Null rows are EXCLUDED from the first-occurrence computation itself
+        # (ADVICE r1): the old code filled nulls with ''/0 before encoding, so
+        # a null row preceding a genuine ''/0 in the same key group consumed
+        # its first-occurrence slot and the exact count undercounted forever.
         valid = None
         if val.null_count:
             valid = val.is_valid().to_numpy(zero_copy_only=False)
-            val = val.fill_null("" if pa.types.is_string(val.type) or pa.types.is_large_string(val.type) else 0)
+            val = val.fill_null(
+                "" if pa.types.is_string(val.type) or pa.types.is_large_string(val.type) else 0
+            )  # filled copy feeds ONLY the hash kernel (rho zeroed below)
         enc = val.dictionary_encode()
         vcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         combo = seg * np.int64(len(enc.dictionary)) + vcode
-        _, first_idx = np.unique(combo, return_index=True)
         first = np.zeros(n, dtype=bool)
-        first[first_idx] = True
         if valid is not None:
-            first &= valid
+            vpos = np.flatnonzero(valid)
+            _, fi = np.unique(combo[vpos], return_index=True)
+            first[vpos[fi]] = True
+        else:
+            _, first_idx = np.unique(combo, return_index=True)
+            first[first_idx] = True
         run = _segmented_cumsum(first.astype(np.int64), seg_first_pos, seg)
 
         # --- running HLL register deltas

@@ -71,23 +71,78 @@ class MisraGriesSketch(Sketch):
     def _params_bytes(self) -> bytes:
         return struct.pack("<I", self.k)
 
+    # Key-type tags (ADVICE r1: bytes keys used to be written raw under the
+    # str tag and decoded utf-8 — non-UTF-8 bytes made from_bytes raise
+    # (masked as "corrupt blob", sending checkpoint heal into futile
+    # rebuilds) and valid bytes/int keys silently became str across a
+    # round-trip, so estimate_count(original_key) returned 0):
+    #   1 = all-int64 keys, 2 = all-str keys (both the legacy layouts —
+    #   old blobs still decode), 3 = all-bytes keys (raw, decoded as bytes),
+    #   4 = mixed (per-key 1-byte type prefix inside each slot).
+    _KEY_INT, _KEY_STR, _KEY_BYTES = 0, 1, 2
+
+    @staticmethod
+    def _key_slot(key) -> bytes:
+        """Mixed-tag slot: type byte + payload; round-trips the key type."""
+        if isinstance(key, (bool,)):
+            raise TypeError("unsupported MG key type: bool")
+        if isinstance(key, (int, np.integer)):
+            return b"\x00" + struct.pack("<q", int(key))
+        if isinstance(key, str):
+            return b"\x01" + key.encode("utf-8")
+        if isinstance(key, (bytes, bytearray)):
+            return b"\x02" + bytes(key)
+        raise TypeError(f"unsupported MG key type: {type(key).__name__}")
+
     def _payload_bytes(self) -> bytes:
         items = sorted(self.counters.items(), key=lambda kv: (-kv[1], str(kv[0])))
-        int_keys = all(isinstance(key, (int, np.integer)) for key, _ in items)
-        tag = 1 if int_keys and items else 2
-        counts = np.array([c for _, c in items], dtype=np.int64)
-        head = struct.pack("<QQIB", self.n, self.e, len(items), tag)
-        if tag == 1:
-            keys = np.array([key for key, _ in items], dtype=np.int64)
-            return head + counts.tobytes() + keys.tobytes()
-        blobs = [
-            (key if isinstance(key, bytes) else str(key).encode("utf-8"))
+        kinds = {
+            (
+                self._KEY_INT
+                if isinstance(key, (int, np.integer)) and not isinstance(key, bool)
+                else self._KEY_STR
+                if isinstance(key, str)
+                else self._KEY_BYTES
+                if isinstance(key, (bytes, bytearray))
+                else -1
+            )
             for key, _ in items
-        ]
+        }
+        if -1 in kinds:
+            bad = next(
+                type(key).__name__
+                for key, _ in items
+                if not isinstance(key, (int, np.integer, str, bytes, bytearray))
+                or isinstance(key, bool)
+            )
+            raise TypeError(f"unsupported MG key type: {bad}")
+        counts = np.array([c for _, c in items], dtype=np.int64)
+        if items and kinds == {self._KEY_INT}:
+            head = struct.pack("<QQIB", self.n, self.e, len(items), 1)
+            keys = np.array([int(key) for key, _ in items], dtype=np.int64)
+            return head + counts.tobytes() + keys.tobytes()
+        if not items or kinds == {self._KEY_STR}:
+            tag, blobs = 2, [key.encode("utf-8") for key, _ in items]
+        elif kinds == {self._KEY_BYTES}:
+            tag, blobs = 3, [bytes(key) for key, _ in items]
+        else:
+            tag, blobs = 4, [self._key_slot(key) for key, _ in items]
+        head = struct.pack("<QQIB", self.n, self.e, len(items), tag)
         offs = np.zeros(len(blobs) + 1, dtype=np.int64)
         if blobs:
             offs[1:] = np.cumsum([len(b) for b in blobs])
         return head + counts.tobytes() + offs.tobytes() + b"".join(blobs)
+
+    @staticmethod
+    def _decode_slot(slot: bytes):
+        t = slot[0]
+        if t == 0:
+            return struct.unpack("<q", slot[1:9])[0]
+        if t == 1:
+            return slot[1:].decode("utf-8")
+        if t == 2:
+            return bytes(slot[1:])
+        raise ValueError(f"unknown MG key slot type {t}")
 
     @classmethod
     def _from_parts(cls, funnel: int, params: bytes, payload: bytes):
@@ -101,12 +156,24 @@ class MisraGriesSketch(Sketch):
         if tag == 1:
             keys = np.frombuffer(payload, dtype=np.int64, count=m, offset=off)
             sk.counters = {int(key): int(c) for key, c in zip(keys, counts)}
-        else:
-            offs = np.frombuffer(payload, dtype=np.int64, count=m + 1, offset=off)
-            off += 8 * (m + 1)
-            data = payload[off:]
+            return sk
+        if tag not in (2, 3, 4):
+            raise ValueError(f"unknown MG key tag {tag}")
+        offs = np.frombuffer(payload, dtype=np.int64, count=m + 1, offset=off)
+        off += 8 * (m + 1)
+        data = payload[off:]
+        if tag == 2:
             sk.counters = {
                 data[offs[i] : offs[i + 1]].decode("utf-8"): int(counts[i])
+                for i in range(m)
+            }
+        elif tag == 3:
+            sk.counters = {
+                bytes(data[offs[i] : offs[i + 1]]): int(counts[i]) for i in range(m)
+            }
+        else:
+            sk.counters = {
+                cls._decode_slot(data[offs[i] : offs[i + 1]]): int(counts[i])
                 for i in range(m)
             }
         return sk

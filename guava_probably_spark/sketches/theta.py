@@ -64,12 +64,29 @@ class ThetaSketch(Sketch):
         return sk
 
     # -- updates -------------------------------------------------------------
+    def _theta_bound(self) -> int:
+        """Exact inclusive sampling threshold as a python int in [0, 2^64].
+
+        2^64 means "exact mode" (fewer than k retained, every hash kept).
+        Saturated mode keeps exactly the hashes <= the k-th smallest seen, so
+        the bound IS self.hashes[-1]. Kept as an exact integer: converting
+        through float64 rounds hashes above 2^53 and a rounded-down bound
+        silently drops the boundary hash during merge/intersect trims, which
+        desaturates a saturated sketch (len < k) and collapses estimate() to
+        ~k "exact" values. With the inclusive integer bound, a merge of a
+        saturated sketch with anything retains >= k hashes (the side owning
+        min-theta passes its full k through the filter), so len(hashes) < k
+        remains a sound saturation test.
+        """
+        if len(self.hashes) < self.k:
+            return 1 << 64
+        return int(self.hashes[-1])
+
     @property
     def theta(self) -> float:
-        """Sampling threshold as a fraction of the hash space."""
-        if len(self.hashes) < self.k:
-            return 1.0
-        return float(self.hashes[-1]) / _FULL
+        """Sampling threshold as a fraction of the hash space (estimates only —
+        never used to trim; see _theta_bound)."""
+        return self._theta_bound() / _FULL
 
     def _fold(self, h: np.ndarray) -> None:
         merged = np.unique(np.concatenate([self.hashes, h]))
@@ -95,11 +112,16 @@ class ThetaSketch(Sketch):
 
     def merge(self, other: "ThetaSketch") -> "ThetaSketch":
         self._check_compatible(other)
-        # trim both sides to min(theta) first: retained sets stay uniform
-        t = min(self.theta, other.theta)
-        bound = np.uint64(min(int(t * _FULL), (1 << 64) - 1))
-        a = self.hashes[self.hashes <= bound] if t < 1.0 else self.hashes
-        b = other.hashes[other.hashes <= bound] if t < 1.0 else other.hashes
+        # trim both sides to min(theta) first: retained sets stay uniform.
+        # Exact integer bound — float rounding here once dropped boundary
+        # hashes above 2^53 and desaturated saturated sketches (ADVICE r1).
+        t = min(self._theta_bound(), other._theta_bound())
+        if t < (1 << 64):
+            bound = np.uint64(t)
+            a = self.hashes[self.hashes <= bound]
+            b = other.hashes[other.hashes <= bound]
+        else:
+            a, b = self.hashes, other.hashes
         self.hashes = np.empty(0, dtype=np.uint64)
         self._fold(np.unique(np.concatenate([a, b])))
         return self
@@ -120,24 +142,30 @@ class ThetaSketch(Sketch):
     def union_estimate(self, other: "ThetaSketch") -> float:
         return self.copy().merge(other).estimate()
 
+    def _trimmed_pair(self, other: "ThetaSketch") -> tuple[np.ndarray, np.ndarray, float]:
+        """Both retained sets trimmed to the exact min inclusive bound, plus
+        the float theta to divide estimates by (float is safe ONLY as the
+        final divisor — never as the trim comparator)."""
+        self._check_compatible(other)
+        t = min(self._theta_bound(), other._theta_bound())
+        if t < (1 << 64):
+            bound = np.uint64(t)
+            a = self.hashes[self.hashes <= bound]
+            b = other.hashes[other.hashes <= bound]
+        else:
+            a, b = self.hashes, other.hashes
+        return a, b, t / _FULL
+
     def intersect_estimate(self, other: "ThetaSketch") -> float:
         """|A ∩ B| = |retained(A) ∩ retained(B) below min θ| / min θ —
         a direct sample estimate, relative error ≈ 1/√(sample hits)."""
-        self._check_compatible(other)
-        t = min(self.theta, other.theta)
-        bound = np.uint64(min(int(t * _FULL), (1 << 64) - 1))
-        a = self.hashes[self.hashes <= bound]
-        b = other.hashes[other.hashes <= bound]
+        a, b, t = self._trimmed_pair(other)
         hits = len(np.intersect1d(a, b, assume_unique=True))
         return hits / t
 
     def difference_estimate(self, other: "ThetaSketch") -> float:
         """|A \\ B| on the retained samples below min θ."""
-        self._check_compatible(other)
-        t = min(self.theta, other.theta)
-        bound = np.uint64(min(int(t * _FULL), (1 << 64) - 1))
-        a = self.hashes[self.hashes <= bound]
-        b = other.hashes[other.hashes <= bound]
+        a, b, t = self._trimmed_pair(other)
         return len(np.setdiff1d(a, b, assume_unique=True)) / t
 
     def is_empty(self) -> bool:

@@ -99,3 +99,47 @@ def test_mg_distributed_matches_local(spark):
     # few distinct types → k=64 never decrements → counts exact
     assert sk.e == 0
     assert sk.counters == exact
+
+
+def test_mg_key_types_survive_roundtrip():
+    """ADVICE r1 regression: bytes and int keys must round-trip with their
+    ORIGINAL types (not silently become str), including non-UTF-8 bytes."""
+    sk = MisraGriesSketch(k=16)
+    sk.put(b"\xff\xfe\x00raw")  # not valid UTF-8
+    sk.put(b"\xff\xfe\x00raw")
+    sk.put("text")
+    sk.put(42)
+    rt = Sketch.from_bytes(sk.to_bytes())
+    assert rt.estimate_count(b"\xff\xfe\x00raw") == 2
+    assert rt.estimate_count("text") == 1
+    assert rt.estimate_count(42) == 1
+    assert rt.counters == sk.counters
+    assert Sketch.from_bytes(rt.to_bytes()).counters == sk.counters
+
+
+def test_mg_homogeneous_bytes_and_str_tags():
+    """All-bytes sketches use the bytes tag; all-str the legacy str tag —
+    both round-trip type-exact and blob-canonically."""
+    b = MisraGriesSketch(k=8)
+    for key in (b"\x00\x01", b"\xde\xad", b"\x00\x01"):
+        b.put(key)
+    rb = Sketch.from_bytes(b.to_bytes())
+    assert rb.counters == b.counters and all(
+        isinstance(key, bytes) for key in rb.counters
+    )
+    assert rb.to_bytes() == b.to_bytes()
+    s = MisraGriesSketch(k=8)
+    s.update(np.array(["x", "y", "x"], dtype=object))
+    rs = Sketch.from_bytes(s.to_bytes())
+    assert rs.counters == s.counters and all(
+        isinstance(key, str) for key in rs.counters
+    )
+
+
+def test_mg_unsupported_key_type_rejected_clearly():
+    """Unsupported key types fail with TypeError at serialization (not a
+    masked 'corrupt sketch blob' at decode that would loop checkpoint heal)."""
+    sk = MisraGriesSketch(k=4)
+    sk.put(3.14)
+    with pytest.raises(TypeError, match="unsupported MG key type"):
+        sk.to_bytes()

@@ -139,3 +139,66 @@ def test_grouped_theta_saturated_keeps_k_smallest(spark):
     assert row.sketch == ref.to_bytes()
     got = Sketch.from_bytes(row.sketch)
     assert abs(got.estimate() - n) / n <= got.relative_error_bound()
+
+
+def test_theta_merge_empty_into_saturated_keeps_saturation():
+    """ADVICE r1 regression: the trim bound must be carried as an exact
+    uint64. The old float64 path (int(theta*2^64)) rounded below the k-th
+    retained hash ~50% of the time once hashes exceed 2^53, dropping the
+    boundary hash on merge — a saturated sketch merged with an EMPTY one
+    desaturated (len < k) and estimate() collapsed to ~k 'exact' values."""
+    k, n = 64, 5_000
+    sat = ThetaSketch(k=k)
+    sat.update(_items(0, n))
+    before = sat.estimate()
+    assert len(sat.hashes) == k
+    for _ in range(50):  # old bug fired with ~50% probability per merge
+        sat.merge(ThetaSketch(k=k))
+        assert len(sat.hashes) == k, "merge with empty desaturated the sketch"
+        assert sat.estimate() == before
+    # same invariant through intersect/difference trims: all k retained
+    # hashes must survive the exact-bound trim (hits/θ estimator → k/θ)
+    assert sat.intersect_estimate(sat.copy()) == pytest.approx(
+        k / sat.theta, rel=1e-12
+    )
+    assert sat.difference_estimate(sat.copy()) == 0.0
+
+
+def test_theta_bound_is_exact_integer():
+    """_theta_bound returns the k-th hash exactly (no float rounding) and
+    2^64 in exact mode."""
+    sk = ThetaSketch(k=16)
+    assert sk._theta_bound() == 1 << 64
+    sk.update(_items(0, 1000))
+    assert sk._theta_bound() == int(sk.hashes[-1])
+    # boundary hash survives a self-merge byte-exactly
+    blob = sk.to_bytes()
+    assert sk.copy().merge(sk.copy()).to_bytes() == blob
+
+
+def test_grouped_theta_compressed_regime_blob_identical(spark):
+    """ADVICE r1 regression: for saturated keys with k > 8192 (payload above
+    Sketch._COMPRESS_THRESHOLD) the grouped packer must emit the SAME
+    zlib-compressed blob a local ThetaSketch.to_bytes() produces."""
+    import pandas as pd
+
+    from guava_probably_spark.operators import grouped_theta
+
+    k, n = 16_384, 40_000  # payload 128 KiB > 64 KiB threshold when saturated
+    vals = [f"u{i}" for i in range(n)]
+    pdf = pd.DataFrame(
+        {"g": ["big"] * n + ["small"] * 10, "v": vals + vals[:10]}
+    )
+    rows = {
+        r.g: r.sketch
+        for r in grouped_theta(
+            spark.createDataFrame(pdf).repartition(4), "g", "v", k=k
+        ).collect()
+    }
+    big_ref = ThetaSketch(k=k, funnel=1)
+    big_ref.update(np.array(vals, dtype=object))
+    small_ref = ThetaSketch(k=k, funnel=1)
+    small_ref.update(np.array(vals[:10], dtype=object))
+    assert rows["big"] == big_ref.to_bytes()  # comp=1 path
+    assert rows["small"] == small_ref.to_bytes()  # comp=0 path, same batch
+    assert Sketch.from_bytes(rows["big"]).estimate() == big_ref.estimate()

@@ -235,3 +235,24 @@ def test_quantile_trim_kll_close_to_exact(spark):
     # symmetric difference bounded by rank error (3*1.33/k per group tail)
     eps = 3 * 1.33 / 200
     assert len(exact ^ approx) <= 2 * eps * n + 64
+
+
+def test_running_distinct_null_before_empty_string(spark):
+    """ADVICE r1 regression: a null row preceding a genuine empty-string
+    value in the same key group must not consume ''s first-occurrence slot.
+    Old sentinel-fill code yielded run_distinct [0,0,1] for [null,'','x']."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "o": [1, 2, 3, 1, 2],
+            "v": [None, "", "x", "", None],
+        }
+    )
+    out = (
+        running_distinct(spark.createDataFrame(pdf), "k", "o", "v", p=6)
+        .orderBy("k", "o")
+        .collect()
+    )
+    assert [r.run_distinct for r in out] == [0, 1, 2, 1, 1]
