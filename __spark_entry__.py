@@ -273,18 +273,6 @@ def _q_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters via CMS: candidates with est ≥ φ·N (no false negatives
-    among candidates; ε·N ≪ φ·N keeps false positives away from the
-    threshold here)."""
-    events = _t(spark, sf_dir, "events")
-    sk, _, _ = collect_sketch(
-        events, "event_type", SketchSpec("cms", {"epsilon": 0.0005, "delta": 0.01})
-    )
-    candidates = [r.event_type for r in events.select("event_type").distinct().collect()]
-    hh = sk.heavy_hitters(candidates, phi=0.1)
-    return spark.createDataFrame([Row(event_type=x) for x in sorted(hh)])
-
 
 def _q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup-by-merge (SURVEY.md §2.3 grouping sets): the global sketch is
@@ -363,19 +351,6 @@ def _q_kll_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(rows)
 
-
-def _q_documents_text_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String-funnel (UTF-8) membership over long document texts — zero FN."""
-    docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
-    sk, _, ovf = collect_sketch(
-        docs, "text", SketchSpec("cuckoo", {"capacity": n * 2, "fpp": 0.01})
-    )
-    probe = might_contain_udf(spark, sk.to_bytes())
-    fn_count = docs.filter(~probe(F.col("text"))).count()
-    return spark.createDataFrame(
-        [Row(name="documents_text_membership", n_docs=int(n), false_negatives=int(fn_count + ovf))]
-    )
 
 
 def _q_grouped_hll_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,43 +769,6 @@ def _q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
-def _q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Misra–Gries heavy hitters (sketches/mg.py): candidates live INSIDE
-    the summary (no candidate-set enumeration, unlike CMS) — every item with
-    freq ≥ φ·n present, stored counts bracket the exact counts within the
-    additive-decrement bound e ≤ n/(k+1)."""
-    events = _t(spark, sf_dir, "events")
-    sk, n, _ = collect_sketch(events, "event_type", SketchSpec("mg", {"k": 64}))
-    # stress pass on a >k-cardinality column: bracketing must hold under decrements
-    sk_u, n_u, _ = collect_sketch(events, "user_id", SketchSpec("mg", {"k": 32}))
-    exact_u = {
-        r.user_id: r.c
-        for r in events.groupBy("user_id").agg(F.count("*").alias("c")).collect()
-    }
-    stress_ok = sk_u.e <= n_u / (32 + 1) and all(
-        c <= exact_u[u] <= c + sk_u.e for u, c in sk_u.counters.items()
-    )
-    phi = 0.1
-    hh = sk.heavy_hitters(phi)
-    exact = {
-        r.event_type: r.c
-        for r in events.groupBy("event_type").agg(F.count("*").alias("c")).collect()
-    }
-    rows = [
-        Row(
-            event_type=t,
-            exact_cnt=int(c),
-            within=bool(
-                t in hh
-                and sk.estimate_count(t) <= c <= sk.estimate_count(t) + sk.e
-                and stress_ok
-            ),
-        )
-        for t, c in sorted(exact.items())
-        if c >= phi * n
-    ]
-    return spark.createDataFrame(rows)
-
 
 def _q_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located sketch-store merge (operators/store.py): two half-tables
@@ -883,10 +821,183 @@ def _q_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
-def _q_exact_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact ground-truth path validation (FIXTURES.md §5 'exact-checkable')."""
+
+# ---------------------------------------------------------------------------
+# grid queries: several operators per driver row budget (the driver records
+# at most 50 correctness rows — round-1 left 17 registered queries untested;
+# these unions keep EVERY operator behind a green row at exactly 50 queries)
+# ---------------------------------------------------------------------------
+
+def _q_hll_distinct_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global HLL distinct over three (table, column) funnels — long keys,
+    string keys, and long document texts — each within 3·1.04/√m of exact."""
+    parts = [
+        _hll_distinct("events", "user_id", "hll_events_distinct_users")(spark, sf_dir),
+        _hll_distinct("lineitem", "l_partkey", "hll_lineitem_distinct_parts")(spark, sf_dir),
+        _hll_distinct("documents", "text", "hll_documents_distinct_texts")(spark, sf_dir),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_membership_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter membership across kinds and funnels: bloom(events), cuckoo
+    (events), cuckoo over long UTF-8 document texts — zero false negatives
+    everywhere, FP rate within bound where probed."""
+    a = _membership("bloom", "bloom_events_membership")(spark, sf_dir)
+    b = _membership("cuckoo", "cuckoo_events_membership")(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    sk, _, ovf = collect_sketch(
+        docs, "text", SketchSpec("cuckoo", {"capacity": n * 2, "fpp": 0.01})
+    )
+    probe = might_contain_udf(spark, sk.to_bytes())
+    fn_count = docs.filter(~probe(F.col("text"))).count()
+    c = spark.createDataFrame(
+        [
+            Row(
+                name="documents_text_membership",
+                n_members=int(n),
+                false_negatives=int(fn_count + ovf),
+                fp_within=True,
+            )
+        ]
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def _q_frequency_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point-frequency bracketing (exact ≤ est ≤ exact + εN) over two
+    tables/funnels; the exact_cnt column doubles as the exact-path check."""
+    e = _cms_freq("events", "event_type")(spark, sf_dir).select(
+        F.lit("cms_events_type").alias("name"),
+        F.col("event_type").cast("string").alias("item"),
+        "exact_cnt",
+        "within",
+    )
+    l = _cms_freq("lineitem", "l_returnflag")(spark, sf_dir).select(
+        F.lit("cms_lineitem_returnflag").alias("name"),
+        F.col("l_returnflag").cast("string").alias("item"),
+        "exact_cnt",
+        "within",
+    )
+    return e.unionByName(l)
+
+
+def _q_quantile_rank_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketches both directions: KLL + t-digest quantile()
+    estimates rank-checked against exact, and KLL rank() probes — all
+    within the published rank-error bound."""
+    k = _quantiles("kll", "lineitem", "l_extendedprice", "kll")(spark, sf_dir).select(
+        F.lit("kll_lineitem_price").alias("name"), "q_label", "within"
+    )
+    t = _quantiles("tdigest", "events", "value", "td")(spark, sf_dir).select(
+        F.lit("tdigest_events_value").alias("name"), "q_label", "within"
+    )
+    r = _q_kll_rank(spark, sf_dir).select(
+        F.lit("kll_rank_lineitem").alias("name"),
+        F.col("probe").alias("q_label"),
+        "within",
+    )
+    return k.unionByName(t).unionByName(r)
+
+
+def _q_heavy_hitters_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters both ways: CMS (estimate over an exact candidate set)
+    and Misra–Gries (candidates INSIDE the summary, bracketing bound,
+    plus a >k-cardinality decrement stress pass) — φ = 0.1."""
     events = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    exact = {
+        r.event_type: r.c
+        for r in events.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(exact.values())
+    phi = 0.1
+    cms, _, _ = collect_sketch(
+        events, "event_type", SketchSpec("cms", {"epsilon": 0.0005, "delta": 0.01})
+    )
+    cms_hh = set(cms.heavy_hitters(sorted(exact), phi=phi))
+    cms_bound = cms.error_bound()
+    mg, n_mg, _ = collect_sketch(events, "event_type", SketchSpec("mg", {"k": 64}))
+    mg_hh = mg.heavy_hitters(phi)
+    # stress pass on a >k-cardinality column: bracketing under decrements
+    sk_u, n_u, _ = collect_sketch(events, "user_id", SketchSpec("mg", {"k": 32}))
+    exact_u = {
+        r.user_id: r.c
+        for r in events.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    stress_ok = sk_u.e <= n_u / (32 + 1) and all(
+        c <= exact_u[u] <= c + sk_u.e for u, c in sk_u.counters.items()
+    )
+    rows = []
+    for t, c in sorted(exact.items()):
+        if c < phi * n:
+            continue
+        est = int(cms.estimate([t])[0])
+        rows.append(
+            Row(
+                method="cms",
+                event_type=t,
+                exact_cnt=int(c),
+                within=bool(t in cms_hh and c <= est <= c + cms_bound),
+            )
+        )
+        rows.append(
+            Row(
+                method="mg",
+                event_type=t,
+                exact_cnt=int(c),
+                within=bool(
+                    t in mg_hh
+                    and mg.estimate_count(t) <= c <= mg.estimate_count(t) + mg.e
+                    and stress_ok
+                ),
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def _q_rollup_cube_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets by MERGE, never recompute: one-level rollup with blob
+    byte-equality vs the direct global build, two-level SQL-ROLLUP, and
+    two-level SQL-CUBE — estimates within bound at EVERY level."""
+    ev = _q_hll_rollup(spark, sf_dir).select(
+        F.lit("rollup_merge_events").alias("op"),
+        F.col("level").alias("k1"),
+        F.lit("*").alias("k2"),
+        "exact_distinct",
+        "within",
+    )
+    ro = _q_rollup_two_level(spark, sf_dir).select(
+        F.lit("rollup_lineitem").alias("op"),
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("k1"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("k2"),
+        "exact_distinct",
+        "within",
+    )
+    cu = _q_cube_two_level(spark, sf_dir).select(
+        F.lit("cube_lineitem").alias("op"),
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("k1"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("k2"),
+        "exact_distinct",
+        "within",
+    )
+    return ev.unionByName(ro).unionByName(cu)
+
+
+def _q_setops_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation estimates across two event splits: HLL (union by
+    register max, intersection by inclusion–exclusion, compounded-error
+    slack) vs theta/KMV (direct sample estimates, EXACT below saturation)."""
+    h = _q_hll_setops(spark, sf_dir).select(
+        F.lit("hll").alias("kind"), "op", "exact", "within"
+    )
+    t = _q_theta_setops(spark, sf_dir).select(
+        F.lit("theta").alias("kind"), "op", F.col("estimate").alias("exact"), "within"
+    )
+    return h.unionByName(t)
 
 
 # ---------------------------------------------------------------------------
@@ -894,43 +1005,28 @@ def _q_exact_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # exactly 50 entries (24 pipeline + 26 main): the driver records at most
+    # 50 correctness rows, so every registered query gets a green row —
+    # related single-operator queries from round 1 are merged into grids
+    # (each half keeps its own oracle branch inside the UNION).
     return {
         **pipeline_queries(),
-        "hll_events_distinct_users": _hll_distinct(
-            "events", "user_id", "hll_events_distinct_users"
-        ),
-        "hll_lineitem_distinct_parts": _hll_distinct(
-            "lineitem", "l_partkey", "hll_lineitem_distinct_parts"
-        ),
-        "hll_documents_distinct_texts": _hll_distinct(
-            "documents", "text", "hll_documents_distinct_texts"
-        ),
-        "bloom_events_membership": _membership("bloom", "bloom_events_membership"),
-        "cuckoo_events_membership": _membership("cuckoo", "cuckoo_events_membership"),
+        "hll_distinct_grid": _q_hll_distinct_grid,
+        "filter_membership_grid": _q_membership_grid,
         "cuckoo_delete": _q_cuckoo_delete,
-        "cms_events_type_frequencies": _cms_freq("events", "event_type"),
-        "cms_lineitem_returnflag_frequencies": _cms_freq("lineitem", "l_returnflag"),
-        "kll_lineitem_price_quantiles": _quantiles(
-            "kll", "lineitem", "l_extendedprice", "kll_lineitem_price_quantiles"
-        ),
-        "tdigest_events_value_quantiles": _quantiles(
-            "tdigest", "events", "value", "tdigest_events_value_quantiles"
-        ),
+        "cms_frequency_grid": _q_frequency_grid,
+        "quantile_rank_grid": _q_quantile_rank_grid,
         "bloom_semijoin_lineitem_part": _q_semijoin,
         "merge_associativity": _q_merge_associativity,
         "grouped_hll_users_by_type": _q_grouped_hll,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "hll_rollup_by_merge": _q_hll_rollup,
+        "heavy_hitters_grid": _q_heavy_hitters_grid,
+        "rollup_cube_grid": _q_rollup_cube_grid,
         "expected_fpp_grid": _q_expected_fpp_grid,
-        "kll_rank_queries": _q_kll_rank,
-        "documents_text_membership": _q_documents_text_membership,
         "grouped_hll_highcard_parts": _q_grouped_hll_highcard,
-        "hll_rollup_two_level": _q_rollup_two_level,
-        "hll_cube_two_level": _q_cube_two_level,
         "grouped_kll_median_by_type": _q_grouped_kll_median,
         "running_distinct_user_types": _q_running_distinct,
         "hll_window_daily_users": _q_hll_window_daily,
-        "hll_setops_users": _q_hll_setops,
+        "setops_grid": _q_setops_grid,
         "grouped_mode_user_event_type": _q_grouped_mode,
         "grouped_quantiles_part_price": _q_grouped_quantiles,
         "quantile_trim_documents": _q_quantile_trim,
@@ -940,56 +1036,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_text_roundtrip_md5": _q_arrow_text_roundtrip,
         "cms_join_size_lineitem_part": _q_cms_join_size,
         "hll_composite_user_type_pairs": _q_hll_composite_distinct,
-        "theta_setops_users": _q_theta_setops,
-        "mg_heavy_hitters": _q_mg_heavy_hitters,
         "bucketed_merge_user_distinct": _q_bucketed_merge,
-        "exact_events_type_counts": _q_exact_type_counts,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         **pipeline_oracle_sql(),
-        "hll_events_distinct_users": (
+        "hll_distinct_grid": (
             "SELECT 'hll_events_distinct_users' AS name, "
-            "count(DISTINCT user_id) AS exact_distinct, true AS within FROM events"
+            "count(DISTINCT user_id) AS exact_distinct, true AS within FROM events "
+            "UNION ALL SELECT 'hll_lineitem_distinct_parts', "
+            "count(DISTINCT l_partkey), true FROM lineitem "
+            "UNION ALL SELECT 'hll_documents_distinct_texts', "
+            "count(DISTINCT text), true FROM documents"
         ),
-        "hll_lineitem_distinct_parts": (
-            "SELECT 'hll_lineitem_distinct_parts' AS name, "
-            "count(DISTINCT l_partkey) AS exact_distinct, true AS within FROM lineitem"
-        ),
-        "hll_documents_distinct_texts": (
-            "SELECT 'hll_documents_distinct_texts' AS name, "
-            "count(DISTINCT text) AS exact_distinct, true AS within FROM documents"
-        ),
-        "bloom_events_membership": (
+        "filter_membership_grid": (
             "SELECT 'bloom_events_membership' AS name, count(*) AS n_members, "
-            "CAST(0 AS BIGINT) AS false_negatives, true AS fp_within FROM events"
-        ),
-        "cuckoo_events_membership": (
-            "SELECT 'cuckoo_events_membership' AS name, count(*) AS n_members, "
-            "CAST(0 AS BIGINT) AS false_negatives, true AS fp_within FROM events"
+            "CAST(0 AS BIGINT) AS false_negatives, true AS fp_within FROM events "
+            "UNION ALL SELECT 'cuckoo_events_membership', count(*), "
+            "CAST(0 AS BIGINT), true FROM events "
+            "UNION ALL SELECT 'documents_text_membership', count(*), "
+            "CAST(0 AS BIGINT), true FROM documents"
         ),
         "cuckoo_delete": (
             "SELECT 'cuckoo_delete' AS name, "
             "count(DISTINCT event_id) FILTER (WHERE event_id % 2 = 0) AS n_removed, "
             "CAST(0 AS BIGINT) AS odd_false_negatives FROM events"
         ),
-        "cms_events_type_frequencies": (
-            "SELECT event_type, count(*) AS exact_cnt, true AS within "
-            "FROM events GROUP BY event_type"
-        ),
-        "cms_lineitem_returnflag_frequencies": (
-            "SELECT l_returnflag, count(*) AS exact_cnt, true AS within "
+        "cms_frequency_grid": (
+            "SELECT 'cms_events_type' AS name, CAST(event_type AS VARCHAR) AS item, "
+            "count(*) AS exact_cnt, true AS within FROM events GROUP BY event_type "
+            "UNION ALL SELECT 'cms_lineitem_returnflag', "
+            "CAST(l_returnflag AS VARCHAR), count(*), true "
             "FROM lineitem GROUP BY l_returnflag"
         ),
-        "kll_lineitem_price_quantiles": (
-            "SELECT q_label, true AS within FROM (VALUES ('p10'), ('p25'), ('p50'), "
-            "('p75'), ('p90')) AS t(q_label)"
-        ),
-        "tdigest_events_value_quantiles": (
-            "SELECT q_label, true AS within FROM (VALUES ('p10'), ('p25'), ('p50'), "
-            "('p75'), ('p90')) AS t(q_label)"
+        "quantile_rank_grid": (
+            "SELECT name, q_label, true AS within FROM (VALUES "
+            "('kll_lineitem_price', 'p10'), ('kll_lineitem_price', 'p25'), "
+            "('kll_lineitem_price', 'p50'), ('kll_lineitem_price', 'p75'), "
+            "('kll_lineitem_price', 'p90'), "
+            "('tdigest_events_value', 'p10'), ('tdigest_events_value', 'p25'), "
+            "('tdigest_events_value', 'p50'), ('tdigest_events_value', 'p75'), "
+            "('tdigest_events_value', 'p90'), "
+            "('kll_rank_lineitem', 'q20'), ('kll_rank_lineitem', 'q50'), "
+            "('kll_rank_lineitem', 'q80')) AS t(name, q_label)"
         ),
         "bloom_semijoin_lineitem_part": (
             "SELECT 'bloom_semijoin' AS name, count(*) AS join_cnt "
@@ -1003,39 +1094,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
             "true AS within FROM events GROUP BY event_type"
         ),
-        "cms_heavy_hitters": (
-            "SELECT event_type FROM events GROUP BY event_type "
-            "HAVING count(*) >= 0.1 * (SELECT count(*) FROM events)"
+        "heavy_hitters_grid": (
+            "WITH hh AS (SELECT event_type, count(*) AS exact_cnt FROM events "
+            "GROUP BY event_type "
+            "HAVING count(*) >= 0.1 * (SELECT count(*) FROM events)) "
+            "SELECT 'cms' AS method, event_type, exact_cnt, true AS within FROM hh "
+            "UNION ALL SELECT 'mg', event_type, exact_cnt, true FROM hh"
         ),
-        "hll_rollup_by_merge": (
-            "SELECT coalesce(event_type, 'ALL') AS level, "
-            "count(DISTINCT user_id) AS exact_distinct, true AS within "
-            "FROM events GROUP BY GROUPING SETS ((event_type), ())"
+        "rollup_cube_grid": (
+            "SELECT 'rollup_merge_events' AS op, coalesce(event_type, 'ALL') AS k1, "
+            "'*' AS k2, count(DISTINCT user_id) AS exact_distinct, true AS within "
+            "FROM events GROUP BY GROUPING SETS ((event_type), ()) "
+            "UNION ALL SELECT 'rollup_lineitem', coalesce(l_returnflag, 'ALL'), "
+            "coalesce(l_linestatus, 'ALL'), count(DISTINCT l_orderkey), true "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+            "UNION ALL SELECT 'cube_lineitem', coalesce(l_returnflag, 'ALL'), "
+            "coalesce(l_linestatus, 'ALL'), count(DISTINCT l_orderkey), true "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
         ),
         "expected_fpp_grid": (
             "SELECT name, true AS within FROM (VALUES ('bloom_0.03'), ('bloom_0.01'), "
             "('bloom_0.001'), ('cuckoo_0.03'), ('cuckoo_0.01'), ('cuckoo_0.001')) AS t(name)"
         ),
-        "kll_rank_queries": (
-            "SELECT probe, true AS within FROM (VALUES ('q20'), ('q50'), ('q80')) AS t(probe)"
-        ),
-        "documents_text_membership": (
-            "SELECT 'documents_text_membership' AS name, count(*) AS n_docs, "
-            "CAST(0 AS BIGINT) AS false_negatives FROM documents"
-        ),
         "grouped_hll_highcard_parts": (
             "SELECT count(DISTINCT l_partkey) AS n_groups, true AS all_within "
             "FROM lineitem"
-        ),
-        "hll_rollup_two_level": (
-            "SELECT l_returnflag, l_linestatus, "
-            "count(DISTINCT l_orderkey) AS exact_distinct, true AS within "
-            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
-        ),
-        "hll_cube_two_level": (
-            "SELECT l_returnflag, l_linestatus, "
-            "count(DISTINCT l_orderkey) AS exact_distinct, true AS within "
-            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
         ),
         "grouped_kll_median_by_type": (
             "SELECT event_type, true AS within FROM events GROUP BY event_type"
@@ -1051,14 +1134,20 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT user_id) AS exact_distinct, true AS within "
             "FROM events GROUP BY 1"
         ),
-        "hll_setops_users": (
-            "SELECT 'intersect' AS op, (SELECT count(*) FROM "
-            "(SELECT user_id FROM events WHERE event_id % 2 = 0 "
-            "INTERSECT SELECT user_id FROM events WHERE event_id % 2 = 1)) AS exact, "
+        "setops_grid": (
+            "WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0), "
+            "b AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1) "
+            "SELECT 'hll' AS kind, 'intersect' AS op, (SELECT count(*) FROM "
+            "(SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS exact, "
             "true AS within "
-            "UNION ALL "
-            "SELECT 'union' AS op, count(DISTINCT user_id) AS exact, true AS within "
-            "FROM events"
+            "UNION ALL SELECT 'hll', 'union', (SELECT count(*) FROM "
+            "(SELECT user_id FROM a UNION SELECT user_id FROM b)), true "
+            "UNION ALL SELECT 'theta', 'diff_a_minus_b', (SELECT count(*) FROM "
+            "(SELECT user_id FROM a EXCEPT SELECT user_id FROM b)), true "
+            "UNION ALL SELECT 'theta', 'intersect', (SELECT count(*) FROM "
+            "(SELECT user_id FROM a INTERSECT SELECT user_id FROM b)), true "
+            "UNION ALL SELECT 'theta', 'union', (SELECT count(*) FROM "
+            "(SELECT user_id FROM a UNION SELECT user_id FROM b)), true"
         ),
         "grouped_mode_user_event_type": (
             "WITH c AS (SELECT user_id, event_type, count(*) AS cnt "
@@ -1117,28 +1206,9 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM (SELECT DISTINCT user_id, event_type FROM events)) "
             "AS exact_distinct, true AS within"
         ),
-        "theta_setops_users": (
-            "WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0), "
-            "b AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1) "
-            "SELECT 'diff_a_minus_b' AS op, "
-            "(SELECT count(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS estimate, "
-            "true AS within "
-            "UNION ALL SELECT 'intersect', "
-            "(SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)), true "
-            "UNION ALL SELECT 'union', "
-            "(SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)), true"
-        ),
-        "mg_heavy_hitters": (
-            "SELECT event_type, count(*) AS exact_cnt, true AS within "
-            "FROM events GROUP BY event_type "
-            "HAVING count(*) >= 0.1 * (SELECT count(*) FROM events)"
-        ),
         "bucketed_merge_user_distinct": (
             "SELECT event_type, count(*) AS n_rows, "
             "count(DISTINCT user_id) AS exact_distinct, true AS within "
             "FROM events GROUP BY event_type"
-        ),
-        "exact_events_type_counts": (
-            "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"
         ),
     }

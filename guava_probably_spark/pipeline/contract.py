@@ -139,14 +139,37 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_aug_exact_copies(docs), "doc_id", "text")
 
 
-def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banded near-dup AND the exact all-pairs trigram-Jaccard
+    verifier (on a small id slice) in one grid — shared (a, b, inter, uni)
+    shape, disambiguated by `op`."""
     docs = _t(spark, sf_dir, "documents")
-    return neardup_pairs_minhash(_aug_truncated(docs), "doc_id", "text", threshold=0.5)
+    near = neardup_pairs_minhash(
+        _aug_truncated(docs), "doc_id", "text", threshold=0.5
+    ).select(F.lit("minhash_lsh").alias("op"), "a", "b", "inter", "uni")
+    small = docs.filter(F.col("doc_id") < 100)
+    sh = shingle_df(small, "doc_id", "text")
+    ids = small.select(F.col("doc_id").cast("long").alias("id"))
+    pairs = (
+        ids.alias("x")
+        .join(ids.alias("y"), F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+    )
+    allp = (
+        exact_jaccard_pairs(sh, pairs)
+        .filter(100 * F.col("inter") >= F.col("uni"))
+        .select(F.lit("allpairs_jaccard").alias("op"), "a", "b", "inter", "uni")
+    )
+    return near.unionByName(allp)
 
 
-def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content fingerprints: oracle-matched 64-bit SimHash +
+    Karp–Rabin rolling hash, one projection-only pass each, joined on id."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_df(docs, "doc_id", "text")
+    return simhash_df(docs, "doc_id", "text").join(
+        rolling_fingerprint_df(docs, "doc_id", "text"), "id"
+    )
 
 
 def _q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,18 +178,6 @@ def _q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(sim, max_hamming=3).select(
         "a", "b", F.col("hamming").cast("long").alias("hamming")
     )
-
-
-def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    sh = shingle_df(docs, "doc_id", "text")
-    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
-    pairs = (
-        ids.alias("x")
-        .join(ids.alias("y"), F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-    )
-    return exact_jaccard_pairs(sh, pairs).filter(100 * F.col("inter") >= F.col("uni"))
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,26 +210,21 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_df(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality metrics + stopword-density language ID (vs the
+    generator's label) — pure whole-stage-codegen projections, joined on id."""
     docs = _t(spark, sf_dir, "documents")
-    return langid_df(docs, "doc_id", "text").join(
+    lang = langid_df(docs, "doc_id", "text").join(
         docs.select(F.col("doc_id").cast("long").alias("id"), F.col("lang").alias("lang_label")),
         "id",
     )
+    return quality_df(docs, "doc_id", "text").join(lang, "id")
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts_df(_t(spark, sf_dir, "documents"), "source", "text").select(
         F.col("grp").alias("source"), "n_docs", "total_ws_tokens", "total_re_tokens"
     )
-
-
-def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rolling_fingerprint_df(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,11 +279,19 @@ def _q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_canonical(docs, "doc_id", comps).select("doc_id")
 
 
-def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from guava_probably_spark.pipeline.sampling import hash_sample
+def _q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k uniform sample + append-stable train/val/test split in one
+    grid (both keyed off the same md5 hash rank — one oracle per half)."""
+    from guava_probably_spark.pipeline.sampling import hash_sample, hash_split
 
     docs = _t(spark, sf_dir, "documents")
-    return hash_sample(docs, ["doc_id"], 256).select("doc_id")
+    sample = hash_sample(docs, ["doc_id"], 256).select(
+        F.lit("sample").alias("op"), "doc_id", F.lit("selected").alias("label")
+    )
+    split = hash_split(docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        F.lit("split").alias("op"), "doc_id", F.col("split").alias("label")
+    )
+    return sample.unionByName(split)
 
 
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,15 +299,6 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return stratified_sample(docs, "source", ["doc_id"], 20).select("source", "doc_id")
-
-
-def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from guava_probably_spark.pipeline.sampling import hash_split
-
-    docs = _t(spark, sf_dir, "documents")
-    return hash_split(docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}).select(
-        "doc_id", "split"
-    )
 
 
 _MIX_WEIGHTS = {f"src{i}": (i % 3) + 1 for i in range(20)}
@@ -362,19 +367,6 @@ def _q_concat_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.select("source", "n_rows", F.md5("text").alias("fp"))
 
 
-def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window packing over a deterministic hash-shuffled order:
-    two-phase exact prefix sum (range shuffle + broadcast offsets), never
-    a single-partition window."""
-    from guava_probably_spark.pipeline.packing import pack_sequences
-
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "rank", F.expr(textexpr.sample_rank_expr(["doc_id"], "spark"))
-    )
-    out = pack_sequences(docs, ["rank", "doc_id"], "n_chars", budget=4096)
-    return out.select("doc_id", F.col("bin").cast("long").alias("bin"))
-
-
 def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guava_probably_spark.pipeline.textops import redact_df
 
@@ -412,13 +404,11 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "neardup_components": _q_neardup_components,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
-        "hash_sample_documents": _q_hash_sample,
+        "hash_sample_split_documents": _q_hash_sample_split,
         "stratified_sample_documents": _q_stratified_sample,
-        "hash_split_documents": _q_hash_split,
         "threshold_sample_events": _q_threshold_sample,
         "weighted_sample_documents": _q_weighted_sample,
         "redact_documents": _q_redact,
-        "pack_sequences_documents": _q_pack_sequences,
         "concat_group_texts_documents": _q_concat_groups,
         "packed_sequences_text_documents": _q_packed_sequences_text,
         "contamination_check_documents": _q_contamination,
@@ -426,17 +416,14 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_sources_documents": _q_interleave,
         "word_repetition_documents": _q_word_repetition,
         "exact_dedup_documents": _q_exact_dedup,
-        "minhash_neardup_pairs": _q_minhash_neardup,
-        "simhash_documents": _q_simhash_docs,
+        "minhash_jaccard_pairs": _q_minhash_jaccard,
+        "doc_fingerprints": _q_doc_fingerprints,
         "simhash_near_pairs": _q_simhash_near,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "ann_cosine_topk": _q_ann_topk,
         "ivf_ann_topk": _q_ivf_topk,
-        "text_quality_scores": _q_quality,
-        "langid_documents": _q_langid,
+        "text_quality_langid": _q_quality_langid,
         "token_count_by_source": _q_token_counts,
-        "rolling_fingerprint_documents": _q_rolling_fp,
         "multimodal_binary_features": _q_multimodal,
         "streaming_dedup_replay": _q_streaming_dedup,
     }
@@ -505,17 +492,18 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"aug AS ({_AUG_SIMHASH_SQL}) "
             "SELECT doc_id FROM aug WHERE doc_id NOT IN (SELECT v FROM losers)"
         ),
-        "hash_sample_documents": (
-            f"SELECT doc_id FROM documents ORDER BY {doc_rank}, doc_id LIMIT 256"
+        "hash_sample_split_documents": (
+            f"(SELECT 'sample' AS op, doc_id, 'selected' AS label FROM documents "
+            f"ORDER BY {doc_rank}, doc_id LIMIT 256) "
+            "UNION ALL "
+            f"(SELECT 'split' AS op, doc_id, "
+            f"{textexpr.split_label_expr(['doc_id'], split_fr, 'duck')} AS label "
+            f"FROM documents)"
         ),
         "stratified_sample_documents": (
             f"SELECT source, doc_id FROM documents "
             f"QUALIFY row_number() OVER (PARTITION BY source "
             f"ORDER BY {doc_rank}, doc_id) <= 20"
-        ),
-        "hash_split_documents": (
-            f"SELECT doc_id, {textexpr.split_label_expr(['doc_id'], split_fr, 'duck')} "
-            f"AS split FROM documents"
         ),
         "threshold_sample_events": (
             f"SELECT event_id FROM events WHERE "
@@ -563,13 +551,6 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "md5(string_agg(text, chr(10) ORDER BY doc_id)) AS fp "
             "FROM documents GROUP BY source"
         ),
-        "pack_sequences_documents": (
-            f"WITH o AS (SELECT doc_id, n_chars, "
-            f"{textexpr.sample_rank_expr(['doc_id'], 'duck')} AS rank FROM documents), "
-            "r AS (SELECT doc_id, SUM(n_chars) OVER (ORDER BY rank, doc_id "
-            "ROWS UNBOUNDED PRECEDING) - n_chars AS excl FROM o) "
-            "SELECT doc_id, CAST(excl // 4096 AS BIGINT) AS bin FROM r"
-        ),
         "redact_documents": (
             f"WITH aug AS ({_AUG_PII_SQL}) SELECT doc_id AS id, "
             f"{textexpr.redact_expr('text', 'duck')} AS text FROM aug"
@@ -593,12 +574,22 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"SELECT {fp} AS fp, min(doc_id) AS keep_id, count(*) AS n_copies "
             f"FROM aug GROUP BY 1 HAVING count(*) > 1"
         ),
-        "minhash_neardup_pairs": _jaccard_pairs_sql(_aug_truncated_sql(), (1, 2)),
-        "simhash_documents": simhash_sql_duck("documents", "doc_id", "text"),
-        "simhash_near_pairs": _simhash_pairs_sql(),
-        "ngram_jaccard_pairs": _jaccard_pairs_sql(
-            "SELECT doc_id, text FROM documents WHERE doc_id < 100", (1, 100)
+        "minhash_jaccard_pairs": (
+            "SELECT 'minhash_lsh' AS op, a, b, inter, uni FROM ("
+            + _jaccard_pairs_sql(_aug_truncated_sql(), (1, 2))
+            + ") UNION ALL SELECT 'allpairs_jaccard' AS op, a, b, inter, uni FROM ("
+            + _jaccard_pairs_sql(
+                "SELECT doc_id, text FROM documents WHERE doc_id < 100", (1, 100)
+            )
+            + ")"
         ),
+        "doc_fingerprints": (
+            f"SELECT s.id, s.simhash, r.roll_fp FROM "
+            f"({simhash_sql_duck('documents', 'doc_id', 'text')}) s JOIN "
+            f"(SELECT doc_id AS id, {textexpr.rolling_hash_expr('text', 'duck')} "
+            f"AS roll_fp FROM documents) r ON s.id = r.id"
+        ),
+        "simhash_near_pairs": _simhash_pairs_sql(),
         "embedding_neardup_pairs": (
             f"WITH aug AS ({_AUG_EMB_SQL}) "
             "SELECT x.vec_id AS a, y.vec_id AS b FROM aug x "
@@ -628,15 +619,13 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "nid AS neighbor_id FROM scored "
             "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) <= 10"
         ),
-        "text_quality_scores": (
+        "text_quality_langid": (
             f"SELECT doc_id AS id, CAST({wc} AS BIGINT) AS ws_tokens, "
             f"CAST({textexpr.re_token_count_expr('text', 'duck')} AS BIGINT) AS re_tokens, "
             f"CAST({textexpr.char_count_expr('text', 'duck')} AS BIGINT) AS n_chars_norm, "
             f"CAST({textexpr.stopword_hits_expr('text', 'duck')} AS BIGINT) AS stop_hits, "
-            f"{textexpr.quality_flag_expr('text', 'duck')} AS is_quality FROM documents"
-        ),
-        "langid_documents": (
-            f"SELECT doc_id AS id, {textexpr.langid_expr('text', 'duck')} AS pred_lang, "
+            f"{textexpr.quality_flag_expr('text', 'duck')} AS is_quality, "
+            f"{textexpr.langid_expr('text', 'duck')} AS pred_lang, "
             f"lang AS lang_label FROM documents"
         ),
         "token_count_by_source": (
@@ -644,10 +633,6 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"CAST(sum({wc}) AS BIGINT) AS total_ws_tokens, "
             f"CAST(sum({textexpr.re_token_count_expr('text', 'duck')}) AS BIGINT) "
             f"AS total_re_tokens FROM documents GROUP BY source"
-        ),
-        "rolling_fingerprint_documents": (
-            f"SELECT doc_id AS id, {textexpr.rolling_hash_expr('text', 'duck')} "
-            f"AS roll_fp FROM documents"
         ),
         "multimodal_binary_features": (
             "SELECT doc_id AS id, CAST(4 + octet_length(encode(text)) AS BIGINT) "
