@@ -36,8 +36,42 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _distribute_label_pairs(
+    spark: SparkSession, verts: np.ndarray, comp: np.ndarray
+) -> DataFrame:
+    """Driver numpy arrays → a PARALLELIZED (v, component) DataFrame.
+
+    ``spark.createDataFrame(pandas)`` compiles to a LocalTableScan that
+    re-serializes every row on the driver per action (measured 5-7 s per
+    count at 2.5M rows); broadcasting the arrays once and emitting slices
+    from a trivial ``mapInArrow`` keeps the result a normal distributed
+    relation (zero-copy Arrow slices, ~0.3 s total).
+    """
+    import pyarrow as pa
+
+    n = len(verts)
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n // 250_000 + 1))
+    bc = spark.sparkContext.broadcast((verts, comp))
+    bounds = np.linspace(0, n, parts + 1).astype(np.int64)
+
+    def emit(batches):
+        from pyspark import TaskContext
+
+        for batch in batches:  # drain the dummy input
+            pass
+        pid = TaskContext.get().partitionId()
+        lo, hi = int(bounds[pid]), int(bounds[pid + 1])
+        v, c = bc.value
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(v[lo:hi]), pa.array(c[lo:hi])], names=["v", "component"]
+        )
+
+    seed = spark.range(0, parts, 1, numPartitions=parts)
+    return seed.mapInArrow(emit, "v long, component long")
 
 
 def _local_components(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -96,7 +130,15 @@ def connected_components(
         raise ValueError(f"unknown mode {mode!r}")
     spark = edges.sparkSession
     if mode != "distributed":
-        n_edges = edges.count() if mode == "auto" else None
+        # materialize the narrow 2-column edge set ONCE: the auto-dispatch
+        # count used to evaluate the full upstream pair pipeline (LSH join +
+        # exact verify) and toPandas then evaluated it a second time —
+        # localCheckpoint pays the upstream cost once and both the count and
+        # the collect read the materialized partitions
+        narrow = edges.select(
+            F.col(a).cast("long").alias("a"), F.col(b).cast("long").alias("b")
+        ).localCheckpoint()
+        n_edges = narrow.count() if mode == "auto" else None
         if mode == "driver" or n_edges <= driver_max_edges:
             # force the Arrow boundary for the collect/recreate round-trip:
             # row-based serialization measured 8-10 s vs <1 s at 2M edges
@@ -104,23 +146,18 @@ def connected_components(
             old = spark.conf.get(arrow_key, None)
             spark.conf.set(arrow_key, "true")
             try:
-                pdf = edges.select(
-                    F.col(a).cast("long").alias("a"), F.col(b).cast("long").alias("b")
-                ).toPandas()
+                pdf = narrow.toPandas()
                 verts, comp = _local_components(
                     pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)
                 )
-                import pandas as pd
-
-                return spark.createDataFrame(
-                    pd.DataFrame({"v": verts, "component": comp}),
-                    "v long, component long",
-                )
+                return _distribute_label_pairs(spark, verts, comp)
             finally:
                 if old is None:
                     spark.conf.unset(arrow_key)
                 else:
                     spark.conf.set(arrow_key, old)
+        edges = narrow
+        a, b = "a", "b"
 
     sym = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))

@@ -557,19 +557,43 @@ def _hash_token_u64(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return h
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    sim: DataFrame, max_hamming: int = 3, max_bucket: int = 4096
+) -> DataFrame:
     """(a, b, hamming) pairs with Hamming distance ≤ max_hamming between
     64-bit simhashes, via 4×16-bit band blocking.
 
     Pigeonhole: distance ≤ 3 ⇒ at least one of the 4 16-bit quarters is
     identical, so banding on quarters has recall 1 — no full cross join.
+
+    Skew guard (same as ``lsh_candidate_pairs``): pairs are emitted only
+    within quarter buckets of size ≤ ``max_bucket``. A 16-bit quarter has
+    only 2^16 values per band position, so at web scale a hot quarter
+    (boilerplate docs, near-constant signatures) otherwise turns the
+    bucket join quadratic in one task. Buckets above the cap are genuine
+    duplicate-storms — route those through exact_dedup first; within the
+    cap the recall-1 guarantee is unchanged.
     """
     quarters = F.expr(
         "transform(sequence(0, 3), q -> concat_ws(':', q, substr(simhash, q * 4 + 1, 4)))"
     )
     exploded = sim.select("id", "simhash", F.explode(quarters).alias("qk"))
-    a = exploded.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "qk")
-    b = exploded.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "qk")
+    buckets = exploded.groupBy("qk").agg(
+        F.collect_list(F.struct("id", "simhash")).alias("members")
+    )
+    cand = (
+        buckets.filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, x -> "
+                    "transform(filter(members, y -> y.id > x.id), y -> "
+                    "struct(x.id AS a, x.simhash AS ha, y.id AS b, y.simhash AS hb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.ha", "p.b", "p.hb")
+    )
     # hamming over hex strings: popcount of nibble XOR per position
     nib = "(instr('0123456789abcdef', substr({h}, i, 1)) - 1)"
     ham = F.expr(
@@ -577,9 +601,7 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
         f"bit_count({nib.format(h='ha')} ^ {nib.format(h='hb')}))"
     )
     return (
-        a.join(b, "qk")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", ham.alias("hamming"))
-        .distinct()
+        cand.select("a", "b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

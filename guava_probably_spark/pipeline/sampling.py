@@ -66,17 +66,35 @@ def hash_threshold_sample(
 
 
 def stratified_sample(
-    df: DataFrame, strata_col: str, key_cols: list[str], k_per_stratum: int, salt: str = ""
+    df: DataFrame,
+    strata_col: str,
+    key_cols: list[str],
+    k_per_stratum: int,
+    salt: str = "",
+    salt_partitions: int = 32,
 ) -> DataFrame:
     """Exactly ``min(k, stratum size)`` rows from every stratum.
 
-    One shuffle on the stratum key; per-stratum deterministic order by
-    (hash-rank, key) so ties cannot flap between runs.
+    Two-phase top-k so a hot stratum never serializes through one task:
+    phase 1 windows over (stratum, hash-salt) — ``salt_partitions``-way
+    parallel — keeping k rows per salt bucket; phase 2 re-windows the
+    ≤ k·salt_partitions survivors per stratum for the final exact top-k.
+    Every salt bucket's top-k contains all of its members of the global
+    top-k, so the result is identical to the single-window formulation —
+    deterministic order by (hash-rank, key), ties cannot flap between runs.
     """
     rank = F.expr(sample_rank_expr(key_cols, "spark", salt))
-    w = Window.partitionBy(strata_col).orderBy(rank, *[F.col(c) for c in key_cols])
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(salt_partitions))
+    order = [rank] + [F.col(c) for c in key_cols]
+    w1 = Window.partitionBy(F.col(strata_col), bucket).orderBy(*order)
+    pruned = (
+        df.withColumn(_RANK, F.row_number().over(w1))
+        .filter(F.col(_RANK) <= k_per_stratum)
+        .drop(_RANK)
+    )
+    w2 = Window.partitionBy(strata_col).orderBy(*order)
     return (
-        df.withColumn(_RANK, F.row_number().over(w))
+        pruned.withColumn(_RANK, F.row_number().over(w2))
         .filter(F.col(_RANK) <= k_per_stratum)
         .drop(_RANK)
     )
@@ -143,31 +161,92 @@ def interleave_sources(
     curriculum/mixture guarantee a trainer wants, with no randomness to
     replay.  Unknown sources are dropped (explicit mixture contract).
 
-    One per-source window shuffle + codegen arithmetic; the key is exact
-    integer (no float ordering), so the oracle and any re-run agree
-    bit-for-bit.  Order by (mix_key, source, rank) downstream — or
-    range-partition on mix_key to split the mixture into ordered shards.
+    The per-source global rank is computed with the same two-phase
+    formulation as ``packing.prefix_sum`` — one range shuffle on
+    (source, hash-rank), per-(partition, source) counts to the driver
+    (O(#partitions + #sources) rows, since range partitioning keeps each
+    source in a contiguous partition span), broadcast offsets, one
+    vectorized ``mapInArrow`` pass — NOT a per-source ``Window``, which
+    serializes each source's entire row set through a single task at
+    10^12-row scale.  The key is exact integer (no float ordering), so the
+    oracle and any re-run agree bit-for-bit.  Order by (mix_key, source,
+    rank) downstream — or range-partition on mix_key to split the mixture
+    into ordered shards.
     """
     import math
+    from collections.abc import Iterator
 
-    from pyspark.sql import Window
+    import numpy as np
+    import pyarrow as pa
 
     if not weights:
         raise ValueError("weights must be non-empty")
     if any(w <= 0 or not isinstance(w, int) for w in weights.values()):
         raise ValueError(f"weights must be positive integers, got {weights}")
     lcm = math.lcm(*weights.values())
+    spark = df.sparkSession
     rank = F.expr(sample_rank_expr(key_cols, "spark", salt))
-    w = Window.partitionBy(source_col).orderBy(rank, *[F.col(c) for c in key_cols])
+    parts = spark.sparkContext.defaultParallelism * 2
+    order = [source_col, "__gps_hr", *key_cols]
+    arranged = (
+        df.filter(F.col(source_col).isin(list(weights)))
+        .withColumn("__gps_hr", rank)
+        .repartitionByRange(parts, *order)
+        .sortWithinPartitions(*order)
+        .localCheckpoint()  # counts pass + rank pass read one shuffle output
+    )
+    counts = (
+        arranged.groupBy(
+            F.spark_partition_id().alias("pid"), F.col(source_col).alias("g")
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    # exclusive offset of (pid, source) = rows of that source in earlier pids
+    per_source: dict[str, int] = {}
+    offsets: dict[int, dict[str, int]] = {}
+    for r in sorted(counts, key=lambda r: (r.g, r.pid)):
+        offsets.setdefault(r.pid, {})[r.g] = per_source.get(r.g, 0)
+        per_source[r.g] = per_source.get(r.g, 0) + r.c
+    bc = spark.sparkContext.broadcast(offsets)
+
+    out_fields = [f for f in arranged.schema.fields if f.name != "__gps_hr"]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    ) + ", rank_in_source bigint"
+    src_names = [f.name for f in out_fields]
+
+    def add_rank(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        counters = dict(bc.value.get(TaskContext.get().partitionId(), {}))
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            enc = batch.column(source_col).dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            is_start = np.empty(n, dtype=bool)
+            is_start[0] = True
+            np.not_equal(codes[1:], codes[:-1], out=is_start[1:])
+            seg_first = np.flatnonzero(is_start)
+            seg_id = np.cumsum(is_start) - 1
+            seg_src = [str(enc.dictionary[codes[i]].as_py()) for i in seg_first]
+            base = np.empty(len(seg_first), dtype=np.int64)
+            seg_end = np.append(seg_first[1:], n)
+            for j, s in enumerate(seg_src):  # few segments: sources contiguous
+                base[j] = counters.get(s, 0)
+                counters[s] = int(base[j]) + int(seg_end[j] - seg_first[j])
+            rn = np.arange(n, dtype=np.int64) - seg_first[seg_id] + base[seg_id] + 1
+            cols = [batch.column(name) for name in src_names]
+            cols.append(pa.array(rn, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(cols, names=src_names + ["rank_in_source"])
+
+    ranked = arranged.mapInArrow(add_rank, schema)
     stride = F.coalesce(
         *[
             F.when(F.col(source_col) == s, F.lit(lcm // wt))
             for s, wt in weights.items()
         ]
     )
-    return (
-        df.filter(F.col(source_col).isin(list(weights)))
-        .withColumn("__gps_rn", F.row_number().over(w))
-        .withColumn(out_col, F.col("__gps_rn").cast("long") * stride)
-        .withColumnRenamed("__gps_rn", "rank_in_source")
-    )
+    return ranked.withColumn(out_col, F.col("rank_in_source") * stride)

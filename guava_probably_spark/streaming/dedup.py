@@ -73,9 +73,21 @@ def dedup_batch_incremental(
         .cache()
     )
     try:
-        new_fps = [r._fp for r in survivors.select("_fp").collect()]
-        if new_fps:
-            bloom.update(new_fps)
+        # fold survivor fingerprints into the state DISTRIBUTED: per-partition
+        # bloom partials + tree merge — only sketch blobs reach the driver.
+        # (The original collect() of every survivor fingerprint was the one
+        # driver-side bottleneck in this operator: a large micro-batch at
+        # cluster scale would ship millions of 32-char strings to the driver
+        # and update the filter single-threaded.) Same (capacity, fpp) spec
+        # as the persisted state ⇒ identical geometry ⇒ OR-merge; changing
+        # capacity/fpp between runs raises IncompatibleSketchError by design.
+        from guava_probably_spark.operators import collect_sketch
+
+        batch_bloom, n_new, _ = collect_sketch(
+            survivors, "_fp", SketchSpec("bloom", {"capacity": capacity, "fpp": fpp})
+        )
+        if n_new:
+            bloom.merge(batch_bloom)
             tmp = state_path + ".tmp"
             with open(tmp, "wb") as f:
                 f.write(bloom.to_bytes())
