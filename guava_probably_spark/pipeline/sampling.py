@@ -161,23 +161,31 @@ def interleave_sources(
     curriculum/mixture guarantee a trainer wants, with no randomness to
     replay.  Unknown sources are dropped (explicit mixture contract).
 
-    The per-source global rank is computed with the same two-phase
-    formulation as ``packing.prefix_sum`` — one range shuffle on
-    (source, hash-rank), per-(partition, source) counts to the driver
-    (O(#partitions + #sources) rows, since range partitioning keeps each
-    source in a contiguous partition span), broadcast offsets, one
-    vectorized ``mapInArrow`` pass — NOT a per-source ``Window``, which
-    serializes each source's entire row set through a single task at
-    10^12-row scale.  The key is exact integer (no float ordering), so the
-    oracle and any re-run agree bit-for-bit.  Order by (mix_key, source,
-    rank) downstream — or range-partition on mix_key to split the mixture
-    into ordered shards.
+    The per-source global rank is computed with a two-phase DETERMINISTIC
+    bucket scheme — never a per-source ``Window``, which serializes each
+    source's entire row set through a single task at 10^12-row scale:
+
+      1. bucket = ``floor(hash_uniform · B)`` — a pure codegen function of
+         the row, monotone in the md5 sort rank (the uniform IS the rank's
+         leading 15 nibbles), so bucket order refines rank order;
+      2. one NARROW counts pass (``groupBy(bucket, source).count()`` —
+         column pruning reaches the scan, the text never moves) gives the
+         per-(bucket, source) exclusive offsets, O(B·#sources) rows to the
+         driver;
+      3. a broadcast offset join + ``row_number`` over the PARALLEL
+         (bucket, source) window — B × #sources bounded partitions, pure
+         whole-stage codegen, the text crosses exactly one shuffle and
+         never enters Python.
+
+    Because the bucket is deterministic (no sampled RangePartitioner, no
+    materialization barrier), the two passes agree by construction.  The
+    key is exact integer (no float ordering), so the oracle and any re-run
+    agree bit-for-bit.  Order by (mix_key, source, rank) downstream — or
+    range-partition on mix_key to split the mixture into ordered shards.
     """
     import math
-    from collections.abc import Iterator
 
-    import numpy as np
-    import pyarrow as pa
+    from .textexpr import hash_uniform_expr
 
     if not weights:
         raise ValueError("weights must be non-empty")
@@ -185,64 +193,53 @@ def interleave_sources(
         raise ValueError(f"weights must be positive integers, got {weights}")
     lcm = math.lcm(*weights.values())
     spark = df.sparkSession
+    n_buckets = spark.sparkContext.defaultParallelism * 4
     rank = F.expr(sample_rank_expr(key_cols, "spark", salt))
-    parts = spark.sparkContext.defaultParallelism * 2
-    order = [source_col, "__gps_hr", *key_cols]
-    arranged = (
+    u = F.expr(hash_uniform_expr(key_cols, "spark", salt))
+    bucket = F.least(F.floor(u * n_buckets), F.lit(n_buckets - 1)).cast("int")
+    base_df = (
         df.filter(F.col(source_col).isin(list(weights)))
         .withColumn("__gps_hr", rank)
-        .repartitionByRange(parts, *order)
-        .sortWithinPartitions(*order)
-        .localCheckpoint()  # counts pass + rank pass read one shuffle output
+        .withColumn("__gps_bk", bucket)
     )
     counts = (
-        arranged.groupBy(
-            F.spark_partition_id().alias("pid"), F.col(source_col).alias("g")
-        )
+        base_df.groupBy(F.col("__gps_bk").alias("bk"), F.col(source_col).alias("g"))
         .agg(F.count("*").alias("c"))
         .collect()
     )
-    # exclusive offset of (pid, source) = rows of that source in earlier pids
     per_source: dict[str, int] = {}
-    offsets: dict[int, dict[str, int]] = {}
-    for r in sorted(counts, key=lambda r: (r.g, r.pid)):
-        offsets.setdefault(r.pid, {})[r.g] = per_source.get(r.g, 0)
+    offsets: dict[tuple[int, str], int] = {}
+    for r in sorted(counts, key=lambda r: (r.g, r.bk)):
+        offsets[(r.bk, r.g)] = per_source.get(r.g, 0)
         per_source[r.g] = per_source.get(r.g, 0) + r.c
-    bc = spark.sparkContext.broadcast(offsets)
-
-    out_fields = [f for f in arranged.schema.fields if f.name != "__gps_hr"]
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
-    ) + ", rank_in_source bigint"
-    src_names = [f.name for f in out_fields]
-
-    def add_rank(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from pyspark import TaskContext
-
-        counters = dict(bc.value.get(TaskContext.get().partitionId(), {}))
-        for batch in batches:
-            n = batch.num_rows
-            if n == 0:
-                continue
-            enc = batch.column(source_col).dictionary_encode()
-            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            is_start = np.empty(n, dtype=bool)
-            is_start[0] = True
-            np.not_equal(codes[1:], codes[:-1], out=is_start[1:])
-            seg_first = np.flatnonzero(is_start)
-            seg_id = np.cumsum(is_start) - 1
-            seg_src = [str(enc.dictionary[codes[i]].as_py()) for i in seg_first]
-            base = np.empty(len(seg_first), dtype=np.int64)
-            seg_end = np.append(seg_first[1:], n)
-            for j, s in enumerate(seg_src):  # few segments: sources contiguous
-                base[j] = counters.get(s, 0)
-                counters[s] = int(base[j]) + int(seg_end[j] - seg_first[j])
-            rn = np.arange(n, dtype=np.int64) - seg_first[seg_id] + base[seg_id] + 1
-            cols = [batch.column(name) for name in src_names]
-            cols.append(pa.array(rn, type=pa.int64()))
-            yield pa.RecordBatch.from_arrays(cols, names=src_names + ["rank_in_source"])
-
-    ranked = arranged.mapInArrow(add_rank, schema)
+    offs_df = F.broadcast(
+        spark.createDataFrame(
+            [(bk, g, off) for (bk, g), off in offsets.items()] or [(0, "", 0)],
+            "__gps_obk int, __gps_g string, __gps_off long",
+        )
+    )
+    # parallel window: (bucket, source) has B × #sources partitions of
+    # ~n/B rows each — no source ever sorts through a single task; the
+    # broadcast offset join + row_number keep everything whole-stage
+    # codegen (the text column crosses exactly ONE shuffle and never
+    # enters Python)
+    w = Window.partitionBy("__gps_bk", source_col).orderBy(
+        F.col("__gps_hr"), *[F.col(c) for c in key_cols]
+    )
+    ranked = (
+        base_df.join(
+            offs_df,
+            (F.col("__gps_bk") == F.col("__gps_obk"))
+            & (F.col(source_col) == F.col("__gps_g")),
+            "inner",
+        )
+        .drop("__gps_obk")
+        .withColumn(
+            "rank_in_source",
+            F.row_number().over(w).cast("long") + F.col("__gps_off"),
+        )
+        .drop("__gps_hr", "__gps_bk", "__gps_g", "__gps_off")
+    )
     stride = F.coalesce(
         *[
             F.when(F.col(source_col) == s, F.lit(lcm // wt))
