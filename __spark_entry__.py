@@ -315,18 +315,43 @@ def _q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_expected_fpp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """expectedFpp within the configured bound across the FPP grid
-    (BASELINE.md row 3) for both filter kinds, built distributed."""
+    (BASELINE.md row 3) for both filter kinds, built distributed — plus the
+    remaining ProbabilisticFilter contract ops (SURVEY §2.1 rows 6/12/15/16:
+    containsAll, clear, copy, equals/hashCode) exercised on the
+    distributed-built filters so every reference operator has a driver row."""
     events = _t(spark, sf_dir, "events")
     n = events.count()
     rows = []
+    built = {}
     for kind in ("bloom", "cuckoo"):
         for fpp in (0.03, 0.01, 0.001):
             sk, _, ovf = collect_sketch(
                 events, "event_id", SketchSpec(kind, {"capacity": n, "fpp": fpp})
             )
+            built[(kind, fpp)] = sk
             ok = ovf == 0 and sk.expected_fpp() <= fpp * 1.6
             rows.append(Row(name=f"{kind}_{fpp}", within=bool(ok)))
+    ids = [r.event_id for r in events.select("event_id").limit(500).collect()]
+    for kind in ("bloom", "cuckoo"):
+        sk = built[(kind, 0.01)]
+        contains_all = bool(all(sk.might_contain_batch(_np_ids(ids))))
+        cp = sk.copy()
+        equals_ok = cp == sk and cp is not sk and cp.to_bytes() == sk.to_bytes()
+        cp.clear()
+        clear_ok = cp.is_empty() and not cp.might_contain_batch(_np_ids(ids)).any()
+        unchanged = sk.might_contain_batch(_np_ids(ids)).all()  # clear() on the COPY
+        rows.append(Row(name=f"{kind}_contains_all", within=bool(contains_all)))
+        rows.append(Row(name=f"{kind}_copy_equals", within=bool(equals_ok)))
+        rows.append(
+            Row(name=f"{kind}_clear", within=bool(clear_ok and unchanged))
+        )
     return spark.createDataFrame(rows)
+
+
+def _np_ids(ids):
+    import numpy as np
+
+    return np.array(ids, dtype=np.int64)
 
 
 def _q_kll_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1114,7 +1139,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "expected_fpp_grid": (
             "SELECT name, true AS within FROM (VALUES ('bloom_0.03'), ('bloom_0.01'), "
-            "('bloom_0.001'), ('cuckoo_0.03'), ('cuckoo_0.01'), ('cuckoo_0.001')) AS t(name)"
+            "('bloom_0.001'), ('cuckoo_0.03'), ('cuckoo_0.01'), ('cuckoo_0.001'), "
+            "('bloom_contains_all'), ('bloom_copy_equals'), ('bloom_clear'), "
+            "('cuckoo_contains_all'), ('cuckoo_copy_equals'), ('cuckoo_clear')"
+            ") AS t(name)"
         ),
         "grouped_hll_highcard_parts": (
             "SELECT count(DISTINCT l_partkey) AS n_groups, true AS all_within "

@@ -334,11 +334,15 @@ def run_queries(spark, sf_dir: str, t_path: str, d_path: str, e_path: str) -> tu
         from guava_probably_spark.operators import sessionize
 
         df = spark.read.parquet(t_path)
+        # sum of per-conv max session ids forces the lag+cumsum window —
+        # under a bare count() Catalyst pruned the session computation and
+        # measured only the groupBy
         return (
             sessionize(df, "conv_id", "ts", gap="30 minutes")
             .groupBy("conv_id")
-            .agg(F.max("session_id"))
-            .count()
+            .agg(F.max("session_id").alias("m"))
+            .agg(F.sum("m"))
+            .collect()[0][0]
         )
 
     sessionize_convs()
@@ -416,7 +420,15 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
     extras["pipeline_docs"] = n_docs
 
     warmed("q_exact_dedup_docs", lambda: exact_dedup(big_docs, "doc_id", "text").count())
-    warmed("q_text_quality_docs", lambda: quality_df(big_docs, "doc_id", "text").count())
+    # agg over the computed columns forces the projection: a bare count()
+    # let Catalyst prune the quality expressions entirely (same artifact as
+    # the round-1 interleave number)
+    warmed(
+        "q_text_quality_docs",
+        lambda: quality_df(big_docs, "doc_id", "text")
+        .agg(F.sum("ws_tokens"), F.sum("stop_hits"))
+        .collect(),
+    )
 
     def minhash_lsh():
         bk = minhash_band_keys(big_docs, "doc_id", "text", 128, bands=32)

@@ -85,13 +85,84 @@ def _pack_theta_rows(
     )
 
 
+def _kmin_distinct(
+    codes: np.ndarray, h1: np.ndarray, n_keys: int, k_param: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per key-code: the k smallest DISTINCT hashes (lexsort → dedup →
+    rank<k). Returns (codes_top sorted asc, hashes_top asc within code,
+    first-row mask per code within the top set)."""
+    order = np.lexsort((h1, codes))
+    sc = codes[order]
+    sh = h1[order]
+    keep = np.empty(len(sc), dtype=bool)
+    keep[0] = True
+    np.logical_or(sc[1:] != sc[:-1], sh[1:] != sh[:-1], out=keep[1:])
+    sc = sc[keep]
+    sh = sh[keep]  # distinct (key, hash), hash ascending within key
+    starts_mask = np.empty(len(sc), dtype=bool)
+    starts_mask[0] = True
+    np.not_equal(sc[1:], sc[:-1], out=starts_mask[1:])
+    seg_first = np.flatnonzero(starts_mask)
+    seg_id = np.cumsum(starts_mask) - 1
+    rank = np.arange(len(sc), dtype=np.int64) - seg_first[seg_id]
+    top = rank < k_param
+    return sc[top], sh[top], (rank == 0)[top]
+
+
+def _prereduce_stage(col_idx: int, k_param: int):
+    """Hash + MAP-SIDE KMV combine in one Python pass: per (partition, key)
+    only the k smallest distinct hashes cross the shuffle, plus the raw
+    row count carried on the key's first row. This is the skew armor — a
+    hot key ships ≤ parts × k rows total instead of its entire row set,
+    and the retained-set union downstream is associative so blobs stay
+    byte-identical to the unreduced build (tested)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..sketches.base import hash_column
+
+        keys_parts = []
+        h_parts = []
+        for batch in batches:
+            key_arr = batch.column(0)
+            val = batch.column(col_idx)
+            if val.null_count:
+                keep = val.is_valid()
+                key_arr = key_arr.filter(keep)
+                val = val.drop_null()
+            if len(val) == 0:
+                continue
+            _, h1, _ = hash_column(val)
+            keys_parts.append(key_arr)
+            h_parts.append(h1)
+        if not keys_parts:
+            return
+        keys = pa.chunked_array(keys_parts).combine_chunks()
+        h1 = np.concatenate(h_parts)
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary
+        raw_counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        sc, sh, first = _kmin_distinct(codes, h1, len(uniq), k_param)
+        cnt = np.zeros(len(sc), dtype=np.int64)
+        cnt[first] = raw_counts[sc[first]]
+        yield pa.RecordBatch.from_arrays(
+            [uniq.take(pa.array(sc)), pa.array(sh.view(np.int64)), pa.array(cnt)],
+            names=["k", "h", "c"],
+        )
+
+    return fn
+
+
 def _build_stage(k_param: int, funnel: int):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         keys_parts = []
         h_parts = []
+        c_parts = []
         for batch in batches:
             keys_parts.append(batch.column(0))
             h_parts.append(batch.column(1).to_numpy(zero_copy_only=False))
+            if batch.num_columns > 2:
+                c_parts.append(batch.column(2).to_numpy(zero_copy_only=False))
         if not keys_parts:
             return
         keys = pa.chunked_array(keys_parts).combine_chunks()
@@ -99,25 +170,14 @@ def _build_stage(k_param: int, funnel: int):
         enc = keys.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniq = enc.dictionary
-        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        if c_parts:  # pre-reduced input: raw counts ride the c column
+            counts = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(counts, codes, np.concatenate(c_parts).astype(np.int64))
+        else:
+            counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
 
-        order = np.lexsort((h1, codes))
-        sc = codes[order]
-        sh = h1[order]
-        keep = np.empty(len(sc), dtype=bool)
-        keep[0] = True
-        np.logical_or(sc[1:] != sc[:-1], sh[1:] != sh[:-1], out=keep[1:])
-        sc = sc[keep]
-        sh = sh[keep]  # distinct (key, hash), hash ascending within key
-        # rank of each distinct hash within its key → keep the k smallest
-        starts_mask = np.empty(len(sc), dtype=bool)
-        starts_mask[0] = True
-        np.not_equal(sc[1:], sc[:-1], out=starts_mask[1:])
-        seg_first = np.flatnonzero(starts_mask)
-        seg_id = np.cumsum(starts_mask) - 1
-        rank = np.arange(len(sc), dtype=np.int64) - seg_first[seg_id]
-        top = rank < k_param
-        blobs = _pack_theta_rows(uniq, sc[top], sh[top], counts, k_param, funnel)
+        sc_top, sh_top, _ = _kmin_distinct(codes, h1, len(uniq), k_param)
+        blobs = _pack_theta_rows(uniq, sc_top, sh_top, counts, k_param, funnel)
         yield pa.RecordBatch.from_arrays(
             [uniq, blobs, pa.array(counts)], names=["key", "sketch", "n"]
         )
@@ -131,18 +191,31 @@ def grouped_theta(
     col: str,
     k: int = 4096,
     partitions: int | None = None,
+    pre_reduce: bool = True,
 ) -> DataFrame:
     """Per-key ThetaSketch at high key cardinality → (key, sketch, n) with
     blobs byte-identical to a local ThetaSketch build of the same group.
     Rows of the output support bounded union/intersect/difference ACROSS
-    keys (retention-style queries)."""
+    keys (retention-style queries).
+
+    ``pre_reduce`` (default) applies the map-side KMV combine: each input
+    partition ships at most k distinct hashes per key (+ the raw count on
+    one row) — the shuffle is bounded by parts × keys × k rows no matter
+    how hot a key is, and duplicate (key, value) rows collapse before the
+    exchange. The retained-set union is associative, so the output blobs
+    are byte-identical either way (tested)."""
     from pyspark.sql.types import IntegerType, LongType, ShortType, StringType
 
     dt = df.schema[col].dataType
     funnel = FUNNEL_LONG if isinstance(dt, (IntegerType, LongType, ShortType)) else FUNNEL_UTF8
     key_type = df.schema[key].dataType.simpleString()
-    hashed = df.select(key, col).mapInArrow(_hash_stage(1), f"k {key_type}, h bigint")
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    if pre_reduce:
+        hashed = df.select(key, col).mapInArrow(
+            _prereduce_stage(1, k), f"k {key_type}, h bigint, c bigint"
+        )
+    else:
+        hashed = df.select(key, col).mapInArrow(_hash_stage(1), f"k {key_type}, h bigint")
     colocated = hashed.repartition(parts, "k")
     return colocated.mapInArrow(
         _build_stage(k, funnel), f"key {key_type}, sketch binary, n bigint"

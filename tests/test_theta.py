@@ -202,3 +202,32 @@ def test_grouped_theta_compressed_regime_blob_identical(spark):
     assert rows["big"] == big_ref.to_bytes()  # comp=1 path
     assert rows["small"] == small_ref.to_bytes()  # comp=0 path, same batch
     assert Sketch.from_bytes(rows["big"]).estimate() == big_ref.estimate()
+
+
+def test_grouped_theta_prereduce_blob_identical(spark):
+    """Map-side KMV combine must not change output blobs or counts: the
+    retained-set union is associative, so pre_reduce=True is byte-identical
+    to the unreduced build across partitionings, including duplicates."""
+    import pandas as pd
+
+    from guava_probably_spark.operators import grouped_theta
+
+    n = 20_000
+    pdf = pd.DataFrame(
+        {
+            "g": [f"d{i % 3}" for i in range(n)],
+            "v": [f"u{i % 700}" for i in range(n)],  # heavy duplication per key
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+    a = {r.g: (r.sketch, r.n) for r in grouped_theta(df, "g", "v", k=256).collect()}
+    b = {
+        r.g: (r.sketch, r.n)
+        for r in grouped_theta(df, "g", "v", k=256, pre_reduce=False).collect()
+    }
+    assert a == b
+    for g, (blob, cnt) in a.items():
+        ref = ThetaSketch(k=256, funnel=1)
+        ref.update(np.array([f"u{i % 700}" for i in range(n) if f"d{i % 3}" == g], dtype=object))
+        assert blob == ref.to_bytes()
+        assert cnt == sum(1 for i in range(n) if f"d{i % 3}" == g)
