@@ -101,6 +101,65 @@ def _build_file_fn(col: str, spec: SketchSpec, lineage: str):
     return fn
 
 
+_REDUCE_SCHEMA = "file string, sketch binary, n bigint, overflow bigint, ok boolean"
+
+
+def _reduce_files_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Partition-local resume reduce (input hash-partitioned by file, so
+    per-file state here is globally complete): keep the first DECODABLE row
+    per file (corruption healing — a torn write raises ValueError on
+    decode), merge the chosen sketches into one partition partial, and emit
+    corrupt-only files as ok=false name rows so the driver can rebuild just
+    those."""
+    chosen: dict[str, tuple[Sketch, int, int]] = {}
+    corrupt: set[str] = set()
+    for batch in batches:
+        file_col = batch.column(0).to_pylist()
+        blobs = batch.column(1).to_pylist()
+        ns = batch.column(2).to_pylist()
+        ovs = batch.column(3).to_pylist()
+        for f, blob, cnt, ov in zip(file_col, blobs, ns, ovs):
+            if f in chosen:
+                continue
+            try:
+                chosen[f] = (Sketch.from_bytes(blob), cnt, ov)
+                corrupt.discard(f)
+            except ValueError:
+                corrupt.add(f)
+    acc: Sketch | None = None
+    n = 0
+    overflow = 0
+    for sk, cnt, ov in chosen.values():
+        if acc is None:
+            acc = sk
+        else:
+            overflow += _merge_into(acc, sk)
+        n += cnt
+        overflow += ov
+    out_files: list[str | None] = sorted(corrupt)
+    out_blobs: list[bytes | None] = [None] * len(out_files)
+    out_n: list[int] = [0] * len(out_files)
+    out_ov: list[int] = [0] * len(out_files)
+    out_ok: list[bool] = [False] * len(out_files)
+    if acc is not None:
+        out_files.append(None)
+        out_blobs.append(acc.to_bytes())
+        out_n.append(n)
+        out_ov.append(overflow)
+        out_ok.append(True)
+    if not out_files:
+        return
+    yield pa.RecordBatch.from_pydict(
+        {
+            "file": pa.array(out_files, pa.string()),
+            "sketch": pa.array(out_blobs, pa.binary()),
+            "n": pa.array(out_n, pa.int64()),
+            "overflow": pa.array(out_ov, pa.int64()),
+            "ok": pa.array(out_ok, pa.bool_()),
+        }
+    )
+
+
 @dataclass
 class ResumeStats:
     total_files: int
@@ -151,23 +210,31 @@ def build_with_checkpoint(
         partials = wave_df.mapInArrow(_build_file_fn(col, spec, lineage), CHECKPOINT_SCHEMA)
         partials.write.mode("append").parquet(checkpoint_dir)
 
-    def _collect_rows():
-        ck = spark.read.parquet(checkpoint_dir).filter(
-            (F.col("lineage") == lineage) & (F.col("file").isin(files))
-        )
-        return ck.select("file", "sketch", "n", "overflow").collect()
+    # Distributed resume merge: the driver never touches per-file blobs.
+    # Checkpoint rows are hash-colocated by file, deduped + decoded in the
+    # executors (first decodable row per file wins — rows for the same
+    # file+lineage are deterministic rebuilds of the same input, so any one
+    # is valid), merged into one partial per partition, then tree-merged.
+    # The driver reads: corrupt-only file NAMES (expected ~0) and ≤fanin
+    # final blobs. At 10^6 files this is KBs on the driver instead of GBs.
+    files_df = spark.createDataFrame([(f,) for f in files], "file string")
+    parts = max(2, spark.sparkContext.defaultParallelism * 2)
 
-    # decode with corruption healing: a corrupt row (torn disk write, bad
-    # replica) raises ValueError — treat its file as not-done and rebuild,
-    # keyed per file so the healed append never double-counts
-    good: dict[str, tuple] = {}
-    corrupt: set[str] = set()
-    for r in _collect_rows():
-        try:
-            good.setdefault(r.file, (Sketch.from_bytes(r.sketch), r.n, r.overflow))
-        except ValueError:
-            corrupt.add(r.file)
-    bad = sorted(corrupt - set(good))
+    def _reduced(scope_df: DataFrame) -> DataFrame:
+        ck = (
+            spark.read.parquet(checkpoint_dir)
+            .filter(F.col("lineage") == lineage)
+            .join(scope_df, "file")  # AQE broadcasts when the list is small
+            .select("file", "sketch", "n", "overflow")
+        )
+        return ck.repartition(parts, "file").mapInArrow(
+            _reduce_files_fn, _REDUCE_SCHEMA
+        )
+
+    reduced = _reduced(files_df).persist()
+    # corrupt rows carry only the file name — tiny even if a wave is torn
+    bad = sorted(r.file for r in reduced.filter(~F.col("ok")).collect())
+    partials = reduced.filter(F.col("ok")).select("sketch", "n", "overflow")
     if bad:
         wave_df = spark.createDataFrame(
             spark.sparkContext.parallelize([(f,) for f in bad], len(bad)),
@@ -176,26 +243,36 @@ def build_with_checkpoint(
         wave_df.mapInArrow(
             _build_file_fn(col, spec, lineage), CHECKPOINT_SCHEMA
         ).write.mode("append").parquet(checkpoint_dir)
-        for r in _collect_rows():
-            if r.file in good:
-                continue
-            try:
-                good[r.file] = (Sketch.from_bytes(r.sketch), r.n, r.overflow)
-            except ValueError:
-                continue  # the original corrupt row; the healed one also exists
-        still_bad = [f for f in bad if f not in good]
+        healed = _reduced(wave_df).persist()
+        still_bad = [r.file for r in healed.filter(~F.col("ok")).collect()]
         if still_bad:
             raise ValueError(f"checkpoint heal failed for {still_bad[:3]}")
+        # the first pass excluded corrupt-only files entirely, so unioning
+        # the healed partials never double-counts
+        partials = partials.unionByName(
+            healed.filter(F.col("ok")).select("sketch", "n", "overflow")
+        )
+    from .build import tree_merge
+
+    shaped = partials.select(
+        "sketch",
+        "n",
+        "overflow",
+        F.lit(-1).alias("part_id"),
+        F.lit(0.0).alias("secs"),
+    )
     acc: Sketch | None = None
     n = 0
     overflow = 0
-    for sk, rn, rov in good.values():
+    for r in tree_merge(shaped).collect():
+        sk = Sketch.from_bytes(r.sketch)
         if acc is None:
             acc = sk
         else:
             overflow += _merge_into(acc, sk)
-        n += rn
-        overflow += rov
+        n += r.n
+        overflow += r.overflow
+    reduced.unpersist()
     if acc is None:
         acc = spec.create()
     return acc, ResumeStats(

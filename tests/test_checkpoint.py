@@ -101,3 +101,22 @@ def test_corrupt_checkpoint_row_heals_to_clean_result(spark, tmp_path):
 
     healed, stats = build_with_checkpoint(spark, src, "id", spec, ck)
     assert healed.to_bytes() == clean.to_bytes()
+
+def test_duplicate_checkpoint_rows_do_not_double_count(spark, tmp_path):
+    """The same file checkpointed twice (overlapping waves after a restart
+    race) must count once: the resume reduce keeps one decodable row per
+    file, so the final blob and row count are unchanged."""
+    src = str(tmp_path / "src")
+    spark.range(10_000).repartition(4).write.parquet(src)
+    spec = SketchSpec("hll", {"p": 12})
+
+    ck = str(tmp_path / "ck_dup")
+    first, st1 = build_with_checkpoint(spark, src, "id", spec, ck)
+    # duplicate every checkpoint row wholesale
+    dup = spark.read.parquet(ck)
+    dup.write.mode("append").parquet(ck)
+
+    again, st2 = build_with_checkpoint(spark, src, "id", spec, ck)
+    assert st2.recomputed == 0
+    assert again.to_bytes() == first.to_bytes()
+    assert st2.rows == st1.rows == 10_000
