@@ -470,12 +470,17 @@ def _q_cube_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_grouped_kll_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group KLL medians via the grouped sketch column + quantile UDF;
-    self-check: exact rank of each group's estimated median within bound."""
+    """Per-group KLL medians via the vectorized grouped_kll operator
+    (operators/grouped_kll: one stable sort per partition + segment-loop
+    updates — no applyInPandas) + quantile UDF; self-check: exact rank of
+    each group's estimated median within bound."""
     from guava_probably_spark.functions import quantile_udf
+    from guava_probably_spark.operators import grouped_kll
 
     events = _t(spark, sf_dir, "events")
-    g = build_grouped(events, "event_type", "value", SketchSpec("kll", {"k": 200}), salt=4)
+    g = grouped_kll(events, "event_type", "value", k=200).withColumnRenamed(
+        "key", "event_type"
+    )
     med = g.select("event_type", quantile_udf(0.5)("sketch").alias("med"))
     bound = 3 * 1.33 / 200
     ranks = (
@@ -908,7 +913,61 @@ def _q_frequency_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_cnt",
         "within",
     )
-    return e.unionByName(l)
+    return e.unionByName(l).unionByName(_grouped_cms_rows(spark, sf_dir))
+
+
+def _grouped_cms_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized grouped CMS (operators/grouped_cms): per-event_type CMS
+    over user_id. exact_cnt = the operator's per-key row total (oracle:
+    count(user_id) per type, exact). within = (a) the per-key sketches
+    MERGE to a blob byte-identical to the directly-built global CMS
+    (counts are additive, so grouped→merge must reproduce the one-shot
+    build bit-for-bit) and (b) each key's min-user frequency brackets
+    within exact ≤ est ≤ exact + εN."""
+    from guava_probably_spark.operators import grouped_cms
+
+    events = _t(spark, sf_dir, "events")
+    eps, delta = 0.001, 0.01
+    g = sorted(
+        grouped_cms(events, "event_type", "user_id", eps, delta).collect(),
+        key=lambda r: r.key,
+    )
+    glob, _, _ = collect_sketch(
+        events, "user_id", SketchSpec("cms", {"epsilon": eps, "delta": delta})
+    )
+    acc = None
+    per_key = {}
+    for r in g:
+        per_key[r.key] = (Sketch.from_bytes(r.sketch), r.n)
+        # merge() mutates the accumulator — decode a fresh copy so the
+        # per-key sketches used for probing below stay un-merged
+        sk = Sketch.from_bytes(r.sketch)
+        acc = sk if acc is None else acc.merge(sk)
+    ident = acc is not None and acc.to_bytes() == glob.to_bytes()
+    mins = (
+        events.groupBy("event_type")
+        .agg(F.min("user_id").alias("u"))
+        .withColumnRenamed("event_type", "met")
+    )
+    probe_exact = {
+        r.met: (r.u, r.c)
+        for r in events.join(
+            mins,
+            (events.event_type == mins.met) & (events.user_id == mins.u),
+        )
+        .groupBy("met", "u")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    rows = []
+    for key, (sk, n) in per_key.items():
+        u, exact = probe_exact[key]
+        est = int(sk.estimate(_np_ids([u]))[0])
+        ok = ident and exact <= est <= exact + sk.error_bound()
+        rows.append(
+            Row(name="grouped_cms_user_freq", item=str(key), exact_cnt=int(n), within=bool(ok))
+        )
+    return spark.createDataFrame(rows)
 
 
 def _q_quantile_rank_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,7 +1153,10 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS exact_cnt, true AS within FROM events GROUP BY event_type "
             "UNION ALL SELECT 'cms_lineitem_returnflag', "
             "CAST(l_returnflag AS VARCHAR), count(*), true "
-            "FROM lineitem GROUP BY l_returnflag"
+            "FROM lineitem GROUP BY l_returnflag "
+            "UNION ALL SELECT 'grouped_cms_user_freq', "
+            "CAST(event_type AS VARCHAR), count(user_id), true "
+            "FROM events GROUP BY event_type"
         ),
         "quantile_rank_grid": (
             "SELECT name, q_label, true AS within FROM (VALUES "

@@ -1,0 +1,248 @@
+"""High-cardinality grouped Count-Min: one frequency sketch per key,
+vectorized across ALL keys in a partition (the frequency sibling of
+operators/grouped_hll.py — same narrow shuffle, one scatter pass).
+
+Why: `build_grouped` with a CMS spec pays ~1 ms of applyInPandas Python per
+group — wrong at 10^6+ keys. CMS counts are additive, so every group in a
+partition can be updated simultaneously:
+
+  1. mapInArrow: murmur3-hash the value column → (key, h1, h2[, c]) — the
+     shuffle carries 16 bytes + key instead of the raw value. With
+     ``pre_reduce`` (default) duplicate (key, value) rows collapse map-side
+     into a count, so a hot key ships its DISTINCT values per partition,
+     not its row set.
+  2. repartition(key): the one unavoidable shuffle, at minimum width.
+  3. mapInArrow: dictionary-encode keys → codes; bucket index per depth is
+     ((h1 + i·h2) & SIGN) mod w (identical arithmetic to
+     sketches/cms.py:_buckets); ONE np.bincount over the flattened
+     (code, depth, bucket) index updates every group's d×w matrix at once.
+
+Blobs are byte-identical to a local ``CmsSketch.to_bytes()`` of the same
+group (counts are order-independent), including the zlib rule above
+``Sketch._COMPRESS_THRESHOLD`` — tested.
+
+Memory: a partition holds K·d·w·8 bytes of counters (K = keys in that
+partition). Size epsilon/delta for the per-key regime (e.g. eps=0.005,
+delta=0.01 → d=5, w=544 → ~21 KB/key) and raise ``partitions`` so K/parts
+fits; the build raises with the budget arithmetic if a partition would
+exceed ``max_matrix_bytes``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+
+from ..sketches.base import KIND_CMS, MAGIC, VERSION, Sketch
+from ..sketches.cms import _SIGN_MASK, cms_geometry
+
+_HASH2_SCHEMA_SUFFIX = "h1 bigint, h2 bigint, c bigint"
+
+
+def _hash2_prereduce_stage(col_idx: int):
+    """Hash + map-side duplicate collapse: per (key, value) one output row
+    carrying the pair's multiplicity. CMS updates are weighted-additive, so
+    (h1, h2, c) reproduces c identical updates exactly."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..sketches.base import hash_column
+
+        keys_parts, h1_parts, h2_parts = [], [], []
+        for batch in batches:
+            key_arr = batch.column(0)
+            val = batch.column(col_idx)
+            if val.null_count:
+                keep = val.is_valid()
+                key_arr = key_arr.filter(keep)
+                val = val.drop_null()
+            if len(val) == 0:
+                continue
+            _, h1, h2 = hash_column(val)
+            keys_parts.append(key_arr)
+            h1_parts.append(h1)
+            h2_parts.append(h2)
+        if not keys_parts:
+            return
+        keys = pa.chunked_array(keys_parts).combine_chunks()
+        h1 = np.concatenate(h1_parts)
+        h2 = np.concatenate(h2_parts)
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary
+        # collapse duplicate (key, h1) runs; h2 rides along (same value ⇒
+        # same 128-bit hash, and a 64-bit h1 collision within one key is
+        # harmless — CMS would over-count that bucket pair identically)
+        order = np.lexsort((h1, codes))
+        sc, sh1, sh2 = codes[order], h1[order], h2[order]
+        first = np.empty(len(sc), dtype=bool)
+        first[0] = True
+        np.logical_or(sc[1:] != sc[:-1], sh1[1:] != sh1[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(sc)))
+        yield pa.RecordBatch.from_arrays(
+            [
+                uniq.take(pa.array(sc[starts])),
+                pa.array(sh1[starts].view(np.int64)),
+                pa.array(sh2[starts].view(np.int64)),
+                pa.array(cnt.astype(np.int64)),
+            ],
+            names=["k", "h1", "h2", "c"],
+        )
+
+    return fn
+
+
+def _hash2_stage(col_idx: int):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..sketches.base import hash_column
+
+        for batch in batches:
+            key_arr = batch.column(0)
+            val = batch.column(col_idx)
+            if val.null_count:
+                keep = val.is_valid()
+                key_arr = key_arr.filter(keep)
+                val = val.drop_null()
+            if len(val) == 0:
+                continue
+            _, h1, h2 = hash_column(val)
+            ones = np.ones(len(val), dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [key_arr, pa.array(h1.view(np.int64)), pa.array(h2.view(np.int64)), pa.array(ones)],
+                names=["k", "h1", "h2", "c"],
+            )
+
+    return fn
+
+
+def _pack_cms_rows(
+    uniq: pa.Array,
+    counts: np.ndarray,  # (K, d, w) int64
+    totals: np.ndarray,  # (K,) int64
+    epsilon: float,
+    delta: float,
+    funnel: int,
+) -> pa.Array:
+    """(K, d, w) counter matrix → CmsSketch blob per key, byte-identical to
+    a local ``CmsSketch.to_bytes()`` of the same group including the
+    compression rule (same layout discipline as grouped_theta's packer)."""
+    k, d, w = counts.shape
+    payload_len = d * w * 8
+    params_prefix = struct.pack("<ddqi", epsilon, delta, w, d)  # total appended per key
+    header = (
+        MAGIC
+        + struct.pack("<BBBB", VERSION, KIND_CMS, funnel, 0)
+        + struct.pack("<I", len(params_prefix) + 8)
+        + params_prefix
+    )
+    head = np.frombuffer(header, dtype=np.uint8)
+    hl = len(head)
+    row_size = hl + 8 + payload_len
+    if payload_len > Sketch._COMPRESS_THRESHOLD:
+        # compressed regime: per-row zlib (the rule local to_bytes applies)
+        head_c = bytes(head[:7]) + b"\x01" + bytes(head[8:])
+        out = []
+        for i in range(k):
+            raw = struct.pack("<q", int(totals[i])) + np.ascontiguousarray(
+                counts[i], dtype="<i8"
+            ).tobytes()
+            out.append(head_c[: hl] + raw[:8] + zlib.compress(raw[8:], 1))
+        return pa.array(out, type=pa.binary())
+    if k * row_size >= 1 << 31:
+        raise ValueError("partition blob buffer exceeds BinaryArray offset range")
+    buf = np.empty(k * row_size, dtype=np.uint8)
+    mat = buf.reshape(k, row_size)
+    mat[:, :hl] = head
+    mat[:, hl : hl + 8] = totals.astype("<i8").view(np.uint8).reshape(k, 8)
+    mat[:, hl + 8 :] = (
+        np.ascontiguousarray(counts, dtype="<i8").view(np.uint8).reshape(k, payload_len)
+    )
+    offsets = (np.arange(k + 1, dtype=np.int64) * row_size).astype(np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), k, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())]
+    )
+
+
+def _build_stage(epsilon: float, delta: float, funnel: int, max_matrix_bytes: int):
+    w, d = cms_geometry(epsilon, delta)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        keys_parts, h1_parts, h2_parts, c_parts = [], [], [], []
+        for batch in batches:
+            keys_parts.append(batch.column(0))
+            h1_parts.append(batch.column(1).to_numpy(zero_copy_only=False))
+            h2_parts.append(batch.column(2).to_numpy(zero_copy_only=False))
+            c_parts.append(batch.column(3).to_numpy(zero_copy_only=False))
+        if not keys_parts:
+            return
+        keys = pa.chunked_array(keys_parts).combine_chunks()
+        h1 = np.concatenate(h1_parts).view(np.uint64)
+        h2 = np.concatenate(h2_parts).view(np.uint64)
+        c = np.concatenate(c_parts).astype(np.int64)
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary
+        n_keys = len(uniq)
+        need = n_keys * d * w * 8
+        if need > max_matrix_bytes:
+            raise ValueError(
+                f"grouped_cms partition needs {need} counter bytes "
+                f"({n_keys} keys × d={d} × w={w}); raise `partitions`, widen "
+                f"epsilon, or raise max_matrix_bytes"
+            )
+        # np.bincount (buffered) beats np.add.at (unbuffered scatter) ~10×
+        flat = np.zeros(n_keys * d * w, dtype=np.int64)
+        base = codes * (d * w)
+        cf = c.astype(np.float64)  # exact for counts < 2^53
+        for i in range(d):
+            with np.errstate(over="ignore"):
+                col = ((h1 + np.uint64(i) * h2) & _SIGN_MASK) % np.uint64(w)
+            idx = base + i * w + col.astype(np.int64)
+            flat += np.bincount(idx, weights=cf, minlength=len(flat)).astype(np.int64)
+        counts = flat.reshape(n_keys, d, w)
+        totals = np.bincount(codes, weights=cf, minlength=n_keys).astype(np.int64)
+        blobs = _pack_cms_rows(uniq, counts, totals, epsilon, delta, funnel)
+        yield pa.RecordBatch.from_arrays(
+            [uniq, blobs, pa.array(totals)], names=["key", "sketch", "n"]
+        )
+
+    return fn
+
+
+def grouped_cms(
+    df: DataFrame,
+    key: str,
+    col: str,
+    epsilon: float = 0.005,
+    delta: float = 0.01,
+    partitions: int | None = None,
+    pre_reduce: bool = True,
+    max_matrix_bytes: int = 1 << 31,
+) -> DataFrame:
+    """Per-key CmsSketch at high key cardinality → (key, sketch, n) with
+    blobs byte-identical to a local ``CmsSketch`` build of the same group.
+
+    ``pre_reduce`` (default) collapses duplicate (key, value) rows map-side
+    into weighted updates, so the shuffle is bounded by the per-partition
+    DISTINCT values of each key rather than its row count."""
+    from pyspark.sql.types import IntegerType, LongType, ShortType
+
+    from ..sketches.base import FUNNEL_LONG, FUNNEL_UTF8
+
+    dt = df.schema[col].dataType
+    funnel = FUNNEL_LONG if isinstance(dt, (IntegerType, LongType, ShortType)) else FUNNEL_UTF8
+    key_type = df.schema[key].dataType.simpleString()
+    stage = _hash2_prereduce_stage(1) if pre_reduce else _hash2_stage(1)
+    hashed = df.select(key, col).mapInArrow(stage, f"k {key_type}, {_HASH2_SCHEMA_SUFFIX}")
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    colocated = hashed.repartition(parts, "k")
+    return colocated.mapInArrow(
+        _build_stage(epsilon, delta, funnel, max_matrix_bytes),
+        f"key {key_type}, sketch binary, n bigint",
+    )

@@ -1,0 +1,111 @@
+"""Vectorized grouped CMS / segment-loop grouped KLL (operators/grouped_cms,
+operators/grouped_kll): blob parity with local builds, pre-reduce
+invariance, estimate accuracy, mergeability."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from guava_probably_spark.operators import grouped_cms, grouped_kll
+from guava_probably_spark.sketches import Sketch
+from guava_probably_spark.sketches.base import FUNNEL_UTF8
+from guava_probably_spark.sketches.cms import CmsSketch
+from guava_probably_spark.sketches.kll import KllSketch
+
+
+def _docs(n=9_000, keys=4, vals=300):
+    return pd.DataFrame(
+        {
+            "g": [f"k{i % keys}" for i in range(n)],
+            "v": [f"item{(i * 7) % vals}" for i in range(n)],
+        }
+    )
+
+
+def test_grouped_cms_blob_identical_to_local(spark):
+    pdf = _docs()
+    df = spark.createDataFrame(pdf).repartition(5)
+    rows = {r.key: (r.sketch, r.n) for r in grouped_cms(df, "g", "v", 0.01, 0.05).collect()}
+    assert set(rows) == set(pdf.g.unique())
+    for g, sub in pdf.groupby("g"):
+        ref = CmsSketch(0.01, 0.05, funnel=FUNNEL_UTF8)
+        ref.update(np.asarray(sub.v, dtype=object))
+        blob, n = rows[g]
+        assert blob == ref.to_bytes()
+        assert n == len(sub)
+        sk = Sketch.from_bytes(blob)
+        # exact on a heavy item within CMS bound
+        heavy = sub.v.mode()[0]
+        true = int((sub.v == heavy).sum())
+        assert true <= sk.freq(heavy) <= true + sk.error_bound()
+
+
+def test_grouped_cms_prereduce_invariant(spark):
+    df = spark.createDataFrame(_docs(n=12_000, keys=3, vals=50)).repartition(7)
+    a = {r.key: (r.sketch, r.n) for r in grouped_cms(df, "g", "v", 0.02, 0.1).collect()}
+    b = {
+        r.key: (r.sketch, r.n)
+        for r in grouped_cms(df, "g", "v", 0.02, 0.1, pre_reduce=False).collect()
+    }
+    assert a == b
+
+
+def test_grouped_cms_compressed_regime_roundtrip(spark):
+    # eps=1e-4 → w≈27183, d·w·8 > 64 KiB ⇒ per-row zlib path
+    pdf = _docs(n=2_000, keys=2, vals=40)
+    df = spark.createDataFrame(pdf).repartition(3)
+    rows = {r.key: r.sketch for r in grouped_cms(df, "g", "v", 1e-4, 0.1).collect()}
+    for g, sub in pdf.groupby("g"):
+        ref = CmsSketch(1e-4, 0.1, funnel=FUNNEL_UTF8)
+        ref.update(np.asarray(sub.v, dtype=object))
+        assert len(ref.to_bytes()) < 27183 * 8  # compression actually engaged
+        assert rows[g] == ref.to_bytes()
+
+
+def test_grouped_cms_partition_budget_raises(spark):
+    df = spark.createDataFrame(_docs(n=500, keys=4)).coalesce(1)
+    with pytest.raises(Exception, match="counter bytes"):
+        grouped_cms(df, "g", "v", 1e-4, 1e-3, partitions=1, max_matrix_bytes=1024).collect()
+
+
+def test_grouped_kll_single_partition_matches_local(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 5_000 + ["b"] * 5_000, "x": np.arange(10_000, dtype=float)}
+    )
+    df = spark.createDataFrame(pdf).coalesce(1)
+    rows = {r.key: (r.sketch, r.n) for r in grouped_kll(df, "g", "x", k=200, partitions=1).collect()}
+    for g, sub in pdf.groupby("g"):
+        ref = KllSketch(k=200)
+        ref.update(np.asarray(sub.x, dtype=float))
+        blob, n = rows[g]
+        assert n == len(sub)
+        assert blob == ref.to_bytes()  # same feed order ⇒ identical compactions
+
+
+def test_grouped_kll_estimates_and_merge(spark):
+    rng = np.random.default_rng(7)
+    n = 40_000
+    pdf = pd.DataFrame({"g": [f"c{i % 8}" for i in range(n)], "x": rng.normal(0, 1, n)})
+    df = spark.createDataFrame(pdf).repartition(9)
+    rows = {r.key: Sketch.from_bytes(r.sketch) for r in grouped_kll(df, "g", "x", k=200).collect()}
+    assert len(rows) == 8
+    merged = None
+    for g, sub in pdf.groupby("g"):
+        sk = rows[g]
+        err = sk.rank_error_bound()
+        for q in (0.1, 0.5, 0.9):
+            true = float(np.quantile(sub.x, q))
+            est_rank = float(np.mean(np.asarray(sub.x) < sk.quantile(q)))
+            assert abs(est_rank - q) <= err + 0.01
+        merged = sk if merged is None else merged.merge(sk)
+    # merged per-key sketches ≈ global distribution
+    global_med = float(np.median(pdf.x))
+    assert abs(float(np.mean(np.asarray(pdf.x) < merged.quantile(0.5))) - 0.5) <= 0.05
+    assert merged.size == n
+
+
+def test_grouped_kll_null_values_dropped(spark):
+    pdf = pd.DataFrame({"g": ["a"] * 10, "x": [1.0, None] * 5})
+    df = spark.createDataFrame(pdf)
+    (row,) = grouped_kll(df, "g", "x", k=16).collect()
+    assert row.n == 5
