@@ -228,8 +228,65 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal surface (pipeline/multimodal.py): a three-way
+    image/audio/video payload mix with typed metadata, structural features
+    for every row, and each modality's decode path exercised end to end —
+    image rows through decode→resize→features (fake decode: no codecs in
+    this sandbox, documented stub), audio rows through the fake-PCM stage,
+    video rows through frame-sample. decode_ok: rows on the deterministic
+    1/17 sample are equality-checked against a driver-side recompute with
+    the same kernels (validates the distributed Arrow plumbing returns
+    exactly the local result); unsampled rows are vacuously true."""
+    import numpy as np
+
+    from guava_probably_spark.pipeline.multimodal import (
+        audio_features,
+        decode_image,
+        decode_resize_features,
+        frame_sample,
+        resize_image,
+        video_frame_features,
+        with_multimodal_payload,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    return extract_binary_features(with_payload(docs, "doc_id", "text"))
+    pl = with_multimodal_payload(docs, "doc_id", "text")
+    base = extract_binary_features(pl).join(
+        pl.select("id", F.col("meta.modality").alias("modality")), "id"
+    )
+    img = decode_resize_features(pl.filter(F.col("meta.modality") == "image"), fake=True)
+    aud = audio_features(pl.filter(F.col("meta.modality") == "audio"))
+    vid = video_frame_features(pl.filter(F.col("meta.modality") == "video"), fake=True)
+    exp = {}
+    for r in pl.filter(F.col("id") % 17 == 0).select("id", "payload").collect():
+        b = bytes(r.payload)
+        mod = ("image", "audio", "video")[r.id % 3]
+        if mod == "image":
+            exp[r.id] = int(
+                resize_image(decode_image(b, fake=True), 8, 8).astype(np.int64).sum()
+            )
+        elif mod == "audio":
+            body = b[4:]
+            pcm = np.frombuffer(body[: len(body) // 2 * 2], dtype="<i2")
+            exp[r.id] = int(np.abs(pcm.astype(np.int64)).sum())
+        else:
+            exp[r.id] = sum(
+                int(resize_image(f, 8, 8).astype(np.int64).sum())
+                for f in frame_sample(b, 4, fake=True)
+            )
+    got = {}
+    for df_, col in ((img, "px_sum"), (aud, "amp_sum"), (vid, "px_sum")):
+        for r in df_.filter(F.col("id") % 17 == 0).select("id", F.col(col).alias("v")).collect():
+            got[r.id] = r.v
+    mismatched = [i for i in exp if got.get(i) != exp[i]]
+    return base.select(
+        "id",
+        "modality",
+        "n_bytes",
+        "first_byte",
+        "header_ok",
+        (~F.col("id").isin(mismatched)).alias("decode_ok"),
+    )
 
 
 def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,9 +692,12 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"AS total_re_tokens FROM documents GROUP BY source"
         ),
         "multimodal_binary_features": (
-            "SELECT doc_id AS id, CAST(4 + octet_length(encode(text)) AS BIGINT) "
+            "SELECT doc_id AS id, "
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END AS modality, "
+            "CAST(4 + octet_length(encode(text)) AS BIGINT) "
             "AS n_bytes, CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte, "
-            "true AS header_ok FROM documents"
+            "true AS header_ok, true AS decode_ok FROM documents"
         ),
         # exact first-occurrence semantics of the two-batch replay: batch 1
         # keeps min even doc_id per fingerprint; batch 2 keeps min doc_id of

@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, functions as F
 PAYLOAD_SCHEMA = (
     "id long, payload binary, meta struct<modality: string, n_bytes: long>"
 )
+MULTI_PAYLOAD_SCHEMA = (
+    "id long, payload binary, meta struct<modality: string, n_bytes: long, "
+    "sample_rate: long, n_frames: long>"
+)
 FEATURE_SCHEMA = "id long, n_bytes long, first_byte long, header_ok boolean"
 
 _MAGIC = b"GPMM"  # fake container header for the deterministic payloads
@@ -41,6 +45,82 @@ def with_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.lit("text/fake").alias("modality"),
             F.length(payload).cast("long").alias("n_bytes"),
         ).alias("meta"),
+    )
+
+
+def with_multimodal_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Like ``with_payload`` but with a three-way modality mix (image /
+    audio / video by id mod 3) and the typed per-modality metadata a real
+    multimodal table carries: audio rows get a sample_rate and video rows a
+    frame count; fields that don't apply are null. Pure JVM projection."""
+    payload = F.concat(F.lit(_MAGIC), F.encode(F.col(text_col), "UTF-8"))
+    m = F.pmod(F.col(id_col).cast("long"), F.lit(3))
+    modality = (
+        F.when(m == 0, F.lit("image")).when(m == 1, F.lit("audio")).otherwise(F.lit("video"))
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        payload.alias("payload"),
+        F.struct(
+            modality.alias("modality"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.when(m == 1, F.lit(16000)).cast("long").alias("sample_rate"),
+            F.when(m == 2, F.lit(4)).cast("long").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def audio_features(payloads: DataFrame) -> DataFrame:
+    """Fake-PCM audio feature stage: the payload body (after the container
+    header) is interpreted as little-endian int16 samples — a deterministic
+    stand-in for a real audio decode, with the REAL distributed shape: Arrow
+    binary batches into vectorized numpy, no per-row Python in the math.
+
+    Returns (id, n_samples, amp_sum) with amp_sum = Σ|sample| — integers a
+    local recompute can match exactly."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ns, amps = [], []
+            for b in pdf["payload"]:
+                body = bytes(b)[len(_MAGIC):]
+                pcm = np.frombuffer(body[: len(body) // 2 * 2], dtype="<i2")
+                ns.append(len(pcm))
+                amps.append(int(np.abs(pcm.astype(np.int64)).sum()))
+            yield pd.DataFrame(
+                {"id": pdf["id"].astype("int64"), "n_samples": ns, "amp_sum": amps}
+            )
+
+    return payloads.select("id", "payload").mapInPandas(
+        stage, "id long, n_samples long, amp_sum long"
+    )
+
+
+def video_frame_features(
+    payloads: DataFrame, n_frames: int = 4, fake: bool = False
+) -> DataFrame:
+    """Video path plumbing: frame-sample (stubbed decode per frame) → resize
+    → per-clip pixel sums across the sampled frames. Same Arrow-batched
+    mapInPandas shape a real ffmpeg-backed stage would use."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sums, frames = [], []
+            for b in pdf["payload"]:
+                fs = frame_sample(bytes(b), n_frames=n_frames, fake=fake)
+                px = sum(int(resize_image(f, 8, 8).astype(np.int64).sum()) for f in fs)
+                sums.append(px)
+                frames.append(len(fs))
+            yield pd.DataFrame(
+                {"id": pdf["id"].astype("int64"), "n_frames": frames, "px_sum": sums}
+            )
+
+    return payloads.select("id", "payload").mapInPandas(
+        stage, "id long, n_frames long, px_sum long"
     )
 
 

@@ -178,3 +178,41 @@ def test_from_bytes_corruption_always_raises_valueerror():
                 Sketch.from_bytes(bytes(b)).to_bytes()
             except ValueError:
                 pass  # the one allowed failure type
+
+
+def test_iceberg_loader_flag_composes():
+    """The Iceberg branch of sources.load_transcripts can't execute here (no
+    runtime jar — SURVEY.md §1.2), but the composition contract must hold:
+    format("iceberg") then load(table-or-path), with `table` taking
+    precedence, and the parquet branch never touching format()."""
+    from guava_probably_spark.sources import load_transcripts
+
+    calls = []
+
+    class _Reader:
+        def format(self, fmt):
+            calls.append(("format", fmt))
+            return self
+
+        def load(self, target):
+            calls.append(("load", target))
+            return "DF"
+
+        def parquet(self, path):
+            calls.append(("parquet", path))
+            return "DF"
+
+    class _Spark:
+        @property
+        def read(self):
+            return _Reader()
+
+    fake = _Spark()
+    assert load_transcripts(fake, "/p", fmt="iceberg", table="cat.db.t") == "DF"
+    assert calls == [("format", "iceberg"), ("load", "cat.db.t")]
+    calls.clear()
+    assert load_transcripts(fake, "/p", fmt="iceberg") == "DF"
+    assert calls == [("format", "iceberg"), ("load", "/p")]  # path fallback
+    calls.clear()
+    assert load_transcripts(fake, "/p") == "DF"
+    assert calls == [("parquet", "/p")]  # parquet branch bypasses format()

@@ -600,3 +600,49 @@ def test_resize_and_decode_pipeline_plumbing(spark):
     for i, payload in raw.items():
         px = resize_image(decode_image(payload, fake=True), 8, 8).astype(np.int64)
         assert got[i] == (8, 8, int(px.sum()), int((px * px).sum()))
+
+
+def test_multimodal_mixed_payload_schema_and_feature_stages(spark):
+    """with_multimodal_payload: typed per-modality metadata (audio
+    sample_rate / video n_frames, null elsewhere); audio fake-PCM and
+    video frame-sample stages match a local recompute exactly."""
+    import numpy as np
+
+    from guava_probably_spark.pipeline.multimodal import (
+        _MAGIC,
+        audio_features,
+        frame_sample,
+        resize_image,
+        video_frame_features,
+        with_multimodal_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"clip {i} " + "x" * (i % 11)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    pl = with_multimodal_payload(docs, "doc_id", "text")
+    metas = {r.id: r.meta for r in pl.collect()}
+    raw = {r.id: bytes(r.payload) for r in pl.collect()}
+    for i, m in metas.items():
+        mod = ("image", "audio", "video")[i % 3]
+        assert m.modality == mod
+        assert m.n_bytes == len(raw[i])
+        assert m.sample_rate == (16000 if mod == "audio" else None)
+        assert m.n_frames == (4 if mod == "video" else None)
+
+    aud = {r.id: (r.n_samples, r.amp_sum)
+           for r in audio_features(pl.filter("meta.modality = 'audio'")).collect()}
+    for i, (ns, amp) in aud.items():
+        body = raw[i][len(_MAGIC):]
+        pcm = np.frombuffer(body[: len(body) // 2 * 2], dtype="<i2")
+        assert ns == len(pcm)
+        assert amp == int(np.abs(pcm.astype(np.int64)).sum())
+
+    vid = {r.id: (r.n_frames, r.px_sum)
+           for r in video_frame_features(pl.filter("meta.modality = 'video'"), fake=True).collect()}
+    for i, (nf, px) in vid.items():
+        frames = frame_sample(raw[i], 4, fake=True)
+        assert nf == 4
+        assert px == sum(int(resize_image(f, 8, 8).astype(np.int64).sum()) for f in frames)
+    assert set(aud) and set(vid)
