@@ -330,6 +330,26 @@ def run_queries(spark, sf_dir: str, t_path: str, d_path: str, e_path: str) -> tu
     grouped_theta_daily()
     timed("q_grouped_theta_daily", grouped_theta_daily)
 
+    def grouped_kll_conv():
+        from guava_probably_spark.operators import grouped_kll
+
+        df = spark.read.parquet(t_path)
+        return grouped_kll(df, "conv_id", "turn_idx", k=200, partitions=128).count()
+
+    grouped_kll_conv()
+    timed("q_grouped_kll_conv_highcard", grouped_kll_conv)
+
+    def grouped_cms_conv():
+        from guava_probably_spark.operators import grouped_cms
+
+        df = spark.read.parquet(t_path)
+        return grouped_cms(
+            df, "conv_id", "role", 0.02, 0.1, partitions=128
+        ).count()
+
+    grouped_cms_conv()
+    timed("q_grouped_cms_conv_highcard", grouped_cms_conv)
+
     def sessionize_convs():
         from guava_probably_spark.operators import sessionize
 

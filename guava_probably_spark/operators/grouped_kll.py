@@ -39,10 +39,8 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 
-def _build_stage(k_param: int):
+def _build_stage(make_sketch):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from ..sketches.kll import KllSketch
-
         keys_parts, v_parts = [], []
         for batch in batches:
             key_arr = batch.column(0)
@@ -79,7 +77,7 @@ def _build_stage(k_param: int):
         np.cumsum(n_per, out=bounds[1:])
         blobs = []
         for i in range(len(uniq)):
-            sk = KllSketch(k=k_param)
+            sk = make_sketch()
             sk.update(sv[bounds[i] : bounds[i + 1]])
             blobs.append(sk.to_bytes())
         yield pa.RecordBatch.from_arrays(
@@ -90,6 +88,18 @@ def _build_stage(k_param: int):
     return fn
 
 
+def _grouped_value_sketch(
+    df: DataFrame, key: str, col: str, make_sketch, partitions: int | None
+) -> DataFrame:
+    key_type = df.schema[key].dataType.simpleString()
+    narrow = df.select(F.col(key).alias("k"), F.col(col).cast("double").alias("v"))
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    colocated = narrow.repartition(parts, "k")
+    return colocated.mapInArrow(
+        _build_stage(make_sketch), f"key {key_type}, sketch binary, n bigint"
+    )
+
+
 def grouped_kll(
     df: DataFrame,
     key: str,
@@ -98,10 +108,30 @@ def grouped_kll(
     partitions: int | None = None,
 ) -> DataFrame:
     """Per-key KllSketch at high key cardinality → (key, sketch, n)."""
-    key_type = df.schema[key].dataType.simpleString()
-    narrow = df.select(F.col(key).alias("k"), F.col(col).cast("double").alias("v"))
-    parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-    colocated = narrow.repartition(parts, "k")
-    return colocated.mapInArrow(
-        _build_stage(k), f"key {key_type}, sketch binary, n bigint"
-    )
+
+    def make():
+        from ..sketches.kll import KllSketch
+
+        return KllSketch(k=k)
+
+    return _grouped_value_sketch(df, key, col, make, partitions)
+
+
+def grouped_tdigest(
+    df: DataFrame,
+    key: str,
+    col: str,
+    delta: float = 200.0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-key TDigestSketch at high key cardinality → (key, sketch, n) —
+    same narrow shuffle + segment-loop architecture as ``grouped_kll``
+    (t-digest centroids are order-sensitive the same way; see the module
+    docstring for the byte-identity caveat)."""
+
+    def make():
+        from ..sketches.tdigest import TDigestSketch
+
+        return TDigestSketch(delta=delta)
+
+    return _grouped_value_sketch(df, key, col, make, partitions)

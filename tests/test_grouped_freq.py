@@ -109,3 +109,23 @@ def test_grouped_kll_null_values_dropped(spark):
     df = spark.createDataFrame(pdf)
     (row,) = grouped_kll(df, "g", "x", k=16).collect()
     assert row.n == 5
+
+
+def test_grouped_tdigest_estimates(spark):
+    """grouped_tdigest shares the segment-loop architecture: per-key
+    centroids from the library's own TDigestSketch, quantiles within the
+    empirical rank tolerance, sizes exact."""
+    rng = np.random.default_rng(11)
+    n = 30_000
+    pdf = pd.DataFrame({"g": [f"c{i % 6}" for i in range(n)], "x": rng.exponential(2.0, n)})
+    df = spark.createDataFrame(pdf).repartition(5)
+    from guava_probably_spark.operators import grouped_tdigest
+
+    rows = {r.key: (Sketch.from_bytes(r.sketch), r.n) for r in grouped_tdigest(df, "g", "x").collect()}
+    assert len(rows) == 6
+    for g, sub in pdf.groupby("g"):
+        sk, cnt = rows[g]
+        assert cnt == len(sub)
+        for q in (0.25, 0.5, 0.75, 0.95):
+            est_rank = float(np.mean(np.asarray(sub.x) < sk.quantile(q)))
+            assert abs(est_rank - q) <= 0.02
