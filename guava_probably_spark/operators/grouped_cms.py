@@ -224,13 +224,17 @@ def grouped_cms(
     partitions: int | None = None,
     pre_reduce: bool = True,
     max_matrix_bytes: int = 1 << 31,
+    assume_colocated: bool = False,
 ) -> DataFrame:
     """Per-key CmsSketch at high key cardinality → (key, sketch, n) with
     blobs byte-identical to a local ``CmsSketch`` build of the same group.
 
     ``pre_reduce`` (default) collapses duplicate (key, value) rows map-side
     into weighted updates, so the shuffle is bounded by the per-partition
-    DISTINCT values of each key rather than its row count."""
+    DISTINCT values of each key rather than its row count.
+    ``assume_colocated=True`` skips the repartition — correct when the
+    input is already partitioned by ``key`` (bucketed read, upstream
+    repartition); the grouped build then has ZERO shuffle."""
     from pyspark.sql.types import IntegerType, LongType, ShortType
 
     from ..sketches.base import FUNNEL_LONG, FUNNEL_UTF8
@@ -241,7 +245,7 @@ def grouped_cms(
     stage = _hash2_prereduce_stage(1) if pre_reduce else _hash2_stage(1)
     hashed = df.select(key, col).mapInArrow(stage, f"k {key_type}, {_HASH2_SCHEMA_SUFFIX}")
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-    colocated = hashed.repartition(parts, "k")
+    colocated = hashed if assume_colocated else hashed.repartition(parts, "k")
     return colocated.mapInArrow(
         _build_stage(epsilon, delta, funnel, max_matrix_bytes),
         f"key {key_type}, sketch binary, n bigint",

@@ -89,12 +89,17 @@ def _build_stage(make_sketch):
 
 
 def _grouped_value_sketch(
-    df: DataFrame, key: str, col: str, make_sketch, partitions: int | None
+    df: DataFrame,
+    key: str,
+    col: str,
+    make_sketch,
+    partitions: int | None,
+    assume_colocated: bool = False,
 ) -> DataFrame:
     key_type = df.schema[key].dataType.simpleString()
     narrow = df.select(F.col(key).alias("k"), F.col(col).cast("double").alias("v"))
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-    colocated = narrow.repartition(parts, "k")
+    colocated = narrow if assume_colocated else narrow.repartition(parts, "k")
     return colocated.mapInArrow(
         _build_stage(make_sketch), f"key {key_type}, sketch binary, n bigint"
     )
@@ -106,15 +111,18 @@ def grouped_kll(
     col: str,
     k: int = 200,
     partitions: int | None = None,
+    assume_colocated: bool = False,
 ) -> DataFrame:
-    """Per-key KllSketch at high key cardinality → (key, sketch, n)."""
+    """Per-key KllSketch at high key cardinality → (key, sketch, n).
+    ``assume_colocated=True`` skips the repartition for input already
+    partitioned by ``key`` — zero shuffle."""
 
     def make():
         from ..sketches.kll import KllSketch
 
         return KllSketch(k=k)
 
-    return _grouped_value_sketch(df, key, col, make, partitions)
+    return _grouped_value_sketch(df, key, col, make, partitions, assume_colocated)
 
 
 def grouped_tdigest(
@@ -123,6 +131,7 @@ def grouped_tdigest(
     col: str,
     delta: float = 200.0,
     partitions: int | None = None,
+    assume_colocated: bool = False,
 ) -> DataFrame:
     """Per-key TDigestSketch at high key cardinality → (key, sketch, n) —
     same narrow shuffle + segment-loop architecture as ``grouped_kll``
@@ -134,4 +143,4 @@ def grouped_tdigest(
 
         return TDigestSketch(delta=delta)
 
-    return _grouped_value_sketch(df, key, col, make, partitions)
+    return _grouped_value_sketch(df, key, col, make, partitions, assume_colocated)

@@ -192,6 +192,7 @@ def grouped_theta(
     k: int = 4096,
     partitions: int | None = None,
     pre_reduce: bool = True,
+    assume_colocated: bool = False,
 ) -> DataFrame:
     """Per-key ThetaSketch at high key cardinality → (key, sketch, n) with
     blobs byte-identical to a local ThetaSketch build of the same group.
@@ -216,7 +217,7 @@ def grouped_theta(
         )
     else:
         hashed = df.select(key, col).mapInArrow(_hash_stage(1), f"k {key_type}, h bigint")
-    colocated = hashed.repartition(parts, "k")
+    colocated = hashed if assume_colocated else hashed.repartition(parts, "k")
     return colocated.mapInArrow(
         _build_stage(k, funnel), f"key {key_type}, sketch binary, n bigint"
     ).withColumnRenamed("key", key)

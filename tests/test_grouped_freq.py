@@ -5,6 +5,7 @@ invariance, estimate accuracy, mergeability."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from guava_probably_spark.operators import grouped_cms, grouped_kll
 from guava_probably_spark.sketches import Sketch
@@ -129,3 +130,30 @@ def test_grouped_tdigest_estimates(spark):
         for q in (0.25, 0.5, 0.75, 0.95):
             est_rank = float(np.mean(np.asarray(sub.x) < sk.quantile(q)))
             assert abs(est_rank - q) <= 0.02
+
+
+def test_grouped_assume_colocated_zero_shuffle_all_kinds(spark):
+    """assume_colocated=True must produce a plan with NO Exchange after the
+    upstream repartition, and results identical to the shuffled build, for
+    theta/cms/kll (grouped_hll already pins this)."""
+    from guava_probably_spark.operators import grouped_cms, grouped_kll, grouped_theta
+
+    pdf = _docs(n=6_000, keys=5, vals=100)
+    df = spark.createDataFrame(pdf)
+    pre = df.repartition(4, "g")
+    for name, fn in (
+        ("theta", lambda d, **kw: grouped_theta(d, "g", "v", k=64, **kw)),
+        ("cms", lambda d, **kw: grouped_cms(d, "g", "v", 0.02, 0.1, **kw)),
+        ("kll", lambda d, **kw: grouped_kll(
+            d.withColumn("x", F.length("v").cast("double")), "g", "x", k=32, **kw)),
+    ):
+        colo = fn(pre, assume_colocated=True)
+        plan = colo._jdf.queryExecution().executedPlan().toString()
+        # exactly the ONE upstream exchange (from pre), none added by the op
+        assert plan.count("Exchange") <= 1, (name, plan)
+        a = {r[0]: (r.sketch, r.n) for r in colo.collect()}
+        b = {r[0]: (r.sketch, r.n) for r in fn(df).collect()}
+        if name == "kll":  # order-sensitive blobs: compare counts only
+            assert {k: v[1] for k, v in a.items()} == {k: v[1] for k, v in b.items()}
+        else:
+            assert a == b, name
