@@ -566,10 +566,162 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
     return timings, extras
 
 
+def run_accuracy(spark, t_path: str, rows: int) -> dict:
+    """Observed error vs published bound for every sketch family, at bench
+    scale (the BASELINE.json metric's 'observed-vs-bound FPP/error' clause).
+
+    One multi-sketch scan builds all 8 sketches; exact ground truth runs
+    beside it (countDistinct, per-key counts, tie-aware rank sums). All
+    inputs deterministic (seed 42) — reruns reproduce bit-identically.
+    """
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.functions import might_contain_udf
+    from guava_probably_spark.operators import collect_sketches_files
+    from guava_probably_spark.sketches import SketchSpec
+
+    p, theta_k, mg_k, kll_k, td_delta = 14, 16384, 256, 200, 200.0
+    cms_eps, cms_delta = 0.0005, 0.01
+    cap, fpp = 2_000_000, 0.01
+    targets = [
+        ("hll", "conv_id", SketchSpec("hll", {"p": p})),
+        ("theta", "conv_id", SketchSpec("theta", {"k": theta_k})),
+        ("bloom", "conv_id", SketchSpec("bloom", {"capacity": cap, "fpp": fpp})),
+        ("cuckoo", "conv_id", SketchSpec("cuckoo", {"capacity": cap, "fpp": fpp})),
+        ("cms", "conv_id", SketchSpec("cms", {"epsilon": cms_eps, "delta": cms_delta})),
+        ("mg", "conv_id", SketchSpec("mg", {"k": mg_k})),
+        ("kll", "turn_idx", SketchSpec("kll", {"k": kll_k})),
+        ("tdigest", "turn_idx", SketchSpec("tdigest", {"delta": td_delta})),
+    ]
+    built = collect_sketches_files(spark, t_path, targets)
+    sks = {name: t[0] for name, t in built.items()}
+    n_rows = built["hll"][1]
+
+    df = spark.read.parquet(t_path)
+    true_distinct = df.agg(F.countDistinct("conv_id")).collect()[0][0]
+
+    out: dict = {"rows": n_rows, "true_distinct_convs": true_distinct}
+
+    # -- cardinality: relative error vs 3 sigma of the published RSE --------
+    for name, sigma in (("hll", 1.04 / math.sqrt(1 << p)),
+                        ("theta", 1.0 / math.sqrt(theta_k - 1))):
+        est = sks[name].estimate()
+        rel = abs(est - true_distinct) / true_distinct
+        out[name] = {"estimate": int(round(est)), "rel_err": round(float(rel), 6),
+                     "bound_3sigma": round(3 * sigma, 6), "ok": bool(rel <= 3 * sigma)}
+
+    # -- filters: observed FPP over 1M guaranteed non-members + zero FN -----
+    non_members = spark.range(1_000_000).select(
+        F.format_string("np-%012d", F.col("id")).alias("k"))
+    members = df.select(F.col("conv_id").alias("k")).distinct()
+    for name in ("bloom", "cuckoo"):
+        blob = sks[name].to_bytes()
+        fp = non_members.filter(might_contain_udf(spark, blob)(F.col("k"))).count()
+        fn = members.filter(~might_contain_udf(spark, blob)(F.col("k"))).count()
+        obs = fp / 1_000_000
+        exp = sks[name].expected_fpp()
+        out[name] = {
+            "observed_fpp": round(obs, 6), "expected_fpp": round(exp, 6),
+            "configured_fpp": fpp, "false_negatives": fn,
+            "overflow": built[name][2],
+            # expected_fpp is the fill-level estimate; configured fpp is the
+            # design point at full capacity — observed must sit within noise
+            # of expected and below configured (filter is only half full)
+            "ok": bool(fn == 0 and obs <= max(fpp, 1.5 * exp + 1e-4)),
+        }
+
+    # -- frequency: CMS never under, over <= eps*N w.p. 1-delta; MG never
+    #    over, under <= N/k.  Exact counts for a deterministic key sample
+    #    (top-100 hot keys + ~1/1000 hash sample of all keys). ------------
+    counts = df.groupBy("conv_id").count()
+    hot = counts.orderBy(F.desc("count"), "conv_id").limit(100)
+    sampled = counts.filter(F.pmod(F.xxhash64("conv_id", F.lit(7)), F.lit(1000)) == 0)
+    keys = hot.unionByName(sampled).dropDuplicates(["conv_id"]).collect()
+    karr = [r.conv_id for r in keys]
+    tru = np.array([r["count"] for r in keys], dtype=np.int64)
+    cms_est = np.asarray(sks["cms"].estimate(karr), dtype=np.int64)
+    over = cms_est - tru
+    out["cms"] = {
+        "keys_checked": len(karr), "max_over": int(over.max()),
+        "bound_epsN": int(math.ceil(cms_eps * n_rows)),
+        "under_violations": int((over < 0).sum()),
+        "ok": bool((over >= 0).all() and int(over.max()) <= cms_eps * n_rows),
+    }
+    mg_est = np.array([sks["mg"].estimate_count(k) for k in karr], dtype=np.int64)
+    under = tru - mg_est
+    out["mg"] = {
+        "keys_checked": len(karr), "max_under": int(under.max()),
+        "bound_N_over_k": n_rows // mg_k,
+        "over_violations": int((under < 0).sum()),
+        "ok": bool((under >= 0).all() and int(under.max()) <= n_rows // mg_k),
+    }
+
+    # -- quantiles: tie-aware normalized rank error at the deciles.  The
+    #    estimated quantile v is correct if q lands inside v's tie interval
+    #    [P(x<v), P(x<=v)]; error is the distance to that interval. ---------
+    qs = np.arange(0.1, 1.0, 0.1)
+    for name in ("kll", "tdigest"):
+        vals = np.atleast_1d(sks[name].quantile(qs))
+        aggs = []
+        for i, v in enumerate(vals):
+            aggs.append(F.avg((F.col("turn_idx") < float(v)).cast("double")).alias(f"lo{i}"))
+            aggs.append(F.avg((F.col("turn_idx") <= float(v)).cast("double")).alias(f"hi{i}"))
+        row = df.agg(*aggs).collect()[0]
+        errs = [max(0.0, row[f"lo{i}"] - q, q - row[f"hi{i}"])
+                for i, q in enumerate(qs)]
+        bound = sks[name].rank_error_bound()
+        out[name] = {"max_rank_err": round(float(max(errs)), 6),
+                     "bound_3sigma": round(float(bound), 6), "ok": bool(max(errs) <= bound)}
+    return out
+
+
 def main() -> None:
     sf = _sf()
     rows = max(200_000, int(80_000_000 * sf))
     t_path = transcripts_path(rows)
+
+    if "--accuracy" in sys.argv:
+        spark = make_session(CPUS)
+        try:
+            t0 = time.monotonic()
+            acc = run_accuracy(spark, t_path, rows)
+            dt = time.monotonic() - t0
+        finally:
+            spark.stop()
+        families = [k for k, v in acc.items() if isinstance(v, dict)]
+        all_ok = all(acc[k].get("ok") for k in families)
+        md_rows = []
+        for k in families:
+            v = acc[k]
+            if "rel_err" in v:
+                o, b = f"rel err {v['rel_err']}", f"{v['bound_3sigma']} (3σ)"
+            elif "observed_fpp" in v:
+                o = (f"FPP {v['observed_fpp']} (expectedFpp {v['expected_fpp']}, "
+                     f"FN {v['false_negatives']})")
+                b = f"configured {v['configured_fpp']}"
+            elif "max_over" in v:
+                o, b = f"max over {v['max_over']}", f"ε·N = {v['bound_epsN']}"
+            elif "max_under" in v:
+                o, b = f"max under {v['max_under']}", f"N/k = {v['bound_N_over_k']}"
+            else:
+                o, b = f"max rank err {v['max_rank_err']}", f"{v['bound_3sigma']} (3σ)"
+            md_rows.append(f"| {k} | {o} | {b} | {'✓' if v['ok'] else '✗'} |")
+        md = (
+            f"\n## Observed-vs-bound accuracy run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
+            f"{acc['rows']:,} transcript turns (sf{_sf()}), {acc['true_distinct_convs']:,} "
+            f"true distinct convs; one multi-sketch scan + exact ground truth, "
+            f"deterministic seed, {dt:.1f} s wall.\n\n"
+            "| sketch | observed | published bound | ok |\n|---|---|---|---|\n"
+            + "\n".join(md_rows) + "\n"
+        )
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(md)
+        print(json.dumps({
+            "metric": "accuracy_vs_bound", "value": 1.0 if all_ok else 0.0,
+            "unit": "all_ok", "seconds": round(dt, 1), "families": acc,
+        }))
+        return
 
     if "--scaling" in sys.argv:
         # larger input for the scaling protocol: fixed per-job overhead

@@ -155,7 +155,31 @@ class CuckooSketch(Sketch):
         return placed
 
     def _kick_insert(self, i: int, fp: int) -> bool:
-        """Sequential evict-and-kick with full rollback on failure."""
+        """Sequential evict-and-relocate with full rollback on failure.
+
+        Bounded depth-first search with backtracking instead of the classic
+        single random walk, for two reasons discovered on skewed (power-law
+        conv_id) builds where hot keys duplicate-saturate their bucket pair:
+
+        1. Evicting a copy of the fingerprint IN HAND is provably useless —
+           it lands in the other bucket of its own pair (the alt-index is an
+           involution within the pair), which is full or we would have
+           placed there; since slots are fungible, permuting own copies
+           never changes reachability. The random walk spends ~c/b of its
+           kicks on exactly that (measured: ~every hot-key insert burned the
+           full MAX_KICKS, 323 s for one 800k-row merge).
+        2. A single chain that hits a dead end (a bucket whose residents all
+           lead to full buckets) gives up even when a DIFFERENT victim at an
+           earlier bucket would have succeeded — observed as ~1e-3 FALSE
+           NEGATIVES on first copies of cold keys whose buckets were clogged
+           by saturated neighbors. Backtracking restores the evicted victim
+           and tries the next alternative, so failure means no relocation
+           sequence of ≤ MAX_KICKS evictions exists, not bad luck.
+
+        Victims are deduped by fingerprint value per bucket (copies are
+        fungible). Total evictions are capped at MAX_KICKS; on failure every
+        frame is unwound, leaving the filter byte-identical.
+        """
         alt = self._alt_scalar(i, fp)
         for b_ in (i, alt):
             if self.occ[b_] < self.b:
@@ -163,23 +187,61 @@ class CuckooSketch(Sketch):
                 self.occ[b_] += 1
                 self._count += 1
                 return True
-        chain: list[tuple[int, int, int]] = []  # (bucket, slot, evicted fp)
-        cur_i, cur_fp = i, fp
-        for _ in range(MAX_KICKS):
-            j = int(self._rng.integers(self.b))
-            victim = int(self.table[cur_i, j])
-            chain.append((cur_i, j, victim))
-            self.table[cur_i, j] = cur_fp
-            cur_fp = victim
-            cur_i = self._alt_scalar(cur_i, victim)
-            if self.occ[cur_i] < self.b:
-                self.table[cur_i, self.occ[cur_i]] = cur_fp
-                self.occ[cur_i] += 1
-                self._count += 1
-                return True
-        # saturated: roll the chain back so the filter is unchanged
-        for bucket, slot, old_fp in reversed(chain):
-            self.table[bucket, slot] = old_fp
+
+        def _victims(bucket: int, held: int) -> list[int]:
+            # one slot per distinct non-held fingerprint, in RANDOM order: a
+            # fixed order makes the descent deterministic and it cycles among
+            # the same few buckets until the budget burns (measured 6% insert
+            # failures at design load vs 0 for the random walk); shuffling
+            # restores the walk's cycle-escaping randomness while keeping
+            # backtracking
+            row = self.table[bucket]
+            out: list[int] = []
+            seen: set[int] = set()
+            for j in range(self.b):
+                v = int(row[j])
+                if v != held and v not in seen:
+                    seen.add(v)
+                    out.append(j)
+            if len(out) > 1:
+                self._rng.shuffle(out)
+            return out
+
+        evictions = 0
+        for root in (i, alt):
+            # frame: [bucket, held fp, victim slots, next victim idx,
+            #         (slot, victim) eviction made INTO the child frame]
+            stack: list[list] = [[root, fp, _victims(root, fp), 0, None]]
+            while stack:
+                f = stack[-1]
+                bucket, held, cands, idx = f[0], f[1], f[2], f[3]
+                if idx >= len(cands) or evictions >= MAX_KICKS:
+                    # dead end (or budget spent): unwind one frame, undoing
+                    # the eviction that spawned it; when the budget is spent
+                    # this branch repeats until the stack is empty and the
+                    # filter is byte-identical to its pre-call state
+                    stack.pop()
+                    if stack:
+                        parent = stack[-1]
+                        slot, victim = parent[4]
+                        self.table[parent[0], slot] = victim
+                        parent[4] = None
+                    continue
+                f[3] += 1
+                j = cands[idx]
+                victim = int(self.table[bucket, j])
+                dest = self._alt_scalar(bucket, victim)
+                evictions += 1
+                self.table[bucket, j] = held  # evict victim, keep held here
+                if self.occ[dest] < self.b:
+                    self.table[dest, self.occ[dest]] = victim
+                    self.occ[dest] += 1
+                    self._count += 1
+                    return True
+                f[4] = (j, victim)
+                stack.append([dest, victim, _victims(dest, victim), 0, None])
+            if evictions >= MAX_KICKS:
+                break
         return False
 
     def put_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -198,10 +260,23 @@ class CuckooSketch(Sketch):
             i2 = self._alt(i1[rest].astype(np.uint64), fp[rest]).astype(np.int64)
             placed2 = self._place_vectorized(i2, fp[rest])
             success[np.nonzero(rest)[0][placed2]] = True
-            # sequential kick loop for the contended residue
+            # vectorized duplicate-saturation pre-filter: a pair {i1, i2}
+            # holds at most 2b copies of one fingerprint, and once it is
+            # entirely fp the kick chain provably cannot free a slot (every
+            # victim is fp; its alt stays inside the pair). Skewed keys
+            # (power-law conv_id) make this the COMMON residue case — the
+            # scalar kick loop measured minutes on an 800k-row transcripts
+            # build vs milliseconds with this mask.
             residue = np.nonzero(rest)[0][~placed2]
-            for k in residue:
-                success[k] = self._kick_insert(int(i1[k]), int(fp[k]))
+            if len(residue):
+                ri1 = i1[residue]
+                ri2 = self._alt(ri1.astype(np.uint64), fp[residue]).astype(np.int64)
+                rfp = fp[residue][:, None]
+                sat = (self.table[ri1] == rfp).all(axis=1) & (
+                    self.table[ri2] == rfp
+                ).all(axis=1)
+                for k in residue[~sat]:
+                    success[k] = self._kick_insert(int(i1[k]), int(fp[k]))
         return success
 
     # --------------------------------------------------------------- queries
@@ -213,7 +288,32 @@ class CuckooSketch(Sketch):
         return found1 | found2
 
     def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
-        self.put_hashes(h1, h2)
+        """Distributed-build ingest: SET semantics (first copy wins).
+
+        put_hashes keeps guava's multiset behavior (up to 2b copies of a key,
+        preserving put/remove symmetry). The build path instead dedups each
+        batch against the table and itself: membership needs one copy, and
+        at power-law key scale duplicate copies saturate hot pairs, waste
+        2b slots per hot key, and wall off neighboring cold keys into
+        insert failures = FALSE NEGATIVES (measured 47 FNs over 79k keys on
+        an 800k-turn skewed transcripts build; 0 after dedup).
+        """
+        i1, fp = self._index_fp(h1, h2)
+        i2 = self._alt(i1.astype(np.uint64), fp).astype(np.int64)
+        present = (self.table[i1] == fp[:, None]).any(axis=1) | (
+            self.table[i2] == fp[:, None]
+        ).any(axis=1)
+        fresh = np.nonzero(~present)[0]
+        if not len(fresh):
+            return
+        # first occurrence per (pair, fp) within the batch; pair id is the
+        # smaller bucket index (the alt-index is an involution, so both
+        # buckets of a key map to the same id)
+        pair = np.minimum(i1[fresh], i2[fresh]).astype(np.uint64)
+        key = (pair << np.uint64(self.f + 1)) | fp[fresh].astype(np.uint64)
+        _, first = np.unique(key, return_index=True)
+        sel = fresh[np.sort(first)]
+        self._insert(i1[sel], fp[sel])
 
     def update(self, values) -> np.ndarray:
         _, h1, h2 = hash_column(values, self.funnel)
@@ -288,12 +388,32 @@ class CuckooSketch(Sketch):
 
     def merge_counted(self, other: "CuckooSketch") -> tuple[bool, int]:
         """putAll(filter): fingerprint walk + re-insert (SURVEY.md §3.3).
-        Returns (all_fit, overflow_count)."""
+        Returns (all_fit, overflow_count).
+
+        Merge takes SET union at pair granularity: an incoming fingerprint
+        already present in its destination pair is skipped (not an
+        overflow). Duplicate copies are a single-filter put/remove-symmetry
+        artifact; letting them accumulate across merges saturates hot pairs
+        and turns cold-key inserts into false negatives on skewed data (see
+        ingest_hashes). Genuine capacity overflow is still counted.
+        """
         self._check_compatible(other)
         mask = np.arange(other.b)[None, :] < other.occ[:, None]
         buckets, slots = np.nonzero(mask)
         fps = other.table[buckets, slots]
-        success = self._insert(buckets.astype(np.int64), fps)
+        b64 = buckets.astype(np.int64)
+        alt = self._alt(b64.astype(np.uint64), fps).astype(np.int64)
+        present = (self.table[b64] == fps[:, None]).any(axis=1) | (
+            self.table[alt] == fps[:, None]
+        ).any(axis=1)
+        fresh = np.nonzero(~present)[0]
+        if not len(fresh):
+            return True, 0
+        pair = np.minimum(b64[fresh], alt[fresh]).astype(np.uint64)
+        key = (pair << np.uint64(self.f + 1)) | fps[fresh].astype(np.uint64)
+        _, first = np.unique(key, return_index=True)
+        sel = fresh[np.sort(first)]
+        success = self._insert(b64[sel], fps[sel])
         overflow = int((~success).sum())
         return overflow == 0, overflow
 
