@@ -231,48 +231,56 @@ def build_with_checkpoint(
             _reduce_files_fn, _REDUCE_SCHEMA
         )
 
+    # unpersist in a finally so a heal failure (or any downstream raise)
+    # doesn't strand cached blob partitions on the executors for the
+    # lifetime of a long-lived session
     reduced = _reduced(files_df).persist()
-    # corrupt rows carry only the file name — tiny even if a wave is torn
-    bad = sorted(r.file for r in reduced.filter(~F.col("ok")).collect())
-    partials = reduced.filter(F.col("ok")).select("sketch", "n", "overflow")
-    if bad:
-        wave_df = spark.createDataFrame(
-            spark.sparkContext.parallelize([(f,) for f in bad], len(bad)),
-            "file string",
-        )
-        wave_df.mapInArrow(
-            _build_file_fn(col, spec, lineage), CHECKPOINT_SCHEMA
-        ).write.mode("append").parquet(checkpoint_dir)
-        healed = _reduced(wave_df).persist()
-        still_bad = [r.file for r in healed.filter(~F.col("ok")).collect()]
-        if still_bad:
-            raise ValueError(f"checkpoint heal failed for {still_bad[:3]}")
-        # the first pass excluded corrupt-only files entirely, so unioning
-        # the healed partials never double-counts
-        partials = partials.unionByName(
-            healed.filter(F.col("ok")).select("sketch", "n", "overflow")
-        )
-    from .build import tree_merge
+    healed: DataFrame | None = None
+    try:
+        # corrupt rows carry only the file name — tiny even if a wave is torn
+        bad = sorted(r.file for r in reduced.filter(~F.col("ok")).collect())
+        partials = reduced.filter(F.col("ok")).select("sketch", "n", "overflow")
+        if bad:
+            wave_df = spark.createDataFrame(
+                spark.sparkContext.parallelize([(f,) for f in bad], len(bad)),
+                "file string",
+            )
+            wave_df.mapInArrow(
+                _build_file_fn(col, spec, lineage), CHECKPOINT_SCHEMA
+            ).write.mode("append").parquet(checkpoint_dir)
+            healed = _reduced(wave_df).persist()
+            still_bad = [r.file for r in healed.filter(~F.col("ok")).collect()]
+            if still_bad:
+                raise ValueError(f"checkpoint heal failed for {still_bad[:3]}")
+            # the first pass excluded corrupt-only files entirely, so unioning
+            # the healed partials never double-counts
+            partials = partials.unionByName(
+                healed.filter(F.col("ok")).select("sketch", "n", "overflow")
+            )
+        from .build import tree_merge
 
-    shaped = partials.select(
-        "sketch",
-        "n",
-        "overflow",
-        F.lit(-1).alias("part_id"),
-        F.lit(0.0).alias("secs"),
-    )
-    acc: Sketch | None = None
-    n = 0
-    overflow = 0
-    for r in tree_merge(shaped).collect():
-        sk = Sketch.from_bytes(r.sketch)
-        if acc is None:
-            acc = sk
-        else:
-            overflow += _merge_into(acc, sk)
-        n += r.n
-        overflow += r.overflow
-    reduced.unpersist()
+        shaped = partials.select(
+            "sketch",
+            "n",
+            "overflow",
+            F.lit(-1).alias("part_id"),
+            F.lit(0.0).alias("secs"),
+        )
+        acc: Sketch | None = None
+        n = 0
+        overflow = 0
+        for r in tree_merge(shaped).collect():
+            sk = Sketch.from_bytes(r.sketch)
+            if acc is None:
+                acc = sk
+            else:
+                overflow += _merge_into(acc, sk)
+            n += r.n
+            overflow += r.overflow
+    finally:
+        reduced.unpersist()
+        if healed is not None:
+            healed.unpersist()
     if acc is None:
         acc = spec.create()
     return acc, ResumeStats(

@@ -196,16 +196,21 @@ def _build_stage(epsilon: float, delta: float, funnel: int, max_matrix_bytes: in
                 f"({n_keys} keys × d={d} × w={w}); raise `partitions`, widen "
                 f"epsilon, or raise max_matrix_bytes"
             )
-        # np.bincount (buffered) beats np.add.at (unbuffered scatter) ~10×
-        flat = np.zeros(n_keys * d * w, dtype=np.int64)
-        base = codes * (d * w)
+        # np.bincount (buffered) beats np.add.at (unbuffered scatter) ~10×.
+        # One bincount per DEPTH over (key, col) — the temporary is one
+        # (n_keys × w) float64 slab, 1/d of the matrix, assigned (cast in
+        # place) into the preallocated int64 matrix. A full-matrix bincount
+        # + astype here transiently tripled the guarded allocation, which
+        # is exactly the OOM the max_matrix_bytes guard promises to prevent.
+        counts = np.zeros((n_keys, d, w), dtype=np.int64)
+        base = codes * w
         cf = c.astype(np.float64)  # exact for counts < 2^53
         for i in range(d):
             with np.errstate(over="ignore"):
                 col = ((h1 + np.uint64(i) * h2) & _SIGN_MASK) % np.uint64(w)
-            idx = base + i * w + col.astype(np.int64)
-            flat += np.bincount(idx, weights=cf, minlength=len(flat)).astype(np.int64)
-        counts = flat.reshape(n_keys, d, w)
+            idx = base + col.astype(np.int64)
+            slab = np.bincount(idx, weights=cf, minlength=n_keys * w)
+            counts[:, i, :] = slab.reshape(n_keys, w)
         totals = np.bincount(codes, weights=cf, minlength=n_keys).astype(np.int64)
         blobs = _pack_cms_rows(uniq, counts, totals, epsilon, delta, funnel)
         yield pa.RecordBatch.from_arrays(

@@ -23,12 +23,15 @@ from guava_probably_spark.pipeline.components import (
     keep_canonical,
 )
 from guava_probably_spark.pipeline.dedup import (
+    banding_drop_stats,
     exact_dedup,
     exact_jaccard_pairs,
     lsh_candidate_pairs,
+    lsh_drop_stats,
     minhash_signatures,
     shingle_df,
     simhash_df,
+    simhash_drop_stats,
     simhash_near_pairs,
 )
 from guava_probably_spark.pipeline.sampling import (
@@ -91,10 +94,13 @@ __all__ = [
     "decode_resize_features",
     "exact_dedup",
     "exact_jaccard_pairs",
+    "banding_drop_stats",
     "lsh_candidate_pairs",
+    "lsh_drop_stats",
     "minhash_signatures",
     "shingle_df",
     "simhash_df",
+    "simhash_drop_stats",
     "simhash_near_pairs",
     "assign_lists",
     "ivf_topk",

@@ -324,15 +324,23 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = DEFAULT_BANDS,
     max_bucket: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Distinct candidate pairs (a, b), a < b, sharing at least one LSH band.
 
     Each signature explodes into ``bands`` (band_idx, band_key) rows; a
     shuffle groups bucket members; pairs are emitted within buckets of size
-    ≤ max_bucket (larger buckets are skew pathologies — dropped, counted in
-    the ``_lsh_dropped_buckets`` accumulator-style log column upstream jobs
-    can monitor).
+    ≤ max_bucket (larger buckets are skew pathologies — dropped, NOT
+    silently: action ``lsh_drop_stats(signatures, bands, max_bucket)`` for
+    the dropped bucket/member counts; see ``banding_drop_stats`` for why
+    that is a separate cheap pass rather than a same-action Observation).
     """
+    exploded = _band_rows(signatures, bands)
+    return pairs_from_band_rows(exploded, max_bucket, observation)
+
+
+def _band_rows(signatures: DataFrame, bands: int) -> DataFrame:
+    """(id, bk) band rows for the array-signature path."""
     n = signatures.select(F.size("sig").alias("s")).first().s
     r = n // bands
     # packed numeric band key (band_idx << 32 | band_hash): a 12.8M-row
@@ -342,14 +350,71 @@ def lsh_candidate_pairs(
         f"CAST(j AS BIGINT) * 4294967296 + "
         f"(CAST(hash(slice(sig, j * {r} + 1, {r})) AS BIGINT) & 4294967295))"
     )
-    exploded = signatures.select("id", F.explode(band_key).alias("bk"))
-    return pairs_from_band_rows(exploded, max_bucket)
+    return signatures.select("id", F.explode(band_key).alias("bk"))
 
 
-def pairs_from_band_rows(band_rows: DataFrame, max_bucket: int = 1000) -> DataFrame:
+def banding_drop_stats(band_rows: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """One-row (dropped_buckets, dropped_members) audit of the skew cap
+    over (id, bk) band rows — the count the cap must never lose silently.
+
+    This is a SEPARATE narrow pass on purpose: only (bk, count) longs cross
+    the shuffle (no members arrays, no pair blow-up), so it costs a small
+    fraction of the pair join it audits. A same-action ``observe`` would be
+    free, and ``pairs_from_band_rows`` still attaches one when you pass
+    ``observation`` — but Spark's AQE currently drops CollectMetrics rows
+    under the generate-then-aggregate shape of the pair plan (empty metrics
+    row from ``Observation.get``), so with AQE on this pass is the reliable
+    audit.
+    """
+    sizes = band_rows.groupBy("bk").agg(F.count("*").alias("sz"))
+    over = F.col("sz") > max_bucket
+    return sizes.agg(
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("dropped_buckets"),
+        F.coalesce(F.sum(F.when(over, F.col("sz"))), F.lit(0)).alias(
+            "dropped_members"
+        ),
+    )
+
+
+def lsh_drop_stats(
+    signatures: DataFrame, bands: int = DEFAULT_BANDS, max_bucket: int = 1000
+) -> DataFrame:
+    """Skew-cap drop audit for ``lsh_candidate_pairs`` (same banding)."""
+    return banding_drop_stats(_band_rows(signatures, bands), max_bucket)
+
+
+def _observe_bucket_drops(buckets: DataFrame, max_bucket: int, observation):
+    """Attach dropped-bucket metrics to the banding action itself.
+
+    ``observation.get`` (after any action on the returned plan) yields
+    ``{"dropped_buckets": n, "dropped_members": m}`` — the skew-cap drop
+    count the caller must not lose silently. Costs nothing when it works:
+    Observe rides the existing pass, no second job. CAVEAT: with AQE on,
+    Spark currently loses the CollectMetrics row under this plan's
+    generate-then-aggregate shape (``Observation.get`` sees an empty row) —
+    ``banding_drop_stats`` is the AQE-proof audit.
+    """
+    if observation is None:
+        return buckets
+    over = F.size("members") > max_bucket
+    return buckets.observe(
+        observation,
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("dropped_buckets"),
+        F.coalesce(
+            F.sum(F.when(over, F.size("members")).cast("long")), F.lit(0)
+        ).alias("dropped_members"),
+    )
+
+
+def pairs_from_band_rows(
+    band_rows: DataFrame, max_bucket: int = 1000, observation=None
+) -> DataFrame:
     """Distinct (a, b), a < b, from (id, bk) band rows — shared bucket join
-    for the array-signature and arrow-native band-key paths."""
+    for the array-signature and arrow-native band-key paths. ``observation``
+    (a ``pyspark.sql.Observation``) reports skew-cap drops; see
+    ``_observe_bucket_drops``."""
     buckets = band_rows.groupBy("bk").agg(F.collect_list("id").alias("members"))
+    buckets = _observe_bucket_drops(buckets, max_bucket, observation)
     return (
         buckets.filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
         .select(
@@ -402,12 +467,14 @@ def neardup_pairs_minhash(
     threshold: float = 0.5,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    observation=None,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup: candidates by banding, then exact
-    trigram-Jaccard verification at ``threshold``. Returns (a, b, inter, uni)."""
+    trigram-Jaccard verification at ``threshold``. Returns (a, b, inter, uni).
+    ``observation`` surfaces skew-cap drops (see ``lsh_candidate_pairs``)."""
     sh = shingle_df(df, id_col, text_col)
     sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands)
+    cand = lsh_candidate_pairs(sig, bands, observation=observation)
     verified = exact_jaccard_pairs(sh, cand)
     return verified.filter(F.col("inter") * (1.0 / threshold) >= F.col("uni"))
 
@@ -557,8 +624,19 @@ def _hash_token_u64(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return h
 
 
+_SIMHASH_QUARTERS_SQL = (
+    "transform(sequence(0, 3), q -> concat_ws(':', q, substr(simhash, q * 4 + 1, 4)))"
+)
+
+
+def simhash_drop_stats(sim: DataFrame, max_bucket: int = 4096) -> DataFrame:
+    """Skew-cap drop audit for ``simhash_near_pairs`` (same quarter banding)."""
+    rows = sim.select("id", F.explode(F.expr(_SIMHASH_QUARTERS_SQL)).alias("bk"))
+    return banding_drop_stats(rows, max_bucket)
+
+
 def simhash_near_pairs(
-    sim: DataFrame, max_hamming: int = 3, max_bucket: int = 4096
+    sim: DataFrame, max_hamming: int = 3, max_bucket: int = 4096, observation=None
 ) -> DataFrame:
     """(a, b, hamming) pairs with Hamming distance ≤ max_hamming between
     64-bit simhashes, via 4×16-bit band blocking.
@@ -570,17 +648,22 @@ def simhash_near_pairs(
     within quarter buckets of size ≤ ``max_bucket``. A 16-bit quarter has
     only 2^16 values per band position, so at web scale a hot quarter
     (boilerplate docs, near-constant signatures) otherwise turns the
-    bucket join quadratic in one task. Buckets above the cap are genuine
-    duplicate-storms — route those through exact_dedup first; within the
-    cap the recall-1 guarantee is unchanged.
+    bucket join quadratic in one task. The cap WEAKENS the recall-1
+    guarantee for pairs whose every identical quarter sits in an
+    over-cap bucket — so the drop is never silent: action
+    ``simhash_drop_stats(sim, max_bucket)`` for the dropped bucket/member
+    counts; a nonzero count means route the storm through exact_dedup
+    first (duplicate storms are exactly what over-cap quarter buckets
+    are) or raise the cap. (``observation`` attaches a same-action
+    Observe as well — see ``banding_drop_stats`` for the AQE caveat.)
     """
-    quarters = F.expr(
-        "transform(sequence(0, 3), q -> concat_ws(':', q, substr(simhash, q * 4 + 1, 4)))"
+    exploded = sim.select(
+        "id", "simhash", F.explode(F.expr(_SIMHASH_QUARTERS_SQL)).alias("qk")
     )
-    exploded = sim.select("id", "simhash", F.explode(quarters).alias("qk"))
     buckets = exploded.groupBy("qk").agg(
         F.collect_list(F.struct("id", "simhash")).alias("members")
     )
+    buckets = _observe_bucket_drops(buckets, max_bucket, observation)
     cand = (
         buckets.filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
         .select(

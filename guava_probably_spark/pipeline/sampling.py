@@ -212,10 +212,21 @@ def interleave_sources(
     for r in sorted(counts, key=lambda r: (r.g, r.bk)):
         offsets[(r.bk, r.g)] = per_source.get(r.g, 0)
         per_source[r.g] = per_source.get(r.g, 0) + r.c
+    # the join key column must carry the SOURCE column's own type (int
+    # source ids are as legal as strings — a hardcoded string schema made
+    # createDataFrame raise on them)
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    offs_schema = StructType(
+        [
+            StructField("__gps_obk", IntegerType()),
+            StructField("__gps_g", df.schema[source_col].dataType),
+            StructField("__gps_off", LongType()),
+        ]
+    )
     offs_df = F.broadcast(
         spark.createDataFrame(
-            [(bk, g, off) for (bk, g), off in offsets.items()] or [(0, "", 0)],
-            "__gps_obk int, __gps_g string, __gps_off long",
+            [(bk, g, off) for (bk, g), off in offsets.items()], offs_schema
         )
     )
     # parallel window: (bucket, source) has B × #sources partitions of

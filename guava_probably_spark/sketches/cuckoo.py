@@ -377,8 +377,12 @@ class CuckooSketch(Sketch):
         return bool(self.might_contain_batch(list(elements)).all())
 
     # ----------------------------------------------------------------- merge
-    def merge(self, other: "CuckooSketch") -> "CuckooSketch":
-        ok, overflow = self.merge_counted(other)
+    def merge(self, other: "CuckooSketch", dedup: bool = True) -> "CuckooSketch":
+        """putAll(filter). ``dedup=True`` (set union, the distributed-build
+        default) collapses duplicate copies of a key — see merge_counted for
+        why, and pass ``dedup=False`` if you rely on put/remove symmetry
+        (one remove() per put()) ACROSS a merge."""
+        ok, overflow = self.merge_counted(other, dedup=dedup)
         if not ok:
             raise OverflowError(
                 f"cuckoo merge overflow: {overflow} fingerprints did not fit "
@@ -386,22 +390,34 @@ class CuckooSketch(Sketch):
             )
         return self
 
-    def merge_counted(self, other: "CuckooSketch") -> tuple[bool, int]:
+    def merge_counted(
+        self, other: "CuckooSketch", dedup: bool = True
+    ) -> tuple[bool, int]:
         """putAll(filter): fingerprint walk + re-insert (SURVEY.md §3.3).
         Returns (all_fit, overflow_count).
 
-        Merge takes SET union at pair granularity: an incoming fingerprint
-        already present in its destination pair is skipped (not an
-        overflow). Duplicate copies are a single-filter put/remove-symmetry
-        artifact; letting them accumulate across merges saturates hot pairs
-        and turns cold-key inserts into false negatives on skewed data (see
-        ingest_hashes). Genuine capacity overflow is still counted.
+        ``dedup=True`` (default) takes SET union at pair granularity: an
+        incoming fingerprint already present in its destination pair is
+        skipped (not an overflow). Letting duplicate copies accumulate
+        across merges saturates hot pairs on skewed data and turns cold-key
+        inserts into false negatives (see ingest_hashes) — membership
+        builds always want this. The cost: put/remove symmetry does NOT
+        survive a dedup merge (an element put() N times across the two
+        filters keeps ONE copy, so one remove() deletes it entirely).
+        Delete workflows that count on N puts surviving N−1 removes must
+        merge with ``dedup=False``, which re-inserts every copy exactly as
+        guava-probably's putAll does. Genuine capacity overflow is counted
+        either way.
         """
         self._check_compatible(other)
         mask = np.arange(other.b)[None, :] < other.occ[:, None]
         buckets, slots = np.nonzero(mask)
         fps = other.table[buckets, slots]
         b64 = buckets.astype(np.int64)
+        if not dedup:
+            success = self._insert(b64, fps)
+            overflow = int((~success).sum())
+            return overflow == 0, overflow
         alt = self._alt(b64.astype(np.uint64), fps).astype(np.int64)
         present = (self.table[b64] == fps[:, None]).any(axis=1) | (
             self.table[alt] == fps[:, None]

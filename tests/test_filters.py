@@ -202,6 +202,28 @@ def test_cuckoo_merge_duplicate_saturated_partials_fast():
         assert acc.contains_all([f"part{p}-{i}" for i in range(1000)])
 
 
+def test_cuckoo_merge_dedup_false_preserves_put_remove_symmetry():
+    """Delete workflows: N puts across merged filters must survive N−1
+    removes — only the multiset merge (dedup=False) guarantees that; the
+    default set-union merge collapses copies and documents the trade."""
+    a = CuckooSketch(capacity=10_000, fpp=0.01)
+    b = CuckooSketch(capacity=10_000, fpp=0.01)
+    a.put("x")
+    b.put("x")
+
+    multiset = a.copy()
+    multiset.merge(b, dedup=False)
+    assert multiset.remove("x")
+    assert multiset.might_contain("x")  # second copy survives
+    assert multiset.remove("x")
+    assert not multiset.might_contain("x")
+
+    setunion = a.copy()
+    setunion.merge(b)  # default dedup=True
+    assert setunion.remove("x")
+    assert not setunion.might_contain("x")  # one copy total
+
+
 def test_cuckoo_distributed_build_set_semantics_no_false_negatives():
     """ingest_hashes/merge take set semantics: duplicate copies are not
     accumulated, so hot keys cannot saturate their pair and wall off cold

@@ -195,6 +195,63 @@ def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
     assert lsh_candidate_pairs(sigs, max_bucket=4000).count() == 50 * 49 // 2
 
 
+def test_lsh_bucket_cap_drop_is_auditable(spark):
+    """The skew cap must never drop silently: lsh_drop_stats reports the
+    dropped bucket/member counts (a counts-only pass — no members arrays,
+    far cheaper than the pair join it audits)."""
+    from guava_probably_spark.pipeline.dedup import lsh_drop_stats
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(shingle_df(df, "doc_id", "text"))
+    assert lsh_candidate_pairs(sigs, max_bucket=10).count() == 0
+    # DEFAULT_BANDS bands of 50 identical signatures → one over-cap
+    # bucket of 50 per band
+    from guava_probably_spark.pipeline.dedup import DEFAULT_BANDS
+
+    r = lsh_drop_stats(sigs, max_bucket=10).first()
+    assert r.dropped_buckets == DEFAULT_BANDS
+    assert r.dropped_members == DEFAULT_BANDS * 50
+    r2 = lsh_drop_stats(sigs, max_bucket=4000).first()
+    assert r2.dropped_buckets == 0 and r2.dropped_members == 0
+
+
+def test_simhash_bucket_cap_drop_is_auditable(spark):
+    from guava_probably_spark.pipeline.dedup import (
+        simhash_df,
+        simhash_drop_stats,
+        simhash_near_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame([(i, base) for i in range(20)], ["doc_id", "text"])
+    sim = simhash_df(df, "doc_id", "text")
+    assert simhash_near_pairs(sim, max_bucket=5).count() == 0
+    # identical simhashes → all 4 quarter buckets hold all 20 docs
+    r = simhash_drop_stats(sim, max_bucket=5).first()
+    assert r.dropped_buckets == 4 and r.dropped_members == 4 * 20
+
+
+def test_banding_observation_attaches_without_breaking_the_query(spark):
+    """The same-action Observe hook stays wired (free when Spark's AQE
+    CollectMetrics loss is fixed); today the query must at least run
+    unchanged with it attached."""
+    from pyspark.sql import Observation
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(shingle_df(df, "doc_id", "text"))
+    obs = Observation("lsh_drops_smoke")
+    assert (
+        lsh_candidate_pairs(sigs, max_bucket=4000, observation=obs).count()
+        == 10 * 9 // 2
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash near-dup + fast kernel
 # ---------------------------------------------------------------------------

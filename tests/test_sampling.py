@@ -239,3 +239,19 @@ def test_interleave_sources_proportions_and_determinism(spark):
 
     with pytest.raises(ValueError):
         interleave_sources(df, "src", {"a": 0}, ["k"])
+
+
+def test_interleave_sources_int_source_column(spark):
+    """Source ids need not be strings (regression: the broadcast-offsets
+    frame hardcoded a string schema and crashed on int source columns)."""
+    from guava_probably_spark.pipeline.sampling import interleave_sources
+
+    rows = [(s, f"{s}-{i}") for s in (1, 2) for i in range(500)]
+    df = spark.createDataFrame(rows, "src int, k string")
+    out = interleave_sources(df, "src", {1: 1, 2: 2}, ["k"]).toPandas()
+    assert len(out) == 1_000
+    counts = out["src"].value_counts()
+    assert counts[1] == 500 and counts[2] == 500
+    # proportions hold in a prefix of the mixed order
+    prefix = out.sort_values("mix_key").head(300)["src"].value_counts()
+    assert abs(prefix.get(2, 0) - 200) <= 3
