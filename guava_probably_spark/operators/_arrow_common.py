@@ -1,0 +1,78 @@
+"""Shared Arrow-batch kernels for the vectorized grouped operators.
+
+Every grouped build (HLL / theta / CMS / KLL / mode / quantiles) starts the
+same way inside its ``mapInArrow`` stage: drop null values (a null hashes to
+nothing), murmur3-hash the value column, gather the partition into one
+contiguous buffer, and dictionary-encode the keys into dense codes. Several
+then collapse duplicate (key, hash) rows with the same lexsort → run-boundary
+pass. Those blocks used to be copy-pasted per operator and diverged once
+(the theta packer's compression flag); this module is the single home.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+
+def gather_keyed_hashes(
+    batches: Iterator[pa.RecordBatch], col_idx: int, with_h2: bool = False
+):
+    """Null-filter → ``hash_column`` → one contiguous (uniq, codes, h1[, h2]).
+
+    Returns ``None`` for an empty partition, else ``(uniq, codes, h1, h2)``
+    where ``uniq`` is the arrow key dictionary, ``codes`` the dense int64
+    key codes per row, and ``h1``/``h2`` uint64 murmur3 halves (``h2`` is
+    ``None`` unless ``with_h2``). Keys ride as batch column 0; the value
+    column is ``col_idx``.
+    """
+    from ..sketches.base import hash_column
+
+    keys_parts: list[pa.Array] = []
+    h1_parts: list[np.ndarray] = []
+    h2_parts: list[np.ndarray] = []
+    for batch in batches:
+        key_arr = batch.column(0)
+        val = batch.column(col_idx)
+        if val.null_count:
+            keep = val.is_valid()
+            key_arr = key_arr.filter(keep)
+            val = val.drop_null()
+        if len(val) == 0:
+            continue
+        _, h1, h2 = hash_column(val)
+        keys_parts.append(key_arr)
+        h1_parts.append(h1)
+        if with_h2:
+            h2_parts.append(h2)
+    if not keys_parts:
+        return None
+    keys = pa.chunked_array(keys_parts).combine_chunks()
+    h1 = np.concatenate(h1_parts)
+    h2 = np.concatenate(h2_parts) if with_h2 else None
+    enc = keys.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return enc.dictionary, codes, h1, h2
+
+
+def sort_dedup_key_hash(
+    codes: np.ndarray, h1: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Lexsort by (key, hash) and collapse duplicate (key, hash) runs.
+
+    Returns ``(orig_idx, sc, sh, cnt)``: for each distinct (key, hash) run —
+    keys ascending, hashes ascending within a key — the index of its first
+    row in the ORIGINAL arrays (to gather ride-along columns), the key code,
+    the hash, and the run multiplicity.
+    """
+    order = np.lexsort((h1, codes))
+    sc = codes[order]
+    sh = h1[order]
+    first = np.empty(len(sc), dtype=bool)
+    first[0] = True
+    np.logical_or(sc[1:] != sc[:-1], sh[1:] != sh[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    cnt = np.diff(np.append(starts, len(sc)))
+    return order[starts], sc[starts], sh[starts], cnt

@@ -54,6 +54,25 @@ def _merge_into(acc: Sketch, other: Sketch) -> int:
     return 0
 
 
+def fold_sketch_rows(rows) -> tuple[Sketch | None, int, int]:
+    """THE sketch-row fold: (blob-or-Sketch, n, overflow) triples →
+    (merged sketch | None, total n, total overflow). Every partial/driver
+    merge loop in the library goes through here so overflow accounting has
+    one definition."""
+    acc: Sketch | None = None
+    n = 0
+    overflow = 0
+    for blob, cnt, ov in rows:
+        sk = blob if isinstance(blob, Sketch) else Sketch.from_bytes(blob)
+        if acc is None:
+            acc = sk
+        else:
+            overflow += _merge_into(acc, sk)
+        n += cnt
+        overflow += ov
+    return acc, n, overflow
+
+
 def build_partials(df: DataFrame, col: str, spec: SketchSpec) -> DataFrame:
     """One partial sketch row per input partition; raw rows never shuffle."""
 
@@ -106,21 +125,15 @@ def _bind_funnel(sk: Sketch, column: pa.Array) -> None:
 
 def _merge_stage_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     t0 = time.monotonic()
-    acc: Sketch | None = None
-    n = 0
-    overflow = 0
-    for batch in batches:
-        blobs = batch.column(0).to_pylist()
-        ns = batch.column(1).to_pylist()
-        ovs = batch.column(2).to_pylist()
-        for blob, cnt, ov in zip(blobs, ns, ovs):
-            sk = Sketch.from_bytes(blob)
-            if acc is None:
-                acc = sk
-            else:
-                overflow += _merge_into(acc, sk)
-            n += cnt
-            overflow += ov
+    acc, n, overflow = fold_sketch_rows(
+        (blob, cnt, ov)
+        for batch in batches
+        for blob, cnt, ov in zip(
+            batch.column(0).to_pylist(),
+            batch.column(1).to_pylist(),
+            batch.column(2).to_pylist(),
+        )
+    )
     if acc is None:
         return
     from pyspark import TaskContext
@@ -161,17 +174,7 @@ def collect_sketch(
     rows = partials.collect()
     if not rows:
         return spec.create(), 0, 0
-    acc: Sketch | None = None
-    n = 0
-    overflow = 0
-    for row in rows:
-        sk = Sketch.from_bytes(row.sketch)
-        if acc is None:
-            acc = sk
-        else:
-            overflow += _merge_into(acc, sk)
-        n += row.n
-        overflow += row.overflow
+    acc, n, overflow = fold_sketch_rows((r.sketch, r.n, r.overflow) for r in rows)
     return acc, n, overflow
 
 
@@ -269,26 +272,23 @@ def _merge_stage_multi_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Reco
     )
 
 
+def _collect_multi(dfm: DataFrame, fanin: int) -> dict[str, tuple[Sketch, int, int]]:
+    """Tree-merge named partials and fold the collected rows per name."""
+    p = dfm.rdd.getNumPartitions()
+    while p > fanin:
+        p = max(1, math.ceil(p / fanin))
+        dfm = dfm.repartition(p, "name").mapInArrow(_merge_stage_multi_fn, MULTI_SCHEMA)
+    grouped: dict[str, list] = {}
+    for row in dfm.collect():
+        grouped.setdefault(row.name, []).append((row.sketch, row.n, row.overflow))
+    return {name: fold_sketch_rows(rows) for name, rows in grouped.items()}
+
+
 def collect_sketches_multi(
     df: DataFrame, targets: list[tuple[str, str, SketchSpec]], fanin: int = 64
 ) -> dict[str, tuple[Sketch, int, int]]:
     """One scan → {name: (sketch, rows, overflow)} for every target."""
-    partials = build_partials_multi(df, targets)
-    p = partials.rdd.getNumPartitions()
-    dfm = partials
-    while p > fanin:
-        p = max(1, math.ceil(p / fanin))
-        dfm = dfm.repartition(p, "name").mapInArrow(_merge_stage_multi_fn, MULTI_SCHEMA)
-    out: dict[str, tuple[Sketch, int, int]] = {}
-    for row in dfm.collect():
-        sk = Sketch.from_bytes(row.sketch)
-        if row.name in out:
-            acc, n, ov = out[row.name]
-            ov += _merge_into(acc, sk)
-            out[row.name] = (acc, n + row.n, ov + row.overflow)
-        else:
-            out[row.name] = (sk, row.n, row.overflow)
-    return out
+    return _collect_multi(build_partials_multi(df, targets), fanin)
 
 
 # ---------------------------------------------------------------------------
@@ -375,22 +375,7 @@ def collect_sketches_files(
     from .checkpoint import list_input_files
 
     files = list_input_files(spark, input_path)
-    partials = build_partials_files_multi(spark, files, targets)
-    p = partials.rdd.getNumPartitions()
-    dfm = partials
-    while p > fanin:
-        p = max(1, math.ceil(p / fanin))
-        dfm = dfm.repartition(p, "name").mapInArrow(_merge_stage_multi_fn, MULTI_SCHEMA)
-    out: dict[str, tuple[Sketch, int, int]] = {}
-    for row in dfm.collect():
-        sk = Sketch.from_bytes(row.sketch)
-        if row.name in out:
-            acc, n, ov = out[row.name]
-            ov += _merge_into(acc, sk)
-            out[row.name] = (acc, n + row.n, ov + row.overflow)
-        else:
-            out[row.name] = (sk, row.n, row.overflow)
-    return out
+    return _collect_multi(build_partials_files_multi(spark, files, targets), fanin)
 
 
 # ---------------------------------------------------------------------------
@@ -438,15 +423,9 @@ def build_grouped(
     def merge_fn(pdf):
         import pandas as pd
 
-        acc = None
-        n = 0
-        for blob, cnt in zip(pdf["sketch"], pdf["n"]):
-            sk = Sketch.from_bytes(blob)
-            if acc is None:
-                acc = sk
-            else:
-                _merge_into(acc, sk)
-            n += cnt
+        acc, n, _ = fold_sketch_rows(
+            (blob, cnt, 0) for blob, cnt in zip(pdf["sketch"], pdf["n"])
+        )
         row = {k: [pdf[k].iloc[0]] for k in keys}
         row.update({"sketch": [acc.to_bytes()], "n": [n]})
         return pd.DataFrame(row)

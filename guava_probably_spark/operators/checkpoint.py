@@ -35,7 +35,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sketches import Sketch, SketchSpec
-from .build import _bind_funnel, _merge_into
+from .build import _bind_funnel, fold_sketch_rows
 
 CHECKPOINT_SCHEMA = (
     "file string, lineage string, sketch binary, n bigint, overflow bigint, "
@@ -126,16 +126,7 @@ def _reduce_files_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
                 corrupt.discard(f)
             except ValueError:
                 corrupt.add(f)
-    acc: Sketch | None = None
-    n = 0
-    overflow = 0
-    for sk, cnt, ov in chosen.values():
-        if acc is None:
-            acc = sk
-        else:
-            overflow += _merge_into(acc, sk)
-        n += cnt
-        overflow += ov
+    acc, n, overflow = fold_sketch_rows(chosen.values())
     out_files: list[str | None] = sorted(corrupt)
     out_blobs: list[bytes | None] = [None] * len(out_files)
     out_n: list[int] = [0] * len(out_files)
@@ -266,17 +257,9 @@ def build_with_checkpoint(
             F.lit(-1).alias("part_id"),
             F.lit(0.0).alias("secs"),
         )
-        acc: Sketch | None = None
-        n = 0
-        overflow = 0
-        for r in tree_merge(shaped).collect():
-            sk = Sketch.from_bytes(r.sketch)
-            if acc is None:
-                acc = sk
-            else:
-                overflow += _merge_into(acc, sk)
-            n += r.n
-            overflow += r.overflow
+        acc, n, overflow = fold_sketch_rows(
+            (r.sketch, r.n, r.overflow) for r in tree_merge(shaped).collect()
+        )
     finally:
         reduced.unpersist()
         if healed is not None:

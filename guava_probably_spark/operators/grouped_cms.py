@@ -51,45 +51,21 @@ def _hash2_prereduce_stage(col_idx: int):
     (h1, h2, c) reproduces c identical updates exactly."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from ..sketches.base import hash_column
+        from ._arrow_common import gather_keyed_hashes, sort_dedup_key_hash
 
-        keys_parts, h1_parts, h2_parts = [], [], []
-        for batch in batches:
-            key_arr = batch.column(0)
-            val = batch.column(col_idx)
-            if val.null_count:
-                keep = val.is_valid()
-                key_arr = key_arr.filter(keep)
-                val = val.drop_null()
-            if len(val) == 0:
-                continue
-            _, h1, h2 = hash_column(val)
-            keys_parts.append(key_arr)
-            h1_parts.append(h1)
-            h2_parts.append(h2)
-        if not keys_parts:
+        gathered = gather_keyed_hashes(batches, col_idx, with_h2=True)
+        if gathered is None:
             return
-        keys = pa.chunked_array(keys_parts).combine_chunks()
-        h1 = np.concatenate(h1_parts)
-        h2 = np.concatenate(h2_parts)
-        enc = keys.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = enc.dictionary
+        uniq, codes, h1, h2 = gathered
         # collapse duplicate (key, h1) runs; h2 rides along (same value ⇒
         # same 128-bit hash, and a 64-bit h1 collision within one key is
         # harmless — CMS would over-count that bucket pair identically)
-        order = np.lexsort((h1, codes))
-        sc, sh1, sh2 = codes[order], h1[order], h2[order]
-        first = np.empty(len(sc), dtype=bool)
-        first[0] = True
-        np.logical_or(sc[1:] != sc[:-1], sh1[1:] != sh1[:-1], out=first[1:])
-        starts = np.flatnonzero(first)
-        cnt = np.diff(np.append(starts, len(sc)))
+        orig_idx, sc, sh1, cnt = sort_dedup_key_hash(codes, h1)
         yield pa.RecordBatch.from_arrays(
             [
-                uniq.take(pa.array(sc[starts])),
-                pa.array(sh1[starts].view(np.int64)),
-                pa.array(sh2[starts].view(np.int64)),
+                uniq.take(pa.array(sc)),
+                pa.array(sh1.view(np.int64)),
+                pa.array(h2[orig_idx].view(np.int64)),
                 pa.array(cnt.astype(np.int64)),
             ],
             names=["k", "h1", "h2", "c"],

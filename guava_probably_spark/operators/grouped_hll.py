@@ -158,29 +158,12 @@ def _prereduce_stage(col_idx: int, p: int):
     m = np.int64(1 << p)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from ..sketches.base import hash_column
+        from ._arrow_common import gather_keyed_hashes
 
-        keys_parts = []
-        h_parts = []
-        for batch in batches:
-            key_arr = batch.column(0)
-            val = batch.column(col_idx)
-            if val.null_count:
-                keep = val.is_valid()
-                key_arr = key_arr.filter(keep)
-                val = val.drop_null()
-            if len(val) == 0:
-                continue
-            _, h1, _ = hash_column(val)
-            keys_parts.append(key_arr)
-            h_parts.append(h1)
-        if not keys_parts:
+        gathered = gather_keyed_hashes(batches, col_idx)
+        if gathered is None:
             return
-        keys = pa.chunked_array(keys_parts).combine_chunks()
-        h1 = np.concatenate(h_parts)
-        enc = keys.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = enc.dictionary
+        uniq, codes, h1, _ = gathered
         shift = np.uint64(64 - p)
         reg = (h1 >> shift).astype(np.int64)
         rho = _leading_zero_rho(h1 << np.uint64(p), 64 - p).astype(np.int64)

@@ -91,14 +91,10 @@ def _kmin_distinct(
     """Per key-code: the k smallest DISTINCT hashes (lexsort → dedup →
     rank<k). Returns (codes_top sorted asc, hashes_top asc within code,
     first-row mask per code within the top set)."""
-    order = np.lexsort((h1, codes))
-    sc = codes[order]
-    sh = h1[order]
-    keep = np.empty(len(sc), dtype=bool)
-    keep[0] = True
-    np.logical_or(sc[1:] != sc[:-1], sh[1:] != sh[:-1], out=keep[1:])
-    sc = sc[keep]
-    sh = sh[keep]  # distinct (key, hash), hash ascending within key
+    from ._arrow_common import sort_dedup_key_hash
+
+    _, sc, sh, _ = sort_dedup_key_hash(codes, h1)
+    # distinct (key, hash), hash ascending within key
     starts_mask = np.empty(len(sc), dtype=bool)
     starts_mask[0] = True
     np.not_equal(sc[1:], sc[:-1], out=starts_mask[1:])
@@ -118,29 +114,12 @@ def _prereduce_stage(col_idx: int, k_param: int):
     byte-identical to the unreduced build (tested)."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from ..sketches.base import hash_column
+        from ._arrow_common import gather_keyed_hashes
 
-        keys_parts = []
-        h_parts = []
-        for batch in batches:
-            key_arr = batch.column(0)
-            val = batch.column(col_idx)
-            if val.null_count:
-                keep = val.is_valid()
-                key_arr = key_arr.filter(keep)
-                val = val.drop_null()
-            if len(val) == 0:
-                continue
-            _, h1, _ = hash_column(val)
-            keys_parts.append(key_arr)
-            h_parts.append(h1)
-        if not keys_parts:
+        gathered = gather_keyed_hashes(batches, col_idx)
+        if gathered is None:
             return
-        keys = pa.chunked_array(keys_parts).combine_chunks()
-        h1 = np.concatenate(h_parts)
-        enc = keys.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = enc.dictionary
+        uniq, codes, h1, _ = gathered
         raw_counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
         sc, sh, first = _kmin_distinct(codes, h1, len(uniq), k_param)
         cnt = np.zeros(len(sc), dtype=np.int64)
