@@ -117,8 +117,15 @@ def _membership(kind: str, name: str):
 def _q_cuckoo_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     n_rows = events.count()
+    # delete workflow ⇒ multiset build (dedup_build=False): under the
+    # set-union default two colliding keys share one stored copy, so
+    # removing one would false-negative the other
     sk, _, _ = collect_sketch(
-        events, "event_id", SketchSpec("cuckoo", {"capacity": n_rows * 2, "fpp": 0.01})
+        events,
+        "event_id",
+        SketchSpec(
+            "cuckoo", {"capacity": n_rows * 2, "fpp": 0.01, "dedup_build": False}
+        ),
     )
     evens = [r.event_id for r in events.filter(F.col("event_id") % 2 == 0).select("event_id").distinct().collect()]
     odds_df = events.filter(F.col("event_id") % 2 == 1)

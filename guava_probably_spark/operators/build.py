@@ -43,22 +43,32 @@ _PARTIAL_ARROW = pa.schema(
 )
 
 
-def _merge_into(acc: Sketch, other: Sketch) -> int:
-    """Merge other into acc; returns overflow count (cuckoo only)."""
+def _merge_into(acc: Sketch, other: Sketch, dedup: bool = True) -> int:
+    """Merge other into acc; returns overflow count (cuckoo only).
+    ``dedup`` is the cuckoo merge semantics (see CuckooSketch.merge_counted)
+    and must match the build's ``dedup_build`` — a multiset (delete-capable)
+    build merged with set-union would collapse copies split across
+    partitions."""
     from ..sketches import CuckooSketch
 
     if isinstance(acc, CuckooSketch):
-        _, overflow = acc.merge_counted(other)
+        _, overflow = acc.merge_counted(other, dedup=dedup)
         return overflow
     acc.merge(other)
     return 0
 
 
-def fold_sketch_rows(rows) -> tuple[Sketch | None, int, int]:
+def _spec_dedup(spec: SketchSpec) -> bool:
+    """The cuckoo build/merge dedup semantics a spec asks for (True unless
+    the spec opts into multiset delete-workflow builds)."""
+    return bool(spec.params.get("dedup_build", True))
+
+
+def fold_sketch_rows(rows, dedup: bool = True) -> tuple[Sketch | None, int, int]:
     """THE sketch-row fold: (blob-or-Sketch, n, overflow) triples →
     (merged sketch | None, total n, total overflow). Every partial/driver
     merge loop in the library goes through here so overflow accounting has
-    one definition."""
+    one definition. ``dedup`` follows the build's semantics (_spec_dedup)."""
     acc: Sketch | None = None
     n = 0
     overflow = 0
@@ -67,10 +77,28 @@ def fold_sketch_rows(rows) -> tuple[Sketch | None, int, int]:
         if acc is None:
             acc = sk
         else:
-            overflow += _merge_into(acc, sk)
+            overflow += _merge_into(acc, sk, dedup=dedup)
         n += cnt
         overflow += ov
     return acc, n, overflow
+
+
+def _ingest_overflow(sk: Sketch, column) -> int:
+    """One column batch into ``sk`` via the distributed-build path: hash
+    once + set-semantics ingest for hash sketches (funnel bound), raw
+    update for value sketches. Returns the capacity-overflow count — a
+    cuckoo insert can FAIL at capacity, and dropping that count on the
+    build path would be a silent false negative, so it flows into the
+    partial's overflow column (bloom bits can't overflow; estimators
+    never fail)."""
+    from ..sketches.base import FUNNEL_NONE, hash_column
+
+    ingest = getattr(sk, "ingest_hashes", None)
+    if sk.funnel == FUNNEL_NONE or ingest is None:
+        sk.update(column)
+        return 0
+    _, h1, h2 = hash_column(column, sk.funnel)
+    return int(ingest(h1, h2) or 0)
 
 
 def build_partials(df: DataFrame, col: str, spec: SketchSpec) -> DataFrame:
@@ -82,13 +110,14 @@ def build_partials(df: DataFrame, col: str, spec: SketchSpec) -> DataFrame:
         t0 = time.monotonic()
         sk = spec.create()
         n = 0
+        overflow = 0
         first = True
         for batch in batches:
             column = batch.column(0)
             if first:
                 _bind_funnel(sk, column)
                 first = False
-            sk.update(column)
+            overflow += _ingest_overflow(sk, column)
             n += len(column) - column.null_count
         if n == 0:
             return
@@ -98,7 +127,7 @@ def build_partials(df: DataFrame, col: str, spec: SketchSpec) -> DataFrame:
             {
                 "sketch": [sk.to_bytes()],
                 "n": [n],
-                "overflow": [0],
+                "overflow": [overflow],
                 "part_id": [pid],
                 "secs": [time.monotonic() - t0],
             },
@@ -123,43 +152,51 @@ def _bind_funnel(sk: Sketch, column: pa.Array) -> None:
         sk.funnel = FUNNEL_UTF8
 
 
-def _merge_stage_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    t0 = time.monotonic()
-    acc, n, overflow = fold_sketch_rows(
-        (blob, cnt, ov)
-        for batch in batches
-        for blob, cnt, ov in zip(
-            batch.column(0).to_pylist(),
-            batch.column(1).to_pylist(),
-            batch.column(2).to_pylist(),
+def _merge_stage(dedup: bool = True):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        t0 = time.monotonic()
+        acc, n, overflow = fold_sketch_rows(
+            (
+                (blob, cnt, ov)
+                for batch in batches
+                for blob, cnt, ov in zip(
+                    batch.column(0).to_pylist(),
+                    batch.column(1).to_pylist(),
+                    batch.column(2).to_pylist(),
+                )
+            ),
+            dedup=dedup,
         )
-    )
-    if acc is None:
-        return
-    from pyspark import TaskContext
+        if acc is None:
+            return
+        from pyspark import TaskContext
 
-    ctx = TaskContext.get()
-    pid = ctx.partitionId() if ctx else -1
-    yield pa.RecordBatch.from_pydict(
-        {
-            "sketch": [acc.to_bytes()],
-            "n": [n],
-            "overflow": [overflow],
-            "part_id": [pid],
-            "secs": [time.monotonic() - t0],
-        },
-        schema=_PARTIAL_ARROW,
-    )
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else -1
+        yield pa.RecordBatch.from_pydict(
+            {
+                "sketch": [acc.to_bytes()],
+                "n": [n],
+                "overflow": [overflow],
+                "part_id": [pid],
+                "secs": [time.monotonic() - t0],
+            },
+            schema=_PARTIAL_ARROW,
+        )
+
+    return fn
 
 
-def tree_merge(partials: DataFrame, fanin: int = 64) -> DataFrame:
+def tree_merge(partials: DataFrame, fanin: int = 64, dedup: bool = True) -> DataFrame:
     """treeAggregate-style reduction: log_fanin(P) stages, each shuffling only
-    sketch rows (≤1 per partition)."""
+    sketch rows (≤1 per partition). ``dedup`` follows the build's cuckoo
+    semantics (_spec_dedup)."""
     df = partials
     p = df.rdd.getNumPartitions()
+    stage = _merge_stage(dedup)
     while p > fanin:
         p = max(1, math.ceil(p / fanin))
-        df = df.repartition(p).mapInArrow(_merge_stage_fn, PARTIAL_SCHEMA)
+        df = df.repartition(p).mapInArrow(stage, PARTIAL_SCHEMA)
     return df
 
 
@@ -170,11 +207,14 @@ def collect_sketch(
 
     Returns (sketch, rows_consumed, merge_overflow_count).
     """
-    partials = tree_merge(build_partials(df, col, spec), fanin)
+    dedup = _spec_dedup(spec)
+    partials = tree_merge(build_partials(df, col, spec), fanin, dedup=dedup)
     rows = partials.collect()
     if not rows:
         return spec.create(), 0, 0
-    acc, n, overflow = fold_sketch_rows((r.sketch, r.n, r.overflow) for r in rows)
+    acc, n, overflow = fold_sketch_rows(
+        ((r.sketch, r.n, r.overflow) for r in rows), dedup=dedup
+    )
     return acc, n, overflow
 
 
@@ -207,6 +247,7 @@ def build_partials_multi(
 
         sks = {name: spec.create() for name, _, spec in targets}
         ns = dict.fromkeys(sks, 0)
+        ovs = dict.fromkeys(sks, 0)
         first = True
         for batch in batches:
             # hash each column ONCE per batch; all hash-based sketches on the
@@ -223,7 +264,7 @@ def build_partials_multi(
                     if c not in hashed:
                         _, h1, h2 = hash_column(column, sk.funnel)
                         hashed[c] = (h1, h2)
-                    sk.ingest_hashes(*hashed[c])
+                    ovs[name] += int(sk.ingest_hashes(*hashed[c]) or 0)
                 ns[name] += len(column) - column.null_count
             first = False
         if all(v == 0 for v in ns.values()):
@@ -233,7 +274,7 @@ def build_partials_multi(
                 "name": [name for name, _, _ in targets],
                 "sketch": [sks[name].to_bytes() for name, _, _ in targets],
                 "n": [ns[name] for name, _, _ in targets],
-                "overflow": [0] * len(targets),
+                "overflow": [ovs[name] for name, _, _ in targets],
             },
             schema=_MULTI_ARROW,
         )
@@ -241,54 +282,68 @@ def build_partials_multi(
     return df.select(*cols).mapInArrow(fn, MULTI_SCHEMA)
 
 
-def _merge_stage_multi_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    accs: dict[str, Sketch] = {}
-    ns: dict[str, int] = {}
-    ovs: dict[str, int] = {}
-    for batch in batches:
-        names = batch.column(0).to_pylist()
-        blobs = batch.column(1).to_pylist()
-        counts = batch.column(2).to_pylist()
-        overflows = batch.column(3).to_pylist()
-        for name, blob, cnt, ov in zip(names, blobs, counts, overflows):
-            sk = Sketch.from_bytes(blob)
-            if name in accs:
-                ovs[name] = ovs.get(name, 0) + _merge_into(accs[name], sk)
-            else:
-                accs[name] = sk
-            ns[name] = ns.get(name, 0) + cnt
-            ovs[name] = ovs.get(name, 0) + ov
-    if not accs:
-        return
-    keys = sorted(accs)
-    yield pa.RecordBatch.from_pydict(
-        {
-            "name": keys,
-            "sketch": [accs[k].to_bytes() for k in keys],
-            "n": [ns[k] for k in keys],
-            "overflow": [ovs[k] for k in keys],
-        },
-        schema=_MULTI_ARROW,
-    )
+def _merge_stage_multi(dedups: dict[str, bool]):
+    """``dedups``: per-target cuckoo merge semantics (_spec_dedup)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        accs: dict[str, Sketch] = {}
+        ns: dict[str, int] = {}
+        ovs: dict[str, int] = {}
+        for batch in batches:
+            names = batch.column(0).to_pylist()
+            blobs = batch.column(1).to_pylist()
+            counts = batch.column(2).to_pylist()
+            overflows = batch.column(3).to_pylist()
+            for name, blob, cnt, ov in zip(names, blobs, counts, overflows):
+                sk = Sketch.from_bytes(blob)
+                if name in accs:
+                    ovs[name] = ovs.get(name, 0) + _merge_into(
+                        accs[name], sk, dedup=dedups.get(name, True)
+                    )
+                else:
+                    accs[name] = sk
+                ns[name] = ns.get(name, 0) + cnt
+                ovs[name] = ovs.get(name, 0) + ov
+        if not accs:
+            return
+        keys = sorted(accs)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "name": keys,
+                "sketch": [accs[k].to_bytes() for k in keys],
+                "n": [ns[k] for k in keys],
+                "overflow": [ovs[k] for k in keys],
+            },
+            schema=_MULTI_ARROW,
+        )
+
+    return fn
 
 
-def _collect_multi(dfm: DataFrame, fanin: int) -> dict[str, tuple[Sketch, int, int]]:
+def _collect_multi(
+    dfm: DataFrame, fanin: int, targets: list[tuple[str, str, SketchSpec]]
+) -> dict[str, tuple[Sketch, int, int]]:
     """Tree-merge named partials and fold the collected rows per name."""
+    dedups = {name: _spec_dedup(spec) for name, _, spec in targets}
+    stage = _merge_stage_multi(dedups)
     p = dfm.rdd.getNumPartitions()
     while p > fanin:
         p = max(1, math.ceil(p / fanin))
-        dfm = dfm.repartition(p, "name").mapInArrow(_merge_stage_multi_fn, MULTI_SCHEMA)
+        dfm = dfm.repartition(p, "name").mapInArrow(stage, MULTI_SCHEMA)
     grouped: dict[str, list] = {}
     for row in dfm.collect():
         grouped.setdefault(row.name, []).append((row.sketch, row.n, row.overflow))
-    return {name: fold_sketch_rows(rows) for name, rows in grouped.items()}
+    return {
+        name: fold_sketch_rows(rows, dedup=dedups.get(name, True))
+        for name, rows in grouped.items()
+    }
 
 
 def collect_sketches_multi(
     df: DataFrame, targets: list[tuple[str, str, SketchSpec]], fanin: int = 64
 ) -> dict[str, tuple[Sketch, int, int]]:
     """One scan → {name: (sketch, rows, overflow)} for every target."""
-    return _collect_multi(build_partials_multi(df, targets), fanin)
+    return _collect_multi(build_partials_multi(df, targets), fanin, targets)
 
 
 # ---------------------------------------------------------------------------
@@ -312,6 +367,7 @@ def build_partials_files_multi(
 
         sks = {name: spec.create() for name, _, spec in targets}
         ns = dict.fromkeys(sks, 0)
+        ovs = dict.fromkeys(sks, 0)
         first = True
         for batch in batches:
             for file_path in batch.column(0).to_pylist():
@@ -336,7 +392,7 @@ def build_partials_files_multi(
                             if c not in hashed:
                                 _, h1, h2 = hash_column(column, sk.funnel)
                                 hashed[c] = (h1, h2)
-                            sk.ingest_hashes(*hashed[c])
+                            ovs[name] += int(sk.ingest_hashes(*hashed[c]) or 0)
                         ns[name] += len(column) - column.null_count
                     first = False
         if all(v == 0 for v in ns.values()):
@@ -346,7 +402,7 @@ def build_partials_files_multi(
                 "name": [name for name, _, _ in targets],
                 "sketch": [sks[name].to_bytes() for name, _, _ in targets],
                 "n": [ns[name] for name, _, _ in targets],
-                "overflow": [0] * len(targets),
+                "overflow": [ovs[name] for name, _, _ in targets],
             },
             schema=_MULTI_ARROW,
         )
@@ -375,7 +431,7 @@ def collect_sketches_files(
     from .checkpoint import list_input_files
 
     files = list_input_files(spark, input_path)
-    return _collect_multi(build_partials_files_multi(spark, files, targets), fanin)
+    return _collect_multi(build_partials_files_multi(spark, files, targets), fanin, targets)
 
 
 # ---------------------------------------------------------------------------
@@ -424,7 +480,8 @@ def build_grouped(
         import pandas as pd
 
         acc, n, _ = fold_sketch_rows(
-            (blob, cnt, 0) for blob, cnt in zip(pdf["sketch"], pdf["n"])
+            ((blob, cnt, 0) for blob, cnt in zip(pdf["sketch"], pdf["n"])),
+            dedup=_spec_dedup(spec),
         )
         row = {k: [pdf[k].iloc[0]] for k in keys}
         row.update({"sketch": [acc.to_bytes()], "n": [n]})

@@ -35,7 +35,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sketches import Sketch, SketchSpec
-from .build import _bind_funnel, fold_sketch_rows
+from .build import _bind_funnel, _ingest_overflow, fold_sketch_rows
 
 CHECKPOINT_SCHEMA = (
     "file string, lineage string, sketch binary, n bigint, overflow bigint, "
@@ -80,10 +80,11 @@ def _build_file_fn(col: str, spec: SketchSpec, lineage: str):
                 table = pq.read_table(local, columns=[col], use_threads=False)
                 sk = spec.create()
                 n = 0
+                overflow = 0
                 for rb in table.to_batches(max_chunksize=16384):
                     column = rb.column(0)
                     _bind_funnel(sk, column)
-                    sk.update(column)
+                    overflow += _ingest_overflow(sk, column)
                     n += len(column) - column.null_count
                 blob = sk.to_bytes()
                 yield pa.RecordBatch.from_pydict(
@@ -92,7 +93,7 @@ def _build_file_fn(col: str, spec: SketchSpec, lineage: str):
                         "lineage": [lineage],
                         "sketch": [blob],
                         "n": [n],
-                        "overflow": [0],
+                        "overflow": [overflow],
                         "secs": [time.monotonic() - t0],
                         "bytes": [table.nbytes],
                     }
@@ -104,51 +105,55 @@ def _build_file_fn(col: str, spec: SketchSpec, lineage: str):
 _REDUCE_SCHEMA = "file string, sketch binary, n bigint, overflow bigint, ok boolean"
 
 
-def _reduce_files_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _reduce_files(dedup: bool = True):
     """Partition-local resume reduce (input hash-partitioned by file, so
     per-file state here is globally complete): keep the first DECODABLE row
     per file (corruption healing — a torn write raises ValueError on
     decode), merge the chosen sketches into one partition partial, and emit
     corrupt-only files as ok=false name rows so the driver can rebuild just
-    those."""
-    chosen: dict[str, tuple[Sketch, int, int]] = {}
-    corrupt: set[str] = set()
-    for batch in batches:
-        file_col = batch.column(0).to_pylist()
-        blobs = batch.column(1).to_pylist()
-        ns = batch.column(2).to_pylist()
-        ovs = batch.column(3).to_pylist()
-        for f, blob, cnt, ov in zip(file_col, blobs, ns, ovs):
-            if f in chosen:
-                continue
-            try:
-                chosen[f] = (Sketch.from_bytes(blob), cnt, ov)
-                corrupt.discard(f)
-            except ValueError:
-                corrupt.add(f)
-    acc, n, overflow = fold_sketch_rows(chosen.values())
-    out_files: list[str | None] = sorted(corrupt)
-    out_blobs: list[bytes | None] = [None] * len(out_files)
-    out_n: list[int] = [0] * len(out_files)
-    out_ov: list[int] = [0] * len(out_files)
-    out_ok: list[bool] = [False] * len(out_files)
-    if acc is not None:
-        out_files.append(None)
-        out_blobs.append(acc.to_bytes())
-        out_n.append(n)
-        out_ov.append(overflow)
-        out_ok.append(True)
-    if not out_files:
-        return
-    yield pa.RecordBatch.from_pydict(
-        {
-            "file": pa.array(out_files, pa.string()),
-            "sketch": pa.array(out_blobs, pa.binary()),
-            "n": pa.array(out_n, pa.int64()),
-            "overflow": pa.array(out_ov, pa.int64()),
-            "ok": pa.array(out_ok, pa.bool_()),
-        }
-    )
+    those. ``dedup`` follows the build's cuckoo semantics (_spec_dedup)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        chosen: dict[str, tuple[Sketch, int, int]] = {}
+        corrupt: set[str] = set()
+        for batch in batches:
+            file_col = batch.column(0).to_pylist()
+            blobs = batch.column(1).to_pylist()
+            ns = batch.column(2).to_pylist()
+            ovs = batch.column(3).to_pylist()
+            for f, blob, cnt, ov in zip(file_col, blobs, ns, ovs):
+                if f in chosen:
+                    continue
+                try:
+                    chosen[f] = (Sketch.from_bytes(blob), cnt, ov)
+                    corrupt.discard(f)
+                except ValueError:
+                    corrupt.add(f)
+        acc, n, overflow = fold_sketch_rows(chosen.values(), dedup=dedup)
+        out_files: list[str | None] = sorted(corrupt)
+        out_blobs: list[bytes | None] = [None] * len(out_files)
+        out_n: list[int] = [0] * len(out_files)
+        out_ov: list[int] = [0] * len(out_files)
+        out_ok: list[bool] = [False] * len(out_files)
+        if acc is not None:
+            out_files.append(None)
+            out_blobs.append(acc.to_bytes())
+            out_n.append(n)
+            out_ov.append(overflow)
+            out_ok.append(True)
+        if not out_files:
+            return
+        yield pa.RecordBatch.from_pydict(
+            {
+                "file": pa.array(out_files, pa.string()),
+                "sketch": pa.array(out_blobs, pa.binary()),
+                "n": pa.array(out_n, pa.int64()),
+                "overflow": pa.array(out_ov, pa.int64()),
+                "ok": pa.array(out_ok, pa.bool_()),
+            }
+        )
+
+    return fn
 
 
 @dataclass
@@ -175,6 +180,9 @@ def build_with_checkpoint(
     files_limit exists for tests to simulate a mid-job kill.
     """
     lineage = job_lineage(spec, col)
+    from .build import _spec_dedup
+
+    dedup = _spec_dedup(spec)
     files = list_input_files(spark, input_path)
     if files_limit is not None:
         files = files[:files_limit]
@@ -219,7 +227,7 @@ def build_with_checkpoint(
             .select("file", "sketch", "n", "overflow")
         )
         return ck.repartition(parts, "file").mapInArrow(
-            _reduce_files_fn, _REDUCE_SCHEMA
+            _reduce_files(dedup), _REDUCE_SCHEMA
         )
 
     # unpersist in a finally so a heal failure (or any downstream raise)
@@ -258,7 +266,8 @@ def build_with_checkpoint(
             F.lit(0.0).alias("secs"),
         )
         acc, n, overflow = fold_sketch_rows(
-            (r.sketch, r.n, r.overflow) for r in tree_merge(shaped).collect()
+            ((r.sketch, r.n, r.overflow) for r in tree_merge(shaped, dedup=dedup).collect()),
+            dedup=dedup,
         )
     finally:
         reduced.unpersist()

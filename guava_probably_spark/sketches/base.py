@@ -200,7 +200,19 @@ def column_to_hash_input(values) -> tuple[int, tuple]:
     values = values.drop_null()
 
     t = values.type
+    # empty python lists / all-null batches arrive as arrow's null type —
+    # nothing to hash, and the type carries no funnel information. Return
+    # an empty LONG-shaped input; hash_column skips its funnel check for
+    # zero-length input so put_all([]) / update([None]) no-op as the
+    # null-dropping contract above promises.
+    if pa.types.is_null(t):
+        return FUNNEL_LONG, np.zeros(0, dtype=np.uint64)
     if pa.types.is_integer(t):
+        if pa.types.is_unsigned_integer(t):
+            # uint64 >= 2^63 must wrap (the scalar path hashes value mod
+            # 2^64); a checked cast would raise ArrowInvalid mid-batch
+            v = values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            return FUNNEL_LONG, v
         v = values.cast(pa.int64()).to_numpy(zero_copy_only=False)
         return FUNNEL_LONG, v.astype(np.uint64)
     if (
@@ -228,6 +240,12 @@ def hash_column(values, expected_funnel: int | None = None):
     from .hashing import hash128_bytes, hash128_u64
 
     funnel, inp = column_to_hash_input(values)
+    empty = len(inp) == 0 if funnel == FUNNEL_LONG else len(inp[1]) <= 1
+    if empty:
+        # nothing to hash — and an all-null batch carries no funnel
+        # information, so the mismatch check below must not fire
+        f = expected_funnel if expected_funnel is not None else funnel
+        return f, np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint64)
     if expected_funnel is not None and funnel != expected_funnel:
         raise IncompatibleSketchError(
             f"column funnel {funnel} != sketch funnel {expected_funnel}"

@@ -74,6 +74,13 @@ class BloomSketch(Sketch):
     @classmethod
     def _from_parts(cls, funnel: int, params: bytes, payload: bytes) -> "BloomSketch":
         capacity, fpp, m, k = struct.unpack("<qdqi", params)
+        # a truncated payload must fail HERE with ValueError (the decode
+        # contract checkpoint-heal keys on), not as an IndexError at the
+        # first probe
+        if len(payload) != m // 8:
+            raise ValueError(
+                f"corrupt bloom payload: {len(payload)} bytes for m={m}"
+            )
         sk = cls.__new__(cls)
         Sketch.__init__(sk, funnel)
         sk.capacity, sk.design_fpp, sk.m, sk.k = capacity, fpp, m, k
@@ -105,9 +112,17 @@ class BloomSketch(Sketch):
         mask = np.uint64(1) << (idx & np.uint64(63))
         return ((self.bits[word] & mask) != 0).all(axis=1)
 
-    def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
-        """Uniform pre-hashed ingest (multi-sketch builds hash once per column)."""
-        self.put_hashes(h1, h2)
+    def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> int:
+        """Uniform pre-hashed ingest (multi-sketch builds hash once per column).
+        Skips put_hashes' changed-bits read-back (an (n, k) gather + reduce
+        nobody consumes on the build path — the kernel is DRAM-bound, so the
+        extra traffic roughly doubled per-batch cost). Returns 0 (a bloom
+        filter cannot overflow)."""
+        idx = self._indexes(h1, h2)
+        word = (idx >> np.uint64(6)).astype(np.int64)
+        mask = np.uint64(1) << (idx & np.uint64(63))
+        np.bitwise_or.at(self.bits, word, mask)
+        return 0
 
     def update(self, values) -> np.ndarray:
         """Insert a column batch (pyarrow/pandas/list); nulls skipped."""

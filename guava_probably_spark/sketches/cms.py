@@ -84,8 +84,9 @@ class CmsSketch(Sketch):
                 np.add.at(self.counts[i], b[i], w)
             self.total += int(w.sum())
 
-    def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+    def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> int:
         self.update_hashes(h1, h2)
+        return 0
 
     def update(self, values, weights=None) -> None:
         _, h1, h2 = hash_column(values, self.funnel)
@@ -120,10 +121,16 @@ class CmsSketch(Sketch):
 
     def heavy_hitters(self, candidates, phi: float) -> list:
         """Items from `candidates` with estimated freq ≥ φ·N (no false
-        negatives among candidates; may include false positives ≤ (φ+ε)N)."""
-        ests = self.estimate(candidates)
+        negatives among candidates; may include false positives ≤ (φ+ε)N).
+        Null candidates are skipped BEFORE estimation — estimate() drops
+        nulls internally, so zipping the raw candidate list against its
+        output would misalign every candidate after the first null."""
+        cand = [c for c in candidates if c is not None]
+        if not cand:
+            return []
+        ests = self.estimate(cand)
         thresh = phi * self.total
-        return [c for c, est in zip(candidates, ests) if est >= thresh]
+        return [c for c, est in zip(cand, ests) if est >= thresh]
 
     def inner_product(self, other: "CmsSketch") -> int:
         """Join-size estimate Σ_v fA(v)·fB(v) = min over rows of the row dot

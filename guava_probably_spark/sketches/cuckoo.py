@@ -65,6 +65,14 @@ def cuckoo_geometry(capacity: int, fpp: float, b: int | None = None) -> tuple[in
     if b not in _LOAD_FACTOR:
         raise ValueError("entries per bucket must be one of {2, 4, 8}")
     f = max(2, int(math.ceil(math.log2(2.0 * b / fpp))))
+    if f > 32:
+        # the table stores uint32 fingerprints; a wider f would silently
+        # truncate (actual FPP floors at ~2b·2^-32 regardless of request,
+        # and an fp with 32 low zero bits would alias the 0=empty sentinel)
+        raise ValueError(
+            f"fpp={fpp:g} needs {f} fingerprint bits > the 32-bit table "
+            f"limit (reachable floor ≈ {2.0 * b / 2**32:.2e})"
+        )
     alpha = _LOAD_FACTOR[b]
     m = max(2, int(math.ceil(capacity / (alpha * b))))
     return m, b, f
@@ -98,10 +106,21 @@ class CuckooSketch(Sketch):
         fpp: float = 0.032,
         b: int | None = None,
         funnel: int = FUNNEL_UTF8,
+        dedup_build: bool = True,
     ):
+        """``dedup_build`` picks the distributed-build ingest semantics:
+        True (default) = SET union per (pair, fingerprint) — the right
+        choice for membership builds on skewed keys (see ingest_hashes);
+        False = guava's multiset puts, REQUIRED for delete workflows:
+        under set semantics two keys whose fingerprints collide in one
+        pair share a single copy, so removing one makes the other a false
+        negative (multiset keeps one copy per insert, and a collided
+        remove leaves the shared fingerprint present). Build-session
+        behavior only — excluded from blob format and compatibility."""
         super().__init__(funnel)
         self.capacity = int(capacity)
         self.design_fpp = float(fpp)
+        self.dedup_build = bool(dedup_build)
         self.m, self.b, self.f = cuckoo_geometry(self.capacity, self.design_fpp, b)
         dtype = np.uint16 if self.f <= 16 else np.uint32
         self.table = np.zeros((self.m, self.b), dtype=dtype)
@@ -287,8 +306,10 @@ class CuckooSketch(Sketch):
         found2 = (self.table[i2] == fp[:, None]).any(axis=1)
         return found1 | found2
 
-    def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+    def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> int:
         """Distributed-build ingest: SET semantics (first copy wins).
+        Returns the number of elements that did NOT fit (capacity overflow —
+        each one is a would-be false negative the build must surface).
 
         put_hashes keeps guava's multiset behavior (up to 2b copies of a key,
         preserving put/remove symmetry). The build path instead dedups each
@@ -297,7 +318,13 @@ class CuckooSketch(Sketch):
         2b slots per hot key, and wall off neighboring cold keys into
         insert failures = FALSE NEGATIVES (measured 47 FNs over 79k keys on
         an 800k-turn skewed transcripts build; 0 after dedup).
+
+        Delete workflows construct with ``dedup_build=False`` (see __init__)
+        to get guava's multiset puts instead.
         """
+        if not self.dedup_build:
+            success = self.put_hashes(h1, h2)
+            return int((~success).sum())
         i1, fp = self._index_fp(h1, h2)
         i2 = self._alt(i1.astype(np.uint64), fp).astype(np.int64)
         present = (self.table[i1] == fp[:, None]).any(axis=1) | (
@@ -305,7 +332,7 @@ class CuckooSketch(Sketch):
         ).any(axis=1)
         fresh = np.nonzero(~present)[0]
         if not len(fresh):
-            return
+            return 0
         # first occurrence per (pair, fp) within the batch; pair id is the
         # smaller bucket index (the alt-index is an involution, so both
         # buckets of a key map to the same id)
@@ -313,7 +340,8 @@ class CuckooSketch(Sketch):
         key = (pair << np.uint64(self.f + 1)) | fp[fresh].astype(np.uint64)
         _, first = np.unique(key, return_index=True)
         sel = fresh[np.sort(first)]
-        self._insert(i1[sel], fp[sel])
+        success = self._insert(i1[sel], fp[sel])
+        return int((~success).sum())
 
     def update(self, values) -> np.ndarray:
         _, h1, h2 = hash_column(values, self.funnel)
@@ -495,6 +523,7 @@ class CuckooSketch(Sketch):
         sk = cls.__new__(cls)
         Sketch.__init__(sk, funnel)
         sk.capacity, sk.design_fpp, sk.m, sk.b, sk.f = capacity, fpp, m, b, f
+        sk.dedup_build = True  # build-session behavior, not serialized
         sk._count = count
         sk._rng = np.random.default_rng(0xC0FFEE)
         dtype = np.uint16 if f <= 16 else np.uint32

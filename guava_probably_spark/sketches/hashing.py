@@ -34,9 +34,6 @@ _A1 = np.uint64(0x52DCE729)
 _A2 = np.uint64(0x38495AB5)
 _SHIFT33 = np.uint64(33)
 
-_BYTE_SHIFTS = (np.arange(8, dtype=np.uint64) * np.uint64(8))
-
-
 def _rotl(x: np.ndarray, r: int) -> np.ndarray:
     r_ = np.uint64(r)
     inv = np.uint64(64 - r)
@@ -50,17 +47,6 @@ def _fmix64(k: np.ndarray) -> np.ndarray:
     k = k * _F2
     k = k ^ (k >> _SHIFT33)
     return k
-
-
-def _gather_u64(data: np.ndarray, starts: np.ndarray) -> np.ndarray:
-    """Read little-endian uint64 at arbitrary byte offsets (vectorized gather).
-
-    The fancy-indexed (n, 8) uint8 gather is C-contiguous, so the uint64
-    assembly is a zero-copy little-endian view — no widening, shifting or
-    reduction temporaries (the kernels are DRAM-bandwidth-bound; this cuts
-    the per-block traffic ~5x)."""
-    idx = starts[:, None] + np.arange(8)
-    return data[idx].view("<u8").ravel()
 
 
 def hash128_bytes(

@@ -139,8 +139,9 @@ class HllSketch(Sketch):
         rho = _leading_zero_rho(w, 64 - self.p)
         np.maximum.at(self.registers, idx, rho)
 
-    def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+    def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> int:
         self.update_hashes(h1)
+        return 0
 
     def update(self, values) -> None:
         _, h1, _ = hash_column(values, self.funnel)

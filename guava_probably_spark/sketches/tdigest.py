@@ -40,6 +40,7 @@ class TDigestSketch(Sketch):
         self.weights = np.empty(0, dtype=np.float64)
         self._buf: list[np.ndarray] = []
         self._buf_n = 0
+        self._compressed = True  # means/weights are in canonical k1 form
         self.n = 0
         self.vmin = np.inf
         self.vmax = -np.inf
@@ -49,6 +50,11 @@ class TDigestSketch(Sketch):
         return self.delta * (0.5 + np.arcsin(2.0 * np.clip(q, 0.0, 1.0) - 1.0) / np.pi)
 
     def _compress(self) -> None:
+        # read paths (quantile/rank/to_bytes/__eq__) call this on every
+        # query; without the flag each call re-paid a full argsort+regroup
+        # of all centroids even with an empty buffer
+        if self._compressed and not self._buf:
+            return
         if self._buf:
             bx = np.concatenate(self._buf)
             bw = np.ones(len(bx), dtype=np.float64)
@@ -74,6 +80,7 @@ class TDigestSketch(Sketch):
         gm = np.bincount(gid, weights=w * x, minlength=ngroups) / gw
         self.means = gm
         self.weights = gw
+        self._compressed = True
 
     # -------------------------------------------------------------- updates
     def update(self, values) -> None:
@@ -85,6 +92,7 @@ class TDigestSketch(Sketch):
         self.vmax = max(self.vmax, float(v.max()))
         self._buf.append(v)
         self._buf_n += len(v)
+        self._compressed = False
         if self._buf_n >= _BUFFER_LIMIT:
             self._compress()
 
@@ -98,6 +106,7 @@ class TDigestSketch(Sketch):
         self._compress()
         self.means = np.concatenate([self.means, other.means])
         self.weights = np.concatenate([self.weights, other.weights])
+        self._compressed = False
         self.n += other.n
         self.vmin = min(self.vmin, other.vmin)
         self.vmax = max(self.vmax, other.vmax)
@@ -176,6 +185,7 @@ class TDigestSketch(Sketch):
         sk.delta = delta
         sk._buf = []
         sk._buf_n = 0
+        sk._compressed = True  # blobs serialize the canonical form
         sk.n, sk.vmin, sk.vmax, nc = struct.unpack_from("<qddq", payload, 0)
         off = struct.calcsize("<qddq")
         sk.means = np.frombuffer(payload, dtype="<f8", count=nc, offset=off).copy()

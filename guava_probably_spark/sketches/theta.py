@@ -99,8 +99,9 @@ class ThetaSketch(Sketch):
     def update_hashes(self, h1: np.ndarray) -> None:
         self._fold(np.asarray(h1, dtype=np.uint64))
 
-    def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+    def ingest_hashes(self, h1: np.ndarray, h2: np.ndarray) -> int:
         self.update_hashes(h1)
+        return 0
 
     def update(self, values) -> None:
         _, h1, _ = hash_column(values, self.funnel)
@@ -111,17 +112,11 @@ class ThetaSketch(Sketch):
         self.update_hashes(np.array([h1], dtype=np.uint64))
 
     def merge(self, other: "ThetaSketch") -> "ThetaSketch":
-        self._check_compatible(other)
         # trim both sides to min(theta) first: retained sets stay uniform.
-        # Exact integer bound — float rounding here once dropped boundary
-        # hashes above 2^53 and desaturated saturated sketches (ADVICE r1).
-        t = min(self._theta_bound(), other._theta_bound())
-        if t < (1 << 64):
-            bound = np.uint64(t)
-            a = self.hashes[self.hashes <= bound]
-            b = other.hashes[other.hashes <= bound]
-        else:
-            a, b = self.hashes, other.hashes
+        # _trimmed_pair carries the exact integer bound — float rounding
+        # here once dropped boundary hashes above 2^53 and desaturated
+        # saturated sketches (ADVICE r1).
+        a, b, _ = self._trimmed_pair(other)
         self.hashes = np.empty(0, dtype=np.uint64)
         self._fold(np.unique(np.concatenate([a, b])))
         return self

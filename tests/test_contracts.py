@@ -216,3 +216,71 @@ def test_iceberg_loader_flag_composes():
     calls.clear()
     assert load_transcripts(fake, "/p") == "DF"
     assert calls == [("parquet", "/p")]  # parquet branch bypasses format()
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=IDS)
+def test_empty_and_all_null_updates_noop(spec):
+    """putAll([]) / update([None, None]) must no-op, not crash: arrow infers
+    the NULL type for those batches and the funnel dispatch used to raise
+    TypeError, contradicting the documented nulls-are-dropped contract."""
+    sk = spec.create()
+    sk.update([])
+    sk.update([None, None])
+    blob = sk.to_bytes()
+    sk2 = spec.create()
+    assert blob == sk2.to_bytes()  # still empty
+    if hasattr(sk, "put_all"):
+        assert sk.put_all([]) in (True, None) or sk.put_all([]) == True  # noqa: E712
+    if hasattr(sk, "might_contain_batch"):
+        assert len(sk.might_contain_batch([])) == 0
+
+
+def test_uint64_above_2_63_batch_matches_scalar():
+    """A key put() as a scalar must probe True through the batch path even
+    when it exceeds int64 range (the checked int64 cast used to raise
+    ArrowInvalid on uint64 input)."""
+    spec = SketchSpec("bloom", {"capacity": 1000, "fpp": 0.01, "funnel": FUNNEL_LONG})
+    sk = spec.create()
+    big = 2**63 + 12345
+    sk.put(big)
+    assert sk.might_contain_batch(np.array([big], dtype=np.uint64)).all()
+    sk.update(np.array([2**64 - 1], dtype=np.uint64))
+    assert sk.might_contain(2**64 - 1)
+
+
+def test_bloom_truncated_word_payload_raises_valueerror():
+    """Losing a trailing 8-byte word keeps the payload 8-aligned, so only an
+    explicit length-vs-geometry check can catch it at decode time (the
+    checkpoint heal path keys on ValueError-at-decode)."""
+    spec = SPECS[0]  # bloom, small enough to serialize uncompressed
+    sk = spec.create()
+    sk.update(list(range(500)))
+    blob = sk.to_bytes()
+    with pytest.raises(ValueError):
+        Sketch.from_bytes(blob[:-8])
+
+
+def test_cuckoo_fpp_below_32bit_fingerprint_floor_rejected():
+    from guava_probably_spark.sketches import CuckooSketch
+
+    with pytest.raises(ValueError):
+        CuckooSketch(1000, fpp=1e-10)
+
+
+def test_tdigest_read_paths_do_not_mutate_state():
+    """quantile/rank/to_bytes are queries: repeated calls must return the
+    same answers and the same blob (reads used to recompress centroids on
+    every call)."""
+    spec = SketchSpec("tdigest", {"delta": 100.0})
+    sk = spec.create()
+    rng = np.random.default_rng(7)
+    sk.update(rng.normal(size=50_000))
+    q1 = sk.quantile(np.arange(0.1, 1.0, 0.1))
+    blob1 = sk.to_bytes()
+    nc1 = sk.centroid_count()
+    for _ in range(5):
+        sk.quantile(0.5)
+        sk.rank([0.0, 1.0])
+    assert np.array_equal(q1, sk.quantile(np.arange(0.1, 1.0, 0.1)))
+    assert sk.to_bytes() == blob1
+    assert sk.centroid_count() == nc1

@@ -78,6 +78,17 @@ def test_cms_heavy_hitters():
     assert hh == [0]
 
 
+def test_cms_heavy_hitters_null_candidates_do_not_shift_alignment():
+    """estimate() drops nulls internally; a null candidate used to shift
+    every later candidate against the wrong estimate (and could emit None
+    as a heavy hitter carrying a real hitter's count)."""
+    sk = CmsSketch(0.001, 0.01, funnel=FUNNEL_LONG)
+    sk.update(np.repeat(np.int64(7), 1000))
+    sk.update(np.arange(100, dtype=np.int64))
+    hh = sk.heavy_hitters([3, None, 7, None, 4], phi=0.5)
+    assert hh == [7]
+
+
 @pytest.mark.parametrize("dist", ["normal", "uniform", "lognormal", "bimodal"])
 def test_kll_rank_error(dist):
     rng = np.random.default_rng(abs(hash(dist)) % 2**31)

@@ -72,6 +72,50 @@ def test_partition_invariance_blob_equality(spark, events):
         assert blobs[0] == blobs[1], f"{spec.kind} blob differs across partitionings"
 
 
+def test_cuckoo_build_overflow_is_reported_not_silent(spark):
+    """A cuckoo build over more distinct keys than capacity MUST surface the
+    failed inserts in the overflow count — each one is a key that would
+    probe False (a silent false negative) if dropped unreported."""
+    df = spark.range(30_000).select(F.format_string("k-%d", "id").alias("k"))
+    spec = SketchSpec("cuckoo", {"capacity": 4_000, "fpp": 0.01})
+    sk, n, overflow = collect_sketch(df.repartition(4), "k", spec)
+    assert n == 30_000
+    # ~26k keys can't fit a 4k-capacity filter: the count must show it
+    assert overflow > 10_000
+    # and a build that fits reports zero
+    small = spark.range(1_000).select(F.format_string("k-%d", "id").alias("k"))
+    sk2, n2, ov2 = collect_sketch(small, "k", SketchSpec("cuckoo", {"capacity": 10_000, "fpp": 0.01}))
+    assert n2 == 1_000 and ov2 == 0
+    assert sk2.contains_all([f"k-{i}" for i in range(1_000)])
+
+
+def test_cuckoo_multiset_build_supports_remove_across_partitions(spark):
+    """Delete workflows: dedup_build=False must keep one copy PER INSERT all
+    the way through the distributed build — including the tree merge, where
+    copies of the same key split across partitions used to be collapsed by
+    the set-union merge default."""
+    import numpy as np
+
+    from guava_probably_spark.sketches.hashing import hash128_u64
+
+    # every key appears twice, guaranteed in DIFFERENT partitions
+    base = spark.range(2_000).select(F.col("id").alias("k"))
+    df = base.repartition(8).unionByName(base.repartition(8))
+    spec = SketchSpec(
+        "cuckoo", {"capacity": 20_000, "fpp": 0.01, "dedup_build": False}
+    )
+    sk, n, ovf = collect_sketch(df, "k", spec)
+    assert n == 4_000 and ovf == 0
+    # one remove per key consumes ONE copy; every key must still be present
+    keys = np.arange(2_000, dtype=np.int64)
+    removed = sk.remove_hashes(*hash128_u64(keys))
+    assert removed.all()
+    assert sk.might_contain_batch(keys).all(), "second copies must survive"
+    # the second remove drains the multiset
+    removed2 = sk.remove_hashes(*hash128_u64(keys))
+    assert removed2.all()
+
+
 def test_hll_vs_exact_and_spark_builtin(spark, events):
     spec = SketchSpec("hll", {"p": 14})
     sk, n, _ = collect_sketch(events, "user_id", spec)
