@@ -61,12 +61,11 @@ def _expand_nulls(arr: pa.Array, out, fill):
     return pd.Series(full)
 
 
-def might_contain_udf(spark: SparkSession, blob: bytes):
-    """Vectorized membership probe against a broadcast filter blob.
-
-    Usage: df.filter(might_contain_udf(spark, bloom.to_bytes())(F.col("k")))
-    """
-    bc = spark.sparkContext.broadcast(blob)
+def might_contain_udf_from_broadcast(bc):
+    """Membership probe over an EXISTING broadcast handle — for callers that
+    must manage the broadcast lifetime themselves (a per-micro-batch probe
+    that never unpersists its broadcast pins one blob copy per batch on the
+    executors forever)."""
 
     @pandas_udf(BooleanType())
     def probe(values: pd.Series) -> pd.Series:
@@ -75,6 +74,14 @@ def might_contain_udf(spark: SparkSession, blob: bytes):
         return _expand_nulls(arr, sk.might_contain_batch(arr), False)
 
     return probe
+
+
+def might_contain_udf(spark: SparkSession, blob: bytes):
+    """Vectorized membership probe against a broadcast filter blob.
+
+    Usage: df.filter(might_contain_udf(spark, bloom.to_bytes())(F.col("k")))
+    """
+    return might_contain_udf_from_broadcast(spark.sparkContext.broadcast(blob))
 
 
 def cms_freq_udf(spark: SparkSession, blob: bytes):

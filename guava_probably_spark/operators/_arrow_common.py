@@ -17,6 +17,50 @@ import numpy as np
 import pyarrow as pa
 
 
+def funnel_for_spark_type(dt) -> int:
+    """The funnel byte a grouped blob header must carry for a value column
+    of Spark type ``dt`` — MUST agree with build._bind_funnel (which uses
+    arrow's is_integer), or grouped and ungrouped blobs over the same
+    column refuse to merge (IncompatibleSketchError). In particular
+    ByteType is an integer type."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    from ..sketches.base import FUNNEL_LONG, FUNNEL_UTF8
+
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return FUNNEL_LONG
+    return FUNNEL_UTF8
+
+
+def funnel_for_arrow_type(t: pa.DataType) -> int:
+    """Arrow-schema twin of funnel_for_spark_type (file-scan paths)."""
+    from ..sketches.base import FUNNEL_LONG, FUNNEL_UTF8
+
+    return FUNNEL_LONG if pa.types.is_integer(t) else FUNNEL_UTF8
+
+
+def encode_keys(keys: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Dictionary-encode group keys with NULL as its own group (SQL GROUP BY
+    semantics). Without this, a null key's null dictionary index round-trips
+    through float NaN to INT64_MIN on the int64 cast — which either crashes
+    the kernel (np.bincount/take on a negative code) or silently scatters
+    the null rows into key 0's accumulator. Returns (uniq, codes); when
+    nulls are present, uniq gains one trailing null element and null rows
+    get its code."""
+    enc = keys.dictionary_encode()
+    uniq, idx = enc.dictionary, enc.indices
+    if idx.null_count:
+        codes = (
+            idx.fill_null(len(uniq)).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        uniq = pa.concat_arrays(
+            [uniq.combine_chunks() if isinstance(uniq, pa.ChunkedArray) else uniq,
+             pa.array([None], type=uniq.type)]
+        )
+        return uniq, codes
+    return uniq, idx.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def gather_keyed_hashes(
     batches: Iterator[pa.RecordBatch], col_idx: int, with_h2: bool = False
 ):
@@ -52,9 +96,8 @@ def gather_keyed_hashes(
     keys = pa.chunked_array(keys_parts).combine_chunks()
     h1 = np.concatenate(h1_parts)
     h2 = np.concatenate(h2_parts) if with_h2 else None
-    enc = keys.dictionary_encode()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    return enc.dictionary, codes, h1, h2
+    uniq, codes = encode_keys(keys)
+    return uniq, codes, h1, h2
 
 
 def sort_dedup_key_hash(

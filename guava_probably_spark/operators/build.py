@@ -470,7 +470,17 @@ def build_grouped(
         if col_is_int and pa.types.is_floating(column.type):
             column = column.cast(pa.int64())
         _bind_funnel(sk, column)
-        sk.update(column)
+        overflow = _ingest_overflow(sk, column)
+        if overflow:
+            # the grouped output schema has no overflow column, so a group
+            # exceeding a cuckoo's capacity must fail LOUDLY — dropping the
+            # count would be silent false negatives (size the capacity for
+            # the largest group, or use bloom/hll for unbounded groups)
+            key_vals = tuple(pdf[k].iloc[0] for k in keys)
+            raise OverflowError(
+                f"cuckoo capacity overflow in group {key_vals}: "
+                f"{overflow} elements did not fit"
+            )
         n = len(column) - column.null_count
         row = {k: [pdf[k].iloc[0]] for k in keys}
         row.update({"sketch": [sk.to_bytes()], "n": [n]})

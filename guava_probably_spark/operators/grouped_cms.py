@@ -161,9 +161,9 @@ def _build_stage(epsilon: float, delta: float, funnel: int, max_matrix_bytes: in
         h1 = np.concatenate(h1_parts).view(np.uint64)
         h2 = np.concatenate(h2_parts).view(np.uint64)
         c = np.concatenate(c_parts).astype(np.int64)
-        enc = keys.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = enc.dictionary
+        from ._arrow_common import encode_keys
+
+        uniq, codes = encode_keys(keys)
         n_keys = len(uniq)
         need = n_keys * d * w * 8
         if need > max_matrix_bytes:
@@ -216,12 +216,12 @@ def grouped_cms(
     ``assume_colocated=True`` skips the repartition — correct when the
     input is already partitioned by ``key`` (bucketed read, upstream
     repartition); the grouped build then has ZERO shuffle."""
-    from pyspark.sql.types import IntegerType, LongType, ShortType
 
-    from ..sketches.base import FUNNEL_LONG, FUNNEL_UTF8
 
     dt = df.schema[col].dataType
-    funnel = FUNNEL_LONG if isinstance(dt, (IntegerType, LongType, ShortType)) else FUNNEL_UTF8
+    from ._arrow_common import funnel_for_spark_type
+
+    funnel = funnel_for_spark_type(dt)
     key_type = df.schema[key].dataType.simpleString()
     stage = _hash2_prereduce_stage(1) if pre_reduce else _hash2_stage(1)
     hashed = df.select(key, col).mapInArrow(stage, f"k {key_type}, {_HASH2_SCHEMA_SUFFIX}")

@@ -62,7 +62,9 @@ def _hash_stage(col_idx: int):
     return fn
 
 
-def _pack_registers_matrix(regs: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+def _pack_registers_matrix(
+    regs: np.ndarray, p: int, funnel: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
     """(K, m) uint8 registers → concatenated blob buffer + offsets, each row a
     standard HllSketch blob (byte-identical to ``HllSketch.to_bytes()`` of the
     same registers — verified by test). Emits the adaptive payload: sparse
@@ -73,7 +75,9 @@ def _pack_registers_matrix(regs: np.ndarray, p: int) -> tuple[np.ndarray, np.nda
         raise ValueError("grouped packer supports p <= 16 (u16 sparse indexes)")
     k, m = regs.shape
     dense_len = (m // 4) * 3
-    header = MAGIC + struct.pack("<BBBB", VERSION, KIND_HLL, 1, 0) + struct.pack("<I", 1) + struct.pack("<B", p)
+    # funnel byte must match the column the hashes came from, or these
+    # blobs refuse to merge with the ungrouped build of the same column
+    header = MAGIC + struct.pack("<BBBB", VERSION, KIND_HLL, funnel, 0) + struct.pack("<I", 1) + struct.pack("<B", p)
     head = np.frombuffer(header, dtype=np.uint8)
     hl = len(head)
 
@@ -191,7 +195,7 @@ def _prereduce_stage(col_idx: int, p: int):
     return fn
 
 
-def _build_stage_reduced(p: int, output: str):
+def _build_stage_reduced(p: int, output: str, funnel: int = 1):
     """Build stage over pre-reduced (key, reg, v) rows: max-scatter register
     rows, sum count rows. Registers are identical to the direct path, so
     blobs stay byte-compatible."""
@@ -210,9 +214,9 @@ def _build_stage_reduced(p: int, output: str):
         keys = pa.chunked_array(keys_parts).combine_chunks()
         reg = np.concatenate(reg_parts).astype(np.int64)
         v = np.concatenate(v_parts).astype(np.int64)
-        enc = keys.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = enc.dictionary
+        from ._arrow_common import encode_keys
+
+        uniq, codes = encode_keys(keys)
         k = len(uniq)
         is_cnt = reg < 0
         counts = np.zeros(k, dtype=np.int64)
@@ -227,7 +231,7 @@ def _build_stage_reduced(p: int, output: str):
                 [uniq, pa.array(est), pa.array(counts)], names=["key", "estimate", "n"]
             )
         else:
-            buf, offsets = _pack_registers_matrix(regs, p)
+            buf, offsets = _pack_registers_matrix(regs, p, funnel)
             blobs = pa.BinaryArray.from_buffers(
                 pa.binary(), k, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())]
             )
@@ -238,7 +242,7 @@ def _build_stage_reduced(p: int, output: str):
     return fn
 
 
-def _build_stage(p: int, output: str):
+def _build_stage(p: int, output: str, funnel: int = 1):
     m = 1 << p
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -253,9 +257,9 @@ def _build_stage(p: int, output: str):
         h1 = np.concatenate(h_parts).view(np.uint64)
 
         # factorize keys (arrow dictionary_encode: C++-speed grouping)
-        enc = pa.chunked_array([keys]).combine_chunks().dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = enc.dictionary
+        from ._arrow_common import encode_keys
+
+        uniq, codes = encode_keys(pa.chunked_array([keys]).combine_chunks())
         k = len(uniq)
 
         shift = np.uint64(64 - p)
@@ -272,7 +276,7 @@ def _build_stage(p: int, output: str):
                 [uniq, pa.array(est), pa.array(counts)], names=["key", "estimate", "n"]
             )
         else:
-            buf, offsets = _pack_registers_matrix(regs, p)
+            buf, offsets = _pack_registers_matrix(regs, p, funnel)
             blobs = pa.BinaryArray.from_buffers(
                 pa.binary(), k, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())]
             )
@@ -340,9 +344,12 @@ def grouped_hll_files(
 
     from .checkpoint import list_input_files
 
+    from ._arrow_common import funnel_for_arrow_type
+
     files = list_input_files(spark, input_path)
     sch = pq.read_schema(files[0].removeprefix("file:"))
     key_type = _ARROW_TO_DDL[str(sch.field(key).type)]
+    funnel = funnel_for_arrow_type(sch.field(col).type)
     slices = min(len(files), max(64, spark.sparkContext.defaultParallelism * 2))
     files_df = spark.createDataFrame(
         spark.sparkContext.parallelize([(f,) for f in files], slices), "file string"
@@ -354,7 +361,7 @@ def grouped_hll_files(
         schema = f"key {key_type}, estimate double, n bigint"
     else:
         schema = f"key {key_type}, sketch binary, n bigint"
-    return colocated.mapInArrow(_build_stage(p, output), schema).withColumnRenamed(
+    return colocated.mapInArrow(_build_stage(p, output, funnel), schema).withColumnRenamed(
         "key", key
     )
 
@@ -382,7 +389,10 @@ def grouped_hll(
     repartition); the grouped build then has ZERO shuffle."""
     if output not in ("sketch", "estimate"):
         raise ValueError("output must be 'sketch' or 'estimate'")
+    from ._arrow_common import funnel_for_spark_type
+
     key_type = df.schema[key].dataType.simpleString()
+    funnel = funnel_for_spark_type(df.schema[col].dataType)
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
     narrow = df.select(key, col)
     if pre_reduce:
@@ -390,11 +400,11 @@ def grouped_hll(
             _prereduce_stage(1, p), f"k {key_type}, reg int, v bigint"
         )
         colocated = rows if assume_colocated else rows.repartition(parts, "k")
-        build = _build_stage_reduced(p, output)
+        build = _build_stage_reduced(p, output, funnel)
     else:
         hashed = narrow.mapInArrow(_hash_stage(1), f"k {key_type}, h bigint")
         colocated = hashed if assume_colocated else hashed.repartition(parts, "k")
-        build = _build_stage(p, output)
+        build = _build_stage(p, output, funnel)
     if output == "estimate":
         schema = f"key {key_type}, estimate double, n bigint"
     else:

@@ -66,9 +66,9 @@ def _build_stage(make_sketch):
             return
         keys = pa.chunked_array(keys_parts).combine_chunks()
         v = np.concatenate(v_parts)
-        enc = keys.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = enc.dictionary
+        from ._arrow_common import encode_keys
+
+        uniq, codes = encode_keys(keys)
         order = np.argsort(codes, kind="stable")  # keeps arrival order per key
         sc = codes[order]
         sv = v[order]

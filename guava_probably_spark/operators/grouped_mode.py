@@ -40,9 +40,10 @@ def _build_stage():
             return
         keys = pa.chunked_array(keys_parts).combine_chunks()
         vals = pa.chunked_array(v_parts).combine_chunks()
-        kenc = keys.dictionary_encode()
+        from ._arrow_common import encode_keys
+
+        kuniq, kc = encode_keys(keys)
         venc = vals.dictionary_encode()
-        kc = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         # arrow dictionary codes are appearance-ordered; re-rank by VALUE order
         # so the tie-break (smallest value) is well-defined
         vdict = venc.dictionary
@@ -69,8 +70,8 @@ def _build_stage():
         win_key = pk[first]
         win_val = pv[first]
         win_cnt = pc[first]
-        n_per = np.bincount(kc, minlength=len(kenc.dictionary)).astype(np.int64)
-        out_keys = kenc.dictionary.take(pa.array(win_key))
+        n_per = np.bincount(kc, minlength=len(kuniq)).astype(np.int64)
+        out_keys = kuniq.take(pa.array(win_key))
         out_vals = vdict.take(pa.array(vorder[win_val]))
         yield pa.RecordBatch.from_arrays(
             [out_keys, out_vals, pa.array(win_cnt), pa.array(n_per[win_key])],

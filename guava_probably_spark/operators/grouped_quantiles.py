@@ -42,15 +42,24 @@ def _build_stage(qs: Sequence[float]):
                 val = val.drop_null()
             if len(val) == 0:
                 continue
+            arr = val.to_numpy(zero_copy_only=False).astype(np.float64)
+            finite = ~np.isnan(arr)
+            if not finite.all():
+                # pandas-origin frames surface missing floats as NaN, not
+                # null — NaN sorts last and would poison the top quantiles
+                key_arr = key_arr.filter(pa.array(finite))
+                arr = arr[finite]
+            if len(arr) == 0:
+                continue
             keys_parts.append(key_arr)
-            v_parts.append(val.to_numpy(zero_copy_only=False).astype(np.float64))
+            v_parts.append(arr)
         if not keys_parts:
             return
         keys = pa.chunked_array(keys_parts).combine_chunks()
         v = np.concatenate(v_parts)
-        enc = keys.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = enc.dictionary
+        from ._arrow_common import encode_keys
+
+        uniq, codes = encode_keys(keys)
         order = np.lexsort((v, codes))
         sc = codes[order]
         sv = v[order]

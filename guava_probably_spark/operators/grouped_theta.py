@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
-from ..sketches.base import FUNNEL_LONG, FUNNEL_UTF8, KIND_THETA, MAGIC, VERSION, Sketch
+from ..sketches.base import KIND_THETA, MAGIC, VERSION, Sketch
 from .grouped_hll import _hash_stage
 
 
@@ -146,9 +146,9 @@ def _build_stage(k_param: int, funnel: int):
             return
         keys = pa.chunked_array(keys_parts).combine_chunks()
         h1 = np.concatenate(h_parts).view(np.uint64)
-        enc = keys.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = enc.dictionary
+        from ._arrow_common import encode_keys
+
+        uniq, codes = encode_keys(keys)
         if c_parts:  # pre-reduced input: raw counts ride the c column
             counts = np.zeros(len(uniq), dtype=np.int64)
             np.add.at(counts, codes, np.concatenate(c_parts).astype(np.int64))
@@ -184,10 +184,11 @@ def grouped_theta(
     how hot a key is, and duplicate (key, value) rows collapse before the
     exchange. The retained-set union is associative, so the output blobs
     are byte-identical either way (tested)."""
-    from pyspark.sql.types import IntegerType, LongType, ShortType, StringType
 
     dt = df.schema[col].dataType
-    funnel = FUNNEL_LONG if isinstance(dt, (IntegerType, LongType, ShortType)) else FUNNEL_UTF8
+    from ._arrow_common import funnel_for_spark_type
+
+    funnel = funnel_for_spark_type(dt)
     key_type = df.schema[key].dataType.simpleString()
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
     if pre_reduce:

@@ -20,10 +20,10 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 from ..sketches import Sketch
-from .build import _merge_into
+from .build import _merge_into, _spec_dedup
 
 
-def _merge_groups_fn(n_keys: int):
+def _merge_groups_fn(n_keys: int, dedup: bool = True):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         accs: dict[tuple, Sketch] = {}
         ns: dict[tuple, int] = {}
@@ -37,7 +37,7 @@ def _merge_groups_fn(n_keys: int):
                 key = tuple(col[i] for col in keys_cols)
                 sk = Sketch.from_bytes(blob)
                 if key in accs:
-                    _merge_into(accs[key], sk)
+                    _merge_into(accs[key], sk, dedup=dedup)
                 else:
                     accs[key] = sk
                 ns[key] = ns.get(key, 0) + counts[i]
@@ -54,11 +54,13 @@ def _merge_groups_fn(n_keys: int):
     return fn
 
 
-def merge_level(grouped: DataFrame, keys: list[str]) -> DataFrame:
+def merge_level(grouped: DataFrame, keys: list[str], dedup: bool = True) -> DataFrame:
     """Merge a sketch DataFrame down to the given (sub)set of keys.
 
     Input columns: *parent_keys, sketch, n — parent keys not in `keys` are
-    dropped and their sketches merged.  Shuffles only sketch blobs."""
+    dropped and their sketches merged.  Shuffles only sketch blobs.
+    ``dedup`` must match the cuckoo build semantics (pass False for
+    dedup_build=False multiset tables; irrelevant for other kinds)."""
     n_keys = len(keys)
     sel = grouped.select(*keys, "sketch", "n")
     schema_ddl = ", ".join(
@@ -66,12 +68,12 @@ def merge_level(grouped: DataFrame, keys: list[str]) -> DataFrame:
     )
     out_schema = (schema_ddl + ", " if schema_ddl else "") + "sketch binary, n bigint"
     if n_keys == 0:
-        merged = sel.repartition(1).mapInArrow(_merge_groups_fn(0), out_schema)
+        merged = sel.repartition(1).mapInArrow(_merge_groups_fn(0, dedup), out_schema)
         return merged
-    return sel.repartition(*keys).mapInArrow(_merge_groups_fn(n_keys), out_schema)
+    return sel.repartition(*keys).mapInArrow(_merge_groups_fn(n_keys, dedup), out_schema)
 
 
-def cube_sketches(grouped: DataFrame, keys: list[str]) -> DataFrame:
+def cube_sketches(grouped: DataFrame, keys: list[str], dedup: bool = True) -> DataFrame:
     """SQL CUBE over a sketch DataFrame: every SUBSET of `keys` (2^k
     levels), each coarser level a blob merge of the finest one — mirrors
     ``GROUP BY CUBE`` without rescanning. Dropped keys are NULL."""
@@ -81,7 +83,7 @@ def cube_sketches(grouped: DataFrame, keys: list[str]) -> DataFrame:
     levels = [finest]
     for depth in range(len(keys) - 1, -1, -1):
         for subset in combinations(keys, depth):
-            lvl = merge_level(finest, list(subset))
+            lvl = merge_level(finest, list(subset), dedup)
             for k in keys:
                 if k not in subset:
                     lvl = lvl.withColumn(
@@ -94,7 +96,7 @@ def cube_sketches(grouped: DataFrame, keys: list[str]) -> DataFrame:
     return out
 
 
-def rollup_sketches(grouped: DataFrame, keys: list[str]) -> DataFrame:
+def rollup_sketches(grouped: DataFrame, keys: list[str], dedup: bool = True) -> DataFrame:
     """SQL ROLLUP over a sketch DataFrame: every prefix level of `keys`,
     coarser levels computed by merging the finer ones (never rescanning).
     Dropped keys are NULL (SQL rollup convention)."""
@@ -103,7 +105,7 @@ def rollup_sketches(grouped: DataFrame, keys: list[str]) -> DataFrame:
     for depth in range(len(keys), -1, -1):
         lvl_keys = keys[:depth]
         if depth < len(keys):
-            current = merge_level(current, lvl_keys)
+            current = merge_level(current, lvl_keys, dedup)
         lvl = current
         for k in keys[depth:]:
             lvl = lvl.withColumn(

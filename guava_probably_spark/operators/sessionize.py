@@ -27,12 +27,16 @@ def sessionize(
     time since the key's previous event exceeds `gap`."""
     import pandas as pd
 
-    gap_s = int(pd.to_timedelta(gap).total_seconds())
+    # microsecond precision: a whole-second cast floors the timestamps, so
+    # sub-second gaps degenerate ('500 milliseconds' → 0 ⇒ same-second
+    # events always split) and boundaries near the gap misclassify by up
+    # to ~1 s against a full-precision oracle
+    gap_us = int(pd.to_timedelta(gap).total_seconds() * 1_000_000)
     w = Window.partitionBy(key).orderBy(ts)
-    # NTZ timestamps (common from parquet) can't cast straight to long;
-    # normalizing through TIMESTAMP first is a no-op for LTZ inputs
-    secs = F.col(ts).cast("timestamp").cast("long")
-    prev = F.lag(secs).over(w)
-    new_session = (prev.isNull() | (secs - prev > F.lit(gap_s))).cast("long")
+    # NTZ timestamps (common from parquet) can't pass straight to
+    # unix_micros; normalizing through TIMESTAMP first is a no-op for LTZ
+    micros = F.unix_micros(F.col(ts).cast("timestamp"))
+    prev = F.lag(micros).over(w)
+    new_session = (prev.isNull() | (micros - prev > F.lit(gap_us))).cast("long")
     # first row's null-lag marks session 0; cumsum-1 keeps ids 0-based
     return df.withColumn("session_id", F.sum(new_session).over(w) - F.lit(1))

@@ -85,7 +85,11 @@ def _kernel(p: int, n_carry: int):
         n = len(key_arr)
 
         # --- segments: rows arrive sorted by (key, order); boundary = key change
-        kc = key_arr.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        # null-safe encode: a null key's NaN index would make every
+        # null-key row its own segment (NaN != NaN) instead of one group
+        from ._arrow_common import encode_keys
+
+        _, kc = encode_keys(key_arr)
         is_start = np.empty(n, dtype=bool)
         is_start[0] = True
         np.not_equal(kc[1:], kc[:-1], out=is_start[1:])

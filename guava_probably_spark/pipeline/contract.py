@@ -296,7 +296,10 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded hash makes the outcome deterministic — verified at sf0.01)."""
     import tempfile
 
-    from guava_probably_spark.streaming.dedup import dedup_batch_incremental
+    from guava_probably_spark.streaming.dedup import (
+        dedup_batch_incremental,
+        release_batch,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
@@ -305,8 +308,10 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = os.path.join(td, "bloom.state")
         out1 = dedup_batch_incremental(b1, state, capacity=100_000, fpp=1e-6)
         ids1 = [(int(r.doc_id), 1) for r in out1.select("doc_id").collect()]
+        release_batch(out1)
         out2 = dedup_batch_incremental(b2, state, capacity=100_000, fpp=1e-6)
         ids2 = [(int(r.doc_id), 2) for r in out2.select("doc_id").collect()]
+        release_batch(out2)
     return spark.createDataFrame(ids1 + ids2, "doc_id long, batch int")
 
 

@@ -102,7 +102,17 @@ def windowed_sketch_stream(
     (window_start, sketch binary, n) — update mode, custom state via
     applyInPandasWithState (the custom stateful operator of SURVEY.md §2.3)."""
 
+    win_ms = int(pd.to_timedelta(window).total_seconds() * 1000)
+
     def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # the watermark passed this window's end: no on-time row can
+            # arrive anymore, so evict the state (update mode has already
+            # emitted the window's latest sketch). Without eviction the
+            # state store grows by one window key forever — unbounded on
+            # an unbounded stream.
+            state.remove()
+            return
         if state.exists:
             blob, n = state.get
             sk = Sketch.from_bytes(bytes(blob))
@@ -125,6 +135,9 @@ def windowed_sketch_stream(
         if not (updated or state.exists):
             return  # all rows were late for a window with no prior state
         state.update((sk.to_bytes(), n))
+        end_ms = int(pd.Timestamp(key[0]).value // 10**6) + win_ms
+        # timeout must sit strictly past the current watermark
+        state.setTimeoutTimestamp(max(end_ms, wm_ms + 1))
         yield pd.DataFrame(
             {"window_start": [key[0]], "sketch": [sk.to_bytes()], "n": [n]}
         )
@@ -140,7 +153,7 @@ def windowed_sketch_stream(
         .groupBy("_w")
     )
     return keyed.applyInPandasWithState(
-        fn, _OUT_SCHEMA, _STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        fn, _OUT_SCHEMA, _STATE_SCHEMA, "update", GroupStateTimeout.EventTimeTimeout
     )
 
 

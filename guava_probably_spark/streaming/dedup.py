@@ -48,23 +48,32 @@ def dedup_batch_incremental(
     """Dedup one batch against (and then into) the persisted Bloom state.
 
     Returns the survivors (first occurrence of each new fingerprint, with
-    the helper column removed). The returned frame is materialized (the
-    filter on disk already reflects it). Shared core of the streaming sink
-    and incremental daily-drop batch jobs.
+    the helper column removed). The returned frame reads from a CACHE this
+    function materialized and the caller OWNS: call ``release_batch(out)``
+    when done (the streaming sink does; ``out.unpersist()`` alone would
+    no-op — the cache belongs to the pre-projection plan). Shared core of
+    the streaming sink and incremental daily-drop batch jobs.
     """
     spark = batch_df.sparkSession
     with_fp = batch_df.withColumn("_fp", _fp_col())
+    bc = None
     if os.path.exists(state_path):
         with open(state_path, "rb") as f:
             bloom = Sketch.from_bytes(f.read())
-        from guava_probably_spark.functions import might_contain_udf
+        from guava_probably_spark.functions import might_contain_udf_from_broadcast
 
-        probe = might_contain_udf(spark, bloom.to_bytes())
+        # explicit broadcast handle: unpersisted in the finally, or each
+        # micro-batch pins one more copy of a filter that the docstring
+        # sizes at hundreds of MB on every executor for the query lifetime
+        bc = spark.sparkContext.broadcast(bloom.to_bytes())
+        probe = might_contain_udf_from_broadcast(bc)
         fresh = with_fp.filter(~probe(F.col("_fp")))
     else:
         bloom = SketchSpec("bloom", {"capacity": capacity, "fpp": fpp}).create()
         fresh = with_fp
-    # exact intra-batch dedup: keep the first doc_id per fingerprint
+    # exact intra-batch dedup: keep the first doc_id per fingerprint; CACHE
+    # the survivors so the state fold below and the caller's consumption
+    # share one execution of the probe pipeline
     w = Window.partitionBy("_fp").orderBy("doc_id")
     survivors = (
         fresh.withColumn("_rn", F.row_number().over(w))
@@ -92,11 +101,27 @@ def dedup_batch_incremental(
             with open(tmp, "wb") as f:
                 f.write(bloom.to_bytes())
             os.replace(tmp, state_path)
+        # the collect_sketch above materialized the cache; the returned
+        # projection reads from it without re-running the probe
         out = survivors.drop("_fp")
-        out.count()  # materialize before unpersist
+        out._gps_cached_parent = survivors  # release_batch() unpersists this
         return out
-    finally:
+    except BaseException:
         survivors.unpersist()
+        raise
+    finally:
+        if bc is not None:
+            # executor copies freed; the driver value stays re-fetchable in
+            # case a cache-evicted partition must recompute the probe
+            bc.unpersist()
+
+
+def release_batch(out) -> None:
+    """Unpersist the cache backing a ``dedup_batch_incremental`` result —
+    the cache lives on the pre-projection plan, so ``out.unpersist()``
+    alone would not release it."""
+    cached = getattr(out, "_gps_cached_parent", None)
+    (cached if cached is not None else out).unpersist()
 
 
 def dedup_stream_sink(
@@ -115,8 +140,11 @@ def dedup_stream_sink(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         out = dedup_batch_incremental(batch_df, state_path, capacity, fpp)
-        if on_batch is not None:
-            on_batch(out, batch_id)
+        try:
+            if on_batch is not None:
+                on_batch(out, batch_id)
+        finally:
+            release_batch(out)
 
     return (
         stream_df.writeStream.outputMode("update")

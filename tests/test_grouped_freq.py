@@ -157,3 +157,48 @@ def test_grouped_assume_colocated_zero_shuffle_all_kinds(spark):
             assert {k: v[1] for k, v in a.items()} == {k: v[1] for k, v in b.items()}
         else:
             assert a == b, name
+
+
+def test_grouped_operators_null_key_is_its_own_group(spark):
+    """SQL GROUP BY keeps NULL as a group; the vectorized kernels used to
+    turn the null dictionary index into INT64_MIN (NaN→int64), corrupting
+    key 0's registers in grouped_hll and crashing the bincount kernels."""
+    from guava_probably_spark.operators import grouped_hll
+    from guava_probably_spark.operators.grouped_mode import grouped_mode
+    from guava_probably_spark.operators.grouped_quantiles import grouped_quantiles
+
+    rows = [("a", i % 7) for i in range(100)] + [(None, i % 13) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, v long")
+
+    est = {r.k: r.estimate for r in grouped_hll(df, "k", "v", p=12, output="estimate").collect()}
+    assert set(est) == {"a", None}
+    assert abs(est["a"] - 7) <= 1 and abs(est[None] - 13) <= 1
+
+    gm = {r.k: r.top_value for r in grouped_mode(df, "k", "v").collect()}
+    assert set(gm) == {"a", None}
+    assert gm["a"] == 0 and gm[None] == 0  # smallest max-count value
+
+    gq = {r.k: r.q50 for r in grouped_quantiles(df, "k", "v", [0.5]).collect()}
+    assert set(gq) == {"a", None}
+
+    ck = {r[0]: r for r in grouped_cms(df, "k", "v", epsilon=0.01, delta=0.01).collect()}
+    assert set(ck) == {"a", None}
+    assert ck[None].n == 100
+
+
+def test_grouped_hll_int_column_blob_merges_with_ungrouped(spark):
+    """Funnel byte must track the VALUE column's type: an int column builds
+    FUNNEL_LONG hashes, and the grouped header used to hardcode UTF8 —
+    making grouped and ungrouped blobs of the same data unmergeable."""
+    from guava_probably_spark.operators import collect_sketch, grouped_hll
+    from guava_probably_spark.sketches import SketchSpec
+
+    df = spark.createDataFrame(
+        [("g", i % 50) for i in range(500)], "k string, v long"
+    )
+    grouped_blob = grouped_hll(df, "k", "v", p=12).collect()[0].sketch
+    ungrouped, _, _ = collect_sketch(df, "v", SketchSpec("hll", {"p": 12}))
+    merged = Sketch.from_bytes(bytes(grouped_blob)).merge(ungrouped)
+    assert abs(merged.estimate() - 50) <= 3
+    # and byte-identity holds for the single-group case
+    assert bytes(grouped_blob) == ungrouped.to_bytes()

@@ -479,3 +479,35 @@ def test_cube_sketches_and_sql_setops(spark, lineitem):
             .count()
         )
         assert r.common == float(exact_common), (r.ta, r.tb)
+
+
+def test_build_grouped_cuckoo_overflow_raises_loudly(spark):
+    """build_grouped's output schema has no overflow column, so a group
+    exceeding cuckoo capacity must raise instead of silently dropping
+    elements (silent false negatives)."""
+    df = spark.createDataFrame(
+        [("g", f"v-{i}") for i in range(5_000)], "k string, v string"
+    )
+    spec = SketchSpec("cuckoo", {"capacity": 500, "fpp": 0.01})
+    with pytest.raises(Exception, match="cuckoo capacity overflow"):
+        build_grouped(df, "k", "v", spec).collect()
+
+
+def test_dedup_release_batch_uncaches_parent(spark, tmp_path):
+    """release_batch must free the cache dedup_batch_incremental owns —
+    unpersist() on the returned projection alone is a no-op because the
+    cache lives on the pre-projection plan."""
+    from guava_probably_spark.streaming.dedup import (
+        dedup_batch_incremental,
+        release_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text number {i % 50}") for i in range(200)], "doc_id long, text string"
+    )
+    out = dedup_batch_incremental(df, str(tmp_path / "state.bloom"))
+    parent = out._gps_cached_parent
+    assert parent.storageLevel.useMemory  # cached while the caller consumes
+    assert out.count() == 50
+    release_batch(out)
+    assert not parent.storageLevel.useMemory

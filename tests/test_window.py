@@ -256,3 +256,26 @@ def test_running_distinct_null_before_empty_string(spark):
         .collect()
     )
     assert [r.run_distinct for r in out] == [0, 1, 2, 1, 1]
+
+
+def test_sessionize_subsecond_gap_precision(spark):
+    """Timestamps keep microsecond precision: a whole-second floor made
+    sub-second gaps degenerate (gap < 1s split same-session events in
+    different wall-clock seconds) and boundary calls off by up to ~1 s."""
+    import datetime as dt
+
+    from guava_probably_spark.operators import sessionize
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("u", base + dt.timedelta(milliseconds=ms))
+        for ms in (0, 900, 1800, 5000)  # 0.9s gaps, then a 3.2s gap
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = {r.ts: r.session_id for r in sessionize(df, "k", "ts", gap="1 second").collect()}
+    sids = [out[base + dt.timedelta(milliseconds=ms)] for ms in (0, 900, 1800, 5000)]
+    # 0.9s <= 1s keeps the first three together; 3.2s starts session 1
+    assert sids == [0, 0, 0, 1]
+    out2 = sessionize(df, "k", "ts", gap="500 milliseconds")
+    sids2 = [r.session_id for r in out2.orderBy("ts").collect()]
+    assert sids2 == [0, 1, 2, 3]  # every 0.9s gap exceeds 500ms
