@@ -31,8 +31,8 @@ from guava_probably_spark.operators import (
 from guava_probably_spark.sketches import Sketch, SketchSpec
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+# single definition of the table-loading convention (path layout, naming)
+from guava_probably_spark.pipeline.contract import _t  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -46,7 +46,11 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     events = _t(spark, sf_dir, "events")
     hll, n, _ = collect_sketch(events, "user_id", SketchSpec("hll", {"p": 14}))
-    exact = events.select(F.countDistinct("user_id").alias("c")).collect()[0].c
+    # max(exact, 1): an empty/all-null table must yield within=False rows,
+    # not a ZeroDivisionError on the driver (same guard as _hll_distinct)
+    exact = max(
+        events.select(F.countDistinct("user_id").alias("c")).collect()[0].c, 1
+    )
     bloom, _, _ = collect_sketch(
         events, "event_id", SketchSpec("bloom", {"capacity": max(n, 1), "fpp": 0.01})
     )
@@ -97,6 +101,7 @@ def _membership(kind: str, name: str):
         fn_count = events.filter(~probe(F.col("event_id"))).count()
         # guaranteed non-members: ids beyond the max (testdata ids are small)
         max_id = events.select(F.max("event_id").alias("m")).collect()[0].m
+        max_id = 0 if max_id is None else max_id  # empty table guard
         non = spark.range(max_id + 1, max_id + 1 + 5000).withColumnRenamed("id", "event_id")
         fp_rate = non.filter(probe(F.col("event_id"))).count() / 5000.0
         sigma = (0.01 * 0.99 / 5000.0) ** 0.5

@@ -58,6 +58,7 @@ from guava_probably_spark.pipeline.multimodal import (
 )
 from guava_probably_spark.pipeline.ivf import assign_lists, ivf_topk, train_codebook
 from guava_probably_spark.pipeline.similarity import (
+    cosine_drop_stats,
     cosine_neardup_pairs,
     cosine_topk,
     hyperplane_signatures,
@@ -105,6 +106,7 @@ __all__ = [
     "assign_lists",
     "ivf_topk",
     "train_codebook",
+    "cosine_drop_stats",
     "cosine_neardup_pairs",
     "cosine_topk",
     "hyperplane_signatures",

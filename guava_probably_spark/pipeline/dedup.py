@@ -228,7 +228,18 @@ def _sig_matrix_from_batch(
         counts = np.diff(base)
         tail = np.concatenate([base[1:] - 2, base[1:] - 1])
         tail = tail[(tail >= 0) & (tail < len(sh))]
-        doc_starts = np.minimum(base[:-1], len(sh) - 1)
+        # segment only docs that own at least one flat-array position below
+        # len(sh): clamping out-of-range starts instead (the old approach)
+        # TRUNCATED the preceding doc's segment when a trailing empty doc's
+        # start hit the clamp, so its signature depended on batch layout —
+        # nondeterministically missed near-dup pairs. Valid starts are
+        # strictly increasing (each valid doc owns >=1 token position), and
+        # the zapped tail positions are min-identity so full doc boundaries
+        # work as reduceat bounds. Docs with <3 tokens stay at the identity
+        # and are masked by `has` below.
+        valid = (counts > 0) & (base[:-1] < len(sh))
+        starts_v = base[:-1][valid]
+        nv = int(valid.sum())
         mins = np.empty((n_docs, num_hashes), dtype=np.int64)
         # chunk the permutation dimension AND reuse one scratch buffer via
         # out= for every chunk: fresh (16, n_sh) temporaries per chunk are
@@ -250,8 +261,8 @@ def _sig_matrix_from_batch(
                 np.multiply(a[c0:c1, None], sh[None, :], out=hv[:k])
                 np.add(hv[:k], b[c0:c1, None], out=hv[:k])
                 hv[:k, tail] = np.uint64(0xFFFFFFFFFFFFFFFF)
-                np.minimum.reduceat(hv[:k], doc_starts, axis=1, out=mchunk[:k])
-                mins[:, c0:c1] = mchunk[:k].T.view(np.int64)
+                np.minimum.reduceat(hv[:k], starts_v, axis=1, out=mchunk[:k, :nv])
+                mins[valid, c0:c1] = mchunk[:k, :nv].T.view(np.int64)
         has = counts >= 3
         sigs[has] = mins[has]
     return ids, sigs
@@ -325,6 +336,7 @@ def lsh_candidate_pairs(
     bands: int = DEFAULT_BANDS,
     max_bucket: int = 1000,
     observation=None,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a, b), a < b, sharing at least one LSH band.
 
@@ -335,13 +347,24 @@ def lsh_candidate_pairs(
     the dropped bucket/member counts; see ``banding_drop_stats`` for why
     that is a separate cheap pass rather than a same-action Observation).
     """
-    exploded = _band_rows(signatures, bands)
+    exploded = _band_rows(signatures, bands, num_hashes)
     return pairs_from_band_rows(exploded, max_bucket, observation)
 
 
-def _band_rows(signatures: DataFrame, bands: int) -> DataFrame:
-    """(id, bk) band rows for the array-signature path."""
-    n = signatures.select(F.size("sig").alias("s")).first().s
+def _band_rows(
+    signatures: DataFrame, bands: int, num_hashes: int | None = None
+) -> DataFrame:
+    """(id, bk) band rows for the array-signature path.
+
+    Pass ``num_hashes`` (the signature length — every call site knows it):
+    probing it from the data is a full Spark ACTION that evaluates the
+    whole uncached shingle+minhash pipeline once just to read an array
+    length, doubling the most expensive stage of the job."""
+    n = (
+        num_hashes
+        if num_hashes is not None
+        else signatures.select(F.size("sig").alias("s")).first().s
+    )
     r = n // bands
     # packed numeric band key (band_idx << 32 | band_hash): a 12.8M-row
     # shuffle of 8-byte longs instead of ~20-byte strings
@@ -377,10 +400,13 @@ def banding_drop_stats(band_rows: DataFrame, max_bucket: int = 1000) -> DataFram
 
 
 def lsh_drop_stats(
-    signatures: DataFrame, bands: int = DEFAULT_BANDS, max_bucket: int = 1000
+    signatures: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 1000,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Skew-cap drop audit for ``lsh_candidate_pairs`` (same banding)."""
-    return banding_drop_stats(_band_rows(signatures, bands), max_bucket)
+    return banding_drop_stats(_band_rows(signatures, bands, num_hashes), max_bucket)
 
 
 def _observe_bucket_drops(buckets: DataFrame, max_bucket: int, observation):
@@ -474,7 +500,9 @@ def neardup_pairs_minhash(
     ``observation`` surfaces skew-cap drops (see ``lsh_candidate_pairs``)."""
     sh = shingle_df(df, id_col, text_col)
     sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands, observation=observation)
+    cand = lsh_candidate_pairs(
+        sig, bands, observation=observation, num_hashes=num_hashes
+    )
     verified = exact_jaccard_pairs(sh, cand)
     return verified.filter(F.col("inter") * (1.0 / threshold) >= F.col("uni"))
 
@@ -554,10 +582,19 @@ def fast_simhash(texts) -> np.ndarray:
     # 64 one-dimensional segmented sums; NOTE np.add.reduceat on a 2-D
     # (n_tokens, 64) bit matrix measured 128 s vs 9 s for this loop — the
     # 2-D reduceat path has terrible locality, don't "optimize" back to it
-    doc_starts = np.minimum(list_off[:-1] - list_off[0], len(h) - 1)
+    # segment sums via cumsum differences, NOT reduceat: clamping a trailing
+    # empty doc's out-of-range start (the old workaround for reduceat's
+    # index bound) truncated the PRECEDING doc's segment, leaking its last
+    # token's bits into the empty doc — the same text then simhashed
+    # differently depending on batch co-location. csum[end]-csum[start] is
+    # exact for empty segments (0) with no index restrictions.
+    starts = list_off[:-1] - list_off[0]
+    ends = list_off[1:] - list_off[0]
     pop = np.empty((64, n_docs), dtype=np.uint64)
     one = np.uint64(1)
     bits = np.empty_like(h)
+    csum = np.empty(len(h) + 1, dtype=np.uint64)
+    csum[0] = 0
     for bit in range(64):
         # stay in uint64 end-to-end (the int64 astype per bit measured 16 s
         # across the loop) and reuse one scratch buffer via out= (fresh
@@ -565,7 +602,8 @@ def fast_simhash(texts) -> np.ndarray:
         # contention across 32 concurrent workers; see _sig_matrix_from_batch)
         np.right_shift(h, np.uint64(bit), out=bits)
         np.bitwise_and(bits, one, out=bits)
-        np.add.reduceat(bits, doc_starts, out=pop[bit])
+        np.cumsum(bits, out=csum[1:])
+        np.subtract(csum[ends], csum[starts], out=pop[bit])
     pop_i = pop.astype(np.int64)
     pop_i[:, counts == 0] = 0
     # bit set iff popcount*2 > token_count  (sum of ±1 contributions > 0)
@@ -639,7 +677,10 @@ def simhash_near_pairs(
     sim: DataFrame, max_hamming: int = 3, max_bucket: int = 4096, observation=None
 ) -> DataFrame:
     """(a, b, hamming) pairs with Hamming distance ≤ max_hamming between
-    64-bit simhashes, via 4×16-bit band blocking.
+    64-bit simhashes, via 4×16-bit band blocking. max_hamming is capped at
+    3: the pigeonhole recall-1 argument needs distance < number of bands,
+    and accepting a larger value would silently return a SUBSET of the
+    requested pairs (a distance-4 pair can differ in all 4 quarters).
 
     Pigeonhole: distance ≤ 3 ⇒ at least one of the 4 16-bit quarters is
     identical, so banding on quarters has recall 1 — no full cross join.
@@ -657,6 +698,11 @@ def simhash_near_pairs(
     are) or raise the cap. (``observation`` attaches a same-action
     Observe as well — see ``banding_drop_stats`` for the AQE caveat.)
     """
+    if not (0 <= max_hamming <= 3):
+        raise ValueError(
+            f"max_hamming={max_hamming} not supported: 4-quarter banding "
+            "guarantees recall only for hamming <= 3"
+        )
     exploded = sim.select(
         "id", "simhash", F.explode(F.expr(_SIMHASH_QUARTERS_SQL)).alias("qk")
     )

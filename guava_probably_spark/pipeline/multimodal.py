@@ -140,7 +140,17 @@ def extract_binary_features(payloads: DataFrame) -> DataFrame:
             raw = pdf["payload"]
             n_bytes = raw.str.len().astype("int64")
             header_ok = raw.apply(lambda b: bytes(b[:4]) == _MAGIC)
-            first = raw.apply(lambda b: int(b[4]) if len(b) > 4 else -1).astype("int64")
+
+            def _first_codepoint(b) -> int:
+                # first CHARACTER's codepoint, not the first UTF-8 byte:
+                # the oracle (and any text-side consumer) sees codepoints,
+                # and for a multi-byte leading char the raw byte (0xC3 for
+                # 'é') diverges from the codepoint (233). 0 for empty,
+                # matching ascii('') in both SQL dialects.
+                body = bytes(b[4:8]).decode("utf-8", errors="ignore")
+                return ord(body[0]) if body else 0
+
+            first = raw.apply(_first_codepoint).astype("int64")
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].astype("int64"),

@@ -116,6 +116,23 @@ def hyperplane_signatures(
     return emb.select(F.col(id_col).cast("long"), vec_col).mapInArrow(sig, out_schema)
 
 
+def cosine_drop_stats(
+    emb: DataFrame,
+    n_planes: int = 16,
+    max_bucket: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Skew-cap drop audit for ``cosine_neardup_pairs``: one-row
+    (dropped_buckets, dropped_members) over the same hyperplane buckets —
+    counts-only pass (no members arrays), same contract as
+    ``dedup.banding_drop_stats``."""
+    from .dedup import banding_drop_stats
+
+    rows = hyperplane_signatures(emb, n_planes, id_col=id_col, vec_col=vec_col)
+    return banding_drop_stats(rows.withColumnRenamed("bucket", "bk"), max_bucket)
+
+
 def cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -128,8 +145,13 @@ def cosine_neardup_pairs(
 
     LSH-bucketed candidate generation + exact float64 cosine verification.
     For exact/jittered copies (the near-dup case) sign patterns coincide,
-    so recall is 1.0; for borderline pairs at the threshold the miss
-    probability is the usual (1 − θ/π)^planes hyperplane bound.
+    so recall is 1.0 WITHIN buckets of size ≤ ``max_bucket``; over-cap
+    buckets (duplicate storms) are dropped — never silently: action
+    ``cosine_drop_stats(emb, n_planes, max_bucket)`` (same signatures) to
+    audit the dropped bucket/member counts, and route a storm through
+    exact dedup on the raw vector bytes first or raise the cap. Borderline
+    pairs at the threshold miss with the usual (1 − θ/π)^planes
+    hyperplane probability.
     """
     sigs = hyperplane_signatures(emb, n_planes, id_col=id_col, vec_col=vec_col)
     vecs = emb.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))

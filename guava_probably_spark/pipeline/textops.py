@@ -171,6 +171,9 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 100, mg_k: int = 4096):
         .limit(k)
     )
     rows = exact.collect()
-    kth = rows[-1].cnt if len(rows) == min(k, len(rows)) and rows else 0
-    guaranteed = bool(rows) and kth > sk.error_bound()
+    # the certificate is only valid when the candidate set yielded a FULL
+    # top-k: with fewer than k candidates the true top-k provably extends
+    # past them (len==min(k,len) was vacuously true and over-certified)
+    kth = rows[-1].cnt if len(rows) == k else 0
+    guaranteed = len(rows) == k and kth > sk.error_bound()
     return spark.createDataFrame(rows, "word string, cnt long"), guaranteed

@@ -104,6 +104,14 @@ def main() -> None:
             status["output"] = args.output
         status["groups"] = out.count()
     elif args.checkpoint:
+        if args.format == "iceberg":
+            # the checkpoint path lists raw parquet part files; globbing an
+            # Iceberg warehouse dir would read stale/duplicate data files
+            # from old snapshots with no error
+            raise ValueError(
+                "--checkpoint requires parquet input (per-file lineage); "
+                "--format iceberg is not supported on this path"
+            )
         sk, stats = build_with_checkpoint(
             spark, args.input, args.col, spec, args.checkpoint
         )

@@ -703,3 +703,50 @@ def test_multimodal_mixed_payload_schema_and_feature_stages(spark):
         assert nf == 4
         assert px == sum(int(resize_image(f, 8, 8).astype(np.int64).sum()) for f in frames)
     assert set(aud) and set(vid)
+
+
+def test_fast_simhash_batch_layout_invariant():
+    """A doc's simhash must not depend on its neighbors: the old reduceat
+    clamp leaked the last token's bits into a trailing empty doc's segment,
+    so the SAME text fingerprinted differently across batch layouts."""
+    from guava_probably_spark.pipeline.dedup import fast_simhash
+
+    text = "alpha beta gamma delta epsilon"
+    alone = fast_simhash([text])[0]
+    with_trailing_empty = fast_simhash([text, ""])[0]
+    with_trailing_none = fast_simhash([text, None])[0]
+    sandwiched = fast_simhash(["", text, ""])[1]
+    assert alone == with_trailing_empty == with_trailing_none == sandwiched
+    # a null doc has zero tokens → zero set bits (an empty STRING tokenizes
+    # to one empty token, so it gets that token's fixed, deterministic hash)
+    assert fast_simhash([text, None])[1] == 0
+
+
+def test_minhash_signature_batch_layout_invariant():
+    """Same for MinHash: a trailing zero-token doc used to truncate the
+    preceding doc's segmented min (its last trigram's hash was excluded),
+    producing layout-dependent signatures and missed candidate pairs."""
+    import pyarrow as pa
+
+    from guava_probably_spark.pipeline.dedup import (
+        _perm_params,
+        _sig_matrix_from_batch,
+    )
+
+    a, b = _perm_params(16)
+    text = "one two three four five"
+
+    def sig(texts, ids):
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(texts, pa.string())],
+            names=["id", "text"],
+        )
+        out_ids, sigs = _sig_matrix_from_batch(batch, a, b, 16)
+        return dict(zip(out_ids.tolist(), [tuple(r) for r in sigs.tolist()]))
+
+    alone = sig([text], [1])[1]
+    assert sig([text, None], [1, 2])[1] == alone
+    assert sig([text, ""], [1, 2])[1] == alone
+    assert sig(["", text, "x y"], [0, 1, 2])[1] == alone
+    # a doc with <3 tokens has no trigrams: identity signature
+    assert all(v == 2**63 - 1 for v in sig([text, "x y"], [1, 2])[2])
