@@ -125,3 +125,54 @@ def test_sample_rank_expr_rejects_injection_salt():
     for bad in ("a'b", 'x"y', "nul\x00", "semi;--"):
         with pytest.raises(ValueError):
             sample_rank_expr(["x"], "duck", salt=bad)
+
+
+_WORDS = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=0, max_size=12
+)
+_DOC = st.one_of(st.none(), _WORDS.map(" ".join))
+
+
+@settings(max_examples=150, deadline=None)
+@given(docs=st.lists(_DOC, min_size=1, max_size=8), data=st.data())
+def test_fingerprints_are_batch_layout_invariant(docs, data):
+    """A doc's simhash and minhash signature depend ONLY on its text, never
+    on its batch neighbors (regression: a trailing empty doc's clamped
+    segment start truncated the preceding doc's segment)."""
+    import pyarrow as pa
+
+    from guava_probably_spark.pipeline.dedup import (
+        _perm_params,
+        _sig_matrix_from_batch,
+        fast_simhash,
+    )
+
+    # per-doc reference computed in singleton batches
+    ref_sim = {i: fast_simhash([d])[0] for i, d in enumerate(docs)}
+    a, b = _perm_params(8)
+
+    def sigs_of(texts, ids):
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(texts, pa.string())],
+            names=["id", "text"],
+        )
+        out_ids, m = _sig_matrix_from_batch(batch, a, b, 8)
+        return dict(zip(out_ids.tolist(), [tuple(r) for r in m.tolist()]))
+
+    ref_min = {
+        i: sigs_of([d], [i])[i] for i, d in enumerate(docs) if d is not None
+    }
+
+    # a random permutation of the whole set as ONE batch must reproduce
+    # every singleton result
+    perm = data.draw(st.permutations(range(len(docs))))
+    batch_docs = [docs[i] for i in perm]
+    got_sim = fast_simhash(batch_docs)
+    for pos, i in enumerate(perm):
+        assert got_sim[pos] == ref_sim[i], (i, docs[i])
+    ids = [i for i in perm if docs[i] is not None]
+    texts = [docs[i] for i in perm if docs[i] is not None]
+    if ids:
+        got_min = sigs_of(texts, ids)
+        for i in ids:
+            assert got_min[i] == ref_min[i], (i, docs[i])
