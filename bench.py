@@ -18,7 +18,6 @@ from __future__ import annotations
 import json
 import math
 import os
-import shutil
 import sys
 import time
 
@@ -115,10 +114,15 @@ def docs_path(sf_dir: str, copies: int = 80) -> str:
         # reps 0-1 keep the original text: each source doc plants one true
         # exact-dup pair so the near-dup query has real positives to find
         # (5k planted pairs among 400k docs ≈ a realistic dup rate)
+        # seed = doc_id * copies + rep (NOT a stale constant): a constant
+        # multiplier below `copies` collides (doc d, rep r) with
+        # (doc d+1, rep r-const), giving different docs identical word
+        # rewrites — cross-copy Jaccard stops being ~0 and the dedup
+        # benchmarks degenerate into the all-near-dups pathology
         shuffled = F.expr(
             "CASE WHEN rep <= 1 THEN text ELSE "
             "concat_ws(' ', transform(split(text, ' '), "
-            "w -> concat(w, '_', pmod(xxhash64(w, doc_id * 80 + rep), 997)))) END"
+            f"w -> concat(w, '_', pmod(xxhash64(w, doc_id * {copies} + rep), 997)))) END"
         )
         (
             docs.crossJoin(reps)
@@ -137,7 +141,7 @@ def docs_path(sf_dir: str, copies: int = 80) -> str:
 
 def emb_path(rows: int = 500_000, dim: int = 128) -> str:
     """Synthetic embeddings: deterministic per-id gaussian vectors."""
-    path = os.path.join(TMP, f"embeddings_{rows}x{dim}.parquet")
+    path = os.path.join(TMP, f"embeddings_v2_{rows}x{dim}.parquet")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     os.makedirs(TMP, exist_ok=True)
@@ -147,12 +151,29 @@ def emb_path(rows: int = 500_000, dim: int = 128) -> str:
         import pyarrow as pa
 
         def gen(batches):
+            from guava_probably_spark.sketches.hashing import _fmix64
+
+            TWO_PI = 2.0 * np.pi
+
+            def u01(x):  # fmix64 → (0, 1), never exactly 0
+                return (x.astype(np.float64) + 1.0) / 18446744073709551616.0
+
             for batch in batches:
                 ids = batch.column(0).to_numpy()
                 if len(ids) == 0:
                     continue
-                rng = np.random.default_rng(int(ids[0]) + 1)
-                m = rng.standard_normal((len(ids), dim)).astype(np.float32)
+                # counter-based per-(id, j) gaussians via fmix64 + Box-
+                # Muller: a per-BATCH rng seed made the vectors depend on
+                # arrow batch size/partitioning, contradicting both the
+                # "deterministic per-id" contract and the rows×dim cache key
+                base = ids.astype(np.uint64)[:, None] * np.uint64(2 * dim)
+                j2 = np.arange(dim, dtype=np.uint64)[None, :] * np.uint64(2)
+                with np.errstate(over="ignore"):
+                    u1 = u01(_fmix64(base + j2 + np.uint64(1)))
+                    u2 = u01(_fmix64(base + j2 + np.uint64(2)))
+                m = (np.sqrt(-2.0 * np.log(u1)) * np.cos(TWO_PI * u2)).astype(
+                    np.float32
+                )
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(ids), pa.array(m.tolist(), type=pa.list_(pa.float32()))],
                     names=["vec_id", "embedding"],
@@ -199,7 +220,7 @@ def transcripts_job_jvmscan(spark, path: str):
     return collect_sketches_multi(spark.read.parquet(path), _targets())
 
 
-def run_queries(spark, sf_dir: str, t_path: str, d_path: str, e_path: str) -> tuple[dict, dict]:
+def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
     import pyspark.sql.functions as F
 
     from guava_probably_spark.functions import might_contain_udf
@@ -566,7 +587,7 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
     return timings, extras
 
 
-def run_accuracy(spark, t_path: str, rows: int) -> dict:
+def run_accuracy(spark, t_path: str) -> dict:
     """Observed error vs published bound for every sketch family, at bench
     scale (the BASELINE.json metric's 'observed-vs-bound FPP/error' clause).
 
@@ -627,8 +648,10 @@ def run_accuracy(spark, t_path: str, rows: int) -> dict:
             "overflow": built[name][2],
             # expected_fpp is the fill-level estimate; configured fpp is the
             # design point at full capacity — observed must sit within noise
-            # of expected and below configured (filter is only half full)
-            "ok": bool(fn == 0 and obs <= max(fpp, 1.5 * exp + 1e-4)),
+            # of expected AND below configured (the old max() let a 22×
+            # regression of observed-vs-expected pass as long as it stayed
+            # under the design point)
+            "ok": bool(fn == 0 and obs <= 1.5 * exp + 1e-4 and obs <= fpp),
         }
 
     # -- frequency: CMS never under, over <= eps*N w.p. 1-delta; MG never
@@ -679,13 +702,13 @@ def run_accuracy(spark, t_path: str, rows: int) -> dict:
 def main() -> None:
     sf = _sf()
     rows = max(200_000, int(80_000_000 * sf))
-    t_path = transcripts_path(rows)
 
     if "--accuracy" in sys.argv:
+        t_path = transcripts_path(rows)
         spark = make_session(CPUS)
         try:
             t0 = time.monotonic()
-            acc = run_accuracy(spark, t_path, rows)
+            acc = run_accuracy(spark, t_path)
             dt = time.monotonic() - t0
         finally:
             spark.stop()
@@ -726,7 +749,9 @@ def main() -> None:
     if "--scaling" in sys.argv:
         # larger input for the scaling protocol: fixed per-job overhead
         # (driver merge, stage scheduling) must amortize so the measurement
-        # reflects the distributed fraction
+        # reflects the distributed fraction. (t_path is built HERE, inside
+        # the mode branch — building the default-size table before dispatch
+        # wasted minutes + GBs that --scaling never reads.)
         rows = max(rows, 48_000_000)
         t_path = transcripts_path(rows)
 
@@ -802,11 +827,12 @@ def main() -> None:
         }))
         return
 
+    t_path = transcripts_path(rows)
     d_path = docs_path(SF_DIR)
     e_path = emb_path()
     spark = make_session(CPUS)
     try:
-        timings, extras = run_queries(spark, SF_DIR, t_path, d_path, e_path)
+        timings, extras = run_queries(spark, SF_DIR, t_path)
     finally:
         spark.stop()
     spark = make_session(CPUS)

@@ -19,8 +19,12 @@ def optimized_plan(df: DataFrame) -> str:
 
 
 def assert_no_exchange_before_python(df: DataFrame) -> None:
-    """Assert no Exchange (shuffle) sits below the first Python stage —
-    i.e. raw rows flow scan → project → MapInArrow without shuffling."""
+    """Assert no raw-row Exchange (shuffle) sits below the deepest Python
+    stage — i.e. raw rows flow scan → project → MapInArrow without
+    shuffling. Broadcast/Reused exchanges are NOT raw-row shuffles and are
+    allowed. Text-anchored on the LAST Python node, so this guard assumes a
+    single-branch build plan (every build_partials plan is one); a
+    multi-branch join plan needs per-branch assertion."""
     plan = physical_plan(df)
     lines = plan.splitlines()
     python_idx = None
@@ -29,11 +33,11 @@ def assert_no_exchange_before_python(df: DataFrame) -> None:
             python_idx = i  # deepest python node = last in top-down printout
     if python_idx is None:
         raise AssertionError(f"no Python stage found in plan:\n{plan}")
-    below = "\n".join(lines[python_idx:])
-    if "Exchange" in below:
-        raise AssertionError(
-            f"raw-row shuffle detected below the Python build stage:\n{plan}"
-        )
+    for line in lines[python_idx:]:
+        if "Exchange" in line and "BroadcastExchange" not in line and "ReusedExchange" not in line:
+            raise AssertionError(
+                f"raw-row shuffle detected below the Python build stage:\n{plan}"
+            )
 
 
 def scan_read_schema(df: DataFrame) -> str:

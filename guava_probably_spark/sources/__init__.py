@@ -33,6 +33,10 @@ def load_transcripts(
     if fmt == "iceberg":
         # production path (requires the Iceberg runtime on the cluster)
         return spark.read.format("iceberg").load(table or path)
+    if fmt != "parquet":
+        # a typo ('Iceberg', 'icberg') must not silently read the path as
+        # parquet — that reads the wrong bytes with no error
+        raise ValueError(f"unknown transcripts format {fmt!r}; use 'parquet' or 'iceberg'")
     return spark.read.parquet(path)
 
 

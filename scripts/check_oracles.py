@@ -18,14 +18,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+from guava_probably_spark.sources import TESTDATA_TABLES as TABLES  # noqa: E402
 
 
 def _canon(v):
     if isinstance(v, float):
-        return round(v, 9)
+        # 9 SIGNIFICANT digits, not 9 decimals: parallel-vs-sequential
+        # summation order legitimately differs at ~1e-15 relative, which an
+        # absolute round cannot absorb on large-magnitude aggregates
+        return float(f"{v:.9g}")
     if isinstance(v, list):
         return tuple(_canon(x) for x in v)
     return v
@@ -33,7 +34,12 @@ def _canon(v):
 
 def _rows(cols, data):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in order) for r in data)
+    # sort by repr: ANY total order works (both sides get the same
+    # treatment), and repr never raises on None-vs-value comparisons the
+    # way tuple ordering does on nullable columns
+    return sorted(
+        (tuple(_canon(r[i]) for i in order) for r in data), key=repr
+    )
 
 
 def main() -> int:
