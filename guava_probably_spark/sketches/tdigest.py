@@ -101,11 +101,19 @@ class TDigestSketch(Sketch):
 
     # --------------------------------------------------------------- merge
     def merge(self, other: "TDigestSketch") -> "TDigestSketch":
+        """Merge other into self WITHOUT mutating other (a broadcast/shared
+        digest must not have its buffer flushed as a merge side effect):
+        other's buffered raw values fold in as weight-1 centroids."""
         self._check_compatible(other)
-        other._compress()
         self._compress()
-        self.means = np.concatenate([self.means, other.means])
-        self.weights = np.concatenate([self.weights, other.weights])
+        obuf = (
+            [np.concatenate(other._buf)] if other._buf else []
+        )
+        self.means = np.concatenate([self.means, other.means] + obuf)
+        self.weights = np.concatenate(
+            [self.weights, other.weights]
+            + ([np.ones(len(obuf[0]), dtype=np.float64)] if obuf else [])
+        )
         self._compressed = False
         self.n += other.n
         self.vmin = min(self.vmin, other.vmin)

@@ -284,3 +284,19 @@ def test_tdigest_read_paths_do_not_mutate_state():
     assert np.array_equal(q1, sk.quantile(np.arange(0.1, 1.0, 0.1)))
     assert sk.to_bytes() == blob1
     assert sk.centroid_count() == nc1
+
+
+def test_tdigest_merge_does_not_mutate_other():
+    """merge(other) must not flush other's buffer (a broadcast/shared
+    digest would silently change state as a merge side effect)."""
+    a = SketchSpec("tdigest", {"delta": 100.0}).create()
+    b = SketchSpec("tdigest", {"delta": 100.0}).create()
+    a.update(np.arange(1000, dtype=np.float64))
+    b.update(np.arange(1000, 2000, dtype=np.float64))
+    buf_before = sum(len(x) for x in b._buf)
+    assert buf_before > 0  # b still holds buffered raw values
+    a.merge(b)
+    assert sum(len(x) for x in b._buf) == buf_before  # untouched
+    # the merge still folded b's buffered values in
+    assert a.n == 2000
+    assert abs(a.quantile(0.5) - 1000) < 100
