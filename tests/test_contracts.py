@@ -230,7 +230,7 @@ def test_empty_and_all_null_updates_noop(spec):
     sk2 = spec.create()
     assert blob == sk2.to_bytes()  # still empty
     if hasattr(sk, "put_all"):
-        assert sk.put_all([]) in (True, None) or sk.put_all([]) == True  # noqa: E712
+        assert sk.put_all([]) in (True, None)
     if hasattr(sk, "might_contain_batch"):
         assert len(sk.might_contain_batch([])) == 0
 
