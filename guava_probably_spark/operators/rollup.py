@@ -116,3 +116,56 @@ def rollup_sketches(grouped: DataFrame, keys: list[str], dedup: bool = True) -> 
     for lvl in levels[1:]:
         out = out.unionByName(lvl)
     return out
+
+
+def rolling_merge(
+    grouped: DataFrame,
+    order_col: str,
+    window: int,
+    partition_cols: list[str] | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Sliding-window sketch merge over an ordered sketch table: the row at
+    order value d carries the merge of the last ``window`` rows' sketches —
+    e.g. 7-day actives from a daily HLL table, with NO rescan of the raw
+    events (the canonical payoff of mergeable sketches: the 100 TB scan
+    happened once when the daily table was built; every rolling window is a
+    ≤``window``-blob merge).
+
+    Input columns: (*partition_cols, order_col, sketch, n). Output adds
+    ``window_sketch`` (merged blob) and ``window_n`` (summed raw count).
+    Scale: the window function shuffles one KB-blob row per (partition,
+    order) — a daily table is tiny regardless of the raw-data scale; a hot
+    partition holds |distinct order values| rows, not raw rows. ``dedup``
+    follows the cuckoo build semantics (irrelevant for other kinds).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import BinaryType
+    from pyspark.sql.functions import pandas_udf
+
+    from .build import fold_sketch_rows
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    @pandas_udf(BinaryType())
+    def merge_blobs(lists):
+        import pandas as pd
+
+        out = []
+        for blobs in lists:
+            acc, _, _ = fold_sketch_rows(
+                ((bytes(b), 0, 0) for b in blobs if b is not None), dedup=dedup
+            )
+            out.append(acc.to_bytes() if acc is not None else None)
+        return pd.Series(out)
+
+    parts = partition_cols or []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    return grouped.withColumn(
+        "window_sketch", merge_blobs(F.collect_list("sketch").over(w))
+    ).withColumn("window_n", F.sum("n").over(w))

@@ -511,3 +511,39 @@ def test_dedup_release_batch_uncaches_parent(spark, tmp_path):
     assert out.count() == 50
     release_batch(out)
     assert not parent.storageLevel.useMemory
+
+
+def test_rolling_merge_weekly_actives_from_daily_sketches(spark, events):
+    """7-day rolling distinct users from a DAILY HLL table — the canonical
+    mergeable-sketch payoff: no rescan, each window is a <=7-blob merge.
+    Checked against exact rolling COUNT(DISTINCT) per window."""
+    from guava_probably_spark.operators import rolling_merge
+
+    daily_events = events.withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    daily = build_grouped(
+        daily_events, "day", "user_id", SketchSpec("hll", {"p": 14}), salt=2
+    )
+    rolled = rolling_merge(daily, "day", window=7)
+    est = {
+        r.day: r.est
+        for r in rolled.select(
+            "day", hll_cardinality()("window_sketch").alias("est"), "window_n"
+        ).collect()
+    }
+    days = sorted(est)
+    rows = daily_events.select("day", "user_id").distinct().collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r.day, set()).add(r.user_id)
+    bound = 3 * 1.04 / (2**14) ** 0.5
+    assert len(days) >= 3, "fixture needs multiple days"
+    for i, d in enumerate(days):
+        exact = len(set().union(*(by_day[x] for x in days[max(0, i - 6) : i + 1])))
+        assert abs(est[d] - exact) <= max(bound * exact, 3.0), (d, est[d], exact)
+    # window_n sums the raw counts
+    n_by_day = {r.day: r.n for r in daily.collect()}
+    got_n = {r.day: r.window_n for r in rolled.select("day", "window_n").collect()}
+    for i, d in enumerate(days):
+        assert got_n[d] == sum(n_by_day[x] for x in days[max(0, i - 6) : i + 1])
