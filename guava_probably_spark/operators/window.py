@@ -83,6 +83,8 @@ def _kernel(p: int, n_carry: int):
         carry_arrs = arrs[2 : 2 + n_carry]
         val = arrs[-1]
         n = len(key_arr)
+        if n == 0:
+            return  # an empty arrow batch (not just an empty iterator)
 
         # --- segments: rows arrive sorted by (key, order); boundary = key change
         # null-safe encode: a null key's NaN index would make every
@@ -104,9 +106,14 @@ def _kernel(p: int, n_carry: int):
         valid = None
         if val.null_count:
             valid = val.is_valid().to_numpy(zero_copy_only=False)
-            val = val.fill_null(
-                "" if pa.types.is_string(val.type) or pa.types.is_large_string(val.type) else 0
-            )  # filled copy feeds ONLY the hash kernel (rho zeroed below)
+            if pa.types.is_string(val.type) or pa.types.is_large_string(val.type):
+                fill = ""
+            elif pa.types.is_binary(val.type) or pa.types.is_large_binary(val.type):
+                fill = b""  # 0 is not a valid binary fill and raised in-kernel
+            else:
+                fill = 0
+            val = val.fill_null(fill)  # filled copy feeds ONLY the hash
+            # kernel (rho zeroed below)
         enc = val.dictionary_encode()
         vcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         combo = seg * np.int64(len(enc.dictionary)) + vcode
@@ -175,7 +182,16 @@ def running_distinct(
     """Per-(key, order-prefix) running distinct count of `col`: exact
     (`run_distinct`) + merge-prefix HLL estimate (`estimate`). Extra `carry`
     columns pass through untouched. One shuffle, one sorted vectorized pass."""
+    if not 4 <= p <= 18:
+        # p=64 would silently corrupt the (seg, reg) composite keys (shift
+        # 0, registers from full wrapped hashes); match HllSketch's bound
+        raise ValueError("precision p must be in [4, 18]")
     carry = [c for c in carry if c not in (key, order)]
+    for c in carry:
+        if c in ("run_distinct", "estimate"):
+            raise ValueError(
+                f"carry column {c!r} collides with an output column name"
+            )
     spark = df.sparkSession
     parts = partitions or spark.sparkContext.defaultParallelism * 2
     narrow = df.select(key, order, *carry, col)

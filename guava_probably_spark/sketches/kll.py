@@ -136,15 +136,19 @@ class KllSketch(Sketch):
         out = x[idx]
         return float(out[0]) if scalar else out
 
-    def rank(self, values) -> np.ndarray:
-        """Normalized rank estimate(s): fraction of mass strictly below x."""
+    def rank(self, values) -> np.ndarray | float:
+        """Normalized rank estimate(s): fraction of mass strictly below x.
+        Scalar in → float out (mirroring quantile()); array in → ndarray."""
+        scalar = np.isscalar(values)
         x, w = self._weighted_items()
         v = np.atleast_1d(np.asarray(values, dtype=np.float64))
         if len(x) == 0:
-            return np.zeros(len(v))
+            out = np.zeros(len(v))
+            return float(out[0]) if scalar else out
         cum = np.concatenate([[0.0], np.cumsum(w)])
         pos = np.searchsorted(x, v, side="left")
-        return cum[pos] / cum[-1]
+        out = cum[pos] / cum[-1]
+        return float(out[0]) if scalar else out
 
     def rank_error_bound(self, nsigma: float = 3.0) -> float:
         """Normalized rank error bound (≈ nsigma·1.33/k, empirically
@@ -182,10 +186,17 @@ class KllSketch(Sketch):
         sk.n = n
         sk._rng = np.random.default_rng(0x5EED)
         (nlev,) = struct.unpack_from("<i", payload, 0)
+        if nlev < 0:
+            raise ValueError("corrupt KLL blob: negative level count")
         lens = struct.unpack_from(f"<{nlev}q", payload, 4)
         off = 4 + 8 * nlev
         sk.levels = []
         for ln in lens:
+            # np.frombuffer(count=-1) silently reads ALL remaining bytes —
+            # a corrupt negative length must raise (the checkpoint heal
+            # path keys on ValueError-at-decode), not return garbage levels
+            if ln < 0 or off + 8 * ln > len(payload):
+                raise ValueError("corrupt KLL blob: bad level length")
             sk.levels.append(np.frombuffer(payload, dtype="<f8", count=ln, offset=off).copy())
             off += 8 * ln
         if not sk.levels:

@@ -204,3 +204,34 @@ def test_cms_inner_product_join_size_bound():
     true = int((ca * cb).sum())
     est = a.inner_product(b)
     assert true <= est <= true + a.inner_product_bound(b)
+
+
+def test_kll_corrupt_negative_level_length_raises():
+    """A negative level length must raise ValueError at decode (the
+    checkpoint heal contract), not make np.frombuffer read all remaining
+    bytes into garbage levels."""
+    import struct
+
+    from guava_probably_spark.sketches import Sketch
+    from guava_probably_spark.sketches.kll import KllSketch
+
+    sk = KllSketch(k=64)
+    sk.update(np.arange(10_000, dtype=np.float64))
+    blob = bytearray(sk.to_bytes())
+    # find the first level-length field in the payload and corrupt it
+    raw = sk._payload_bytes()
+    pos = blob.rindex(raw)  # payload location inside the blob
+    struct.pack_into("<q", blob, pos + 4, -1)
+    with pytest.raises(ValueError):
+        Sketch.from_bytes(bytes(blob))
+
+
+def test_kll_rank_scalar_returns_float():
+    from guava_probably_spark.sketches.kll import KllSketch
+
+    sk = KllSketch(k=64)
+    sk.update(np.arange(1000, dtype=np.float64))
+    r = sk.rank(500.0)
+    assert isinstance(r, float) and abs(r - 0.5) < 0.1
+    arr = sk.rank([100.0, 900.0])
+    assert isinstance(arr, np.ndarray) and len(arr) == 2

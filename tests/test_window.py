@@ -279,3 +279,30 @@ def test_sessionize_subsecond_gap_precision(spark):
     out2 = sessionize(df, "k", "ts", gap="500 milliseconds")
     sids2 = [r.session_id for r in out2.orderBy("ts").collect()]
     assert sids2 == [0, 1, 2, 3]  # every 0.9s gap exceeds 500ms
+
+
+def test_running_distinct_binary_values_with_nulls(spark):
+    """Binary is a supported funnel type everywhere; the window kernel used
+    to fill nulls with 0 (invalid for binary) and crash in-kernel."""
+    from guava_probably_spark.operators import running_distinct
+
+    rows = [
+        ("k", i, bytes([i % 3]) if i % 4 else None) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k string, o int, v binary")
+    out = running_distinct(df, "k", "o", "v", p=12).orderBy("o").collect()
+    # nulls never count; 3 distinct byte values total
+    assert out[-1].run_distinct == 3
+    assert out[0].run_distinct == (0 if rows[0][2] is None else 1)
+
+
+def test_running_distinct_rejects_bad_p_and_reserved_carry(spark):
+    from guava_probably_spark.operators import running_distinct
+
+    df = spark.createDataFrame([("k", 1, "x")], "k string, o int, v string")
+    import pytest
+
+    with pytest.raises(ValueError, match="precision"):
+        running_distinct(df, "k", "o", "v", p=64)
+    with pytest.raises(ValueError, match="collides"):
+        running_distinct(df, "k", "o", "v", carry=["estimate"])
