@@ -1254,7 +1254,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_mode_user_event_type": (
             "WITH c AS (SELECT user_id, event_type, count(*) AS cnt "
             "FROM events GROUP BY user_id, event_type), "
-            "m AS (SELECT user_id, max(cnt) AS mc, sum(cnt) AS total "
+            "m AS (SELECT user_id, max(cnt) AS mc, "
+            "CAST(sum(cnt) AS BIGINT) AS total "
             "FROM c GROUP BY user_id) "
             "SELECT c.user_id, min(c.event_type) AS top_value, "
             "m.mc AS top_count, m.total AS n "
@@ -1293,7 +1294,10 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events FROM d GROUP BY user_id"
         ),
         "streaming_session_windows": (
-            "SELECT * FROM (VALUES ('A', 3, 2, 4), ('B', 1, 1, 0)) "
+            "SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns, "
+            "CAST(distinct_tools AS BIGINT) AS distinct_tools, "
+            "CAST(session_minutes AS BIGINT) AS session_minutes "
+            "FROM (VALUES ('A', 3, 2, 4), ('B', 1, 1, 0)) "
             "AS t(conv_id, n_turns, distinct_tools, session_minutes)"
         ),
         "arrow_text_roundtrip_md5": (

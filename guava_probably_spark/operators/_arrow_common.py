@@ -110,6 +110,9 @@ def sort_dedup_key_hash(
     row in the ORIGINAL arrays (to gather ride-along columns), the key code,
     the hash, and the run multiplicity.
     """
+    if len(codes) == 0:
+        empty_idx = np.empty(0, dtype=np.int64)
+        return empty_idx, codes[:0], h1[:0], empty_idx
     order = np.lexsort((h1, codes))
     sc = codes[order]
     sh = h1[order]

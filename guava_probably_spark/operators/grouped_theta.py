@@ -94,6 +94,8 @@ def _kmin_distinct(
     from ._arrow_common import sort_dedup_key_hash
 
     _, sc, sh, _ = sort_dedup_key_hash(codes, h1)
+    if len(sc) == 0:  # partition fed only zero-row batches
+        return sc, sh, np.zeros(0, dtype=bool)
     # distinct (key, hash), hash ascending within key
     starts_mask = np.empty(len(sc), dtype=bool)
     starts_mask[0] = True
@@ -145,6 +147,8 @@ def _build_stage(k_param: int, funnel: int):
         if not keys_parts:
             return
         keys = pa.chunked_array(keys_parts).combine_chunks()
+        if len(keys) == 0:  # only zero-row batches reached this partition
+            return
         h1 = np.concatenate(h_parts).view(np.uint64)
         from ._arrow_common import encode_keys
 

@@ -206,7 +206,7 @@ def column_to_hash_input(values) -> tuple[int, tuple]:
     # zero-length input so put_all([]) / update([None]) no-op as the
     # null-dropping contract above promises.
     if pa.types.is_null(t):
-        return FUNNEL_LONG, np.zeros(0, dtype=np.uint64)
+        return FUNNEL_NONE, np.zeros(0, dtype=np.uint64)
     if pa.types.is_integer(t):
         if pa.types.is_unsigned_integer(t):
             # uint64 >= 2^63 must wrap (the scalar path hashes value mod
@@ -240,16 +240,21 @@ def hash_column(values, expected_funnel: int | None = None):
     from .hashing import hash128_bytes, hash128_u64
 
     funnel, inp = column_to_hash_input(values)
-    empty = len(inp) == 0 if funnel == FUNNEL_LONG else len(inp[1]) <= 1
-    if empty:
-        # nothing to hash — and an all-null batch carries no funnel
+    if funnel == FUNNEL_NONE:
+        # all-null / empty-python batch: nothing to hash AND no funnel
         # information, so the mismatch check below must not fire
-        f = expected_funnel if expected_funnel is not None else funnel
+        f = expected_funnel if expected_funnel is not None else FUNNEL_LONG
         return f, np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint64)
+    # a zero-row TYPED batch still carries funnel information: validate it
+    # (an empty string column probed against a FUNNEL_LONG sketch is a
+    # schema mismatch and must raise before data arrives)
     if expected_funnel is not None and funnel != expected_funnel:
         raise IncompatibleSketchError(
             f"column funnel {funnel} != sketch funnel {expected_funnel}"
         )
+    empty = len(inp) == 0 if funnel == FUNNEL_LONG else len(inp[1]) <= 1
+    if empty:
+        return funnel, np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint64)
     if funnel == FUNNEL_LONG:
         h1, h2 = hash128_u64(inp)
     else:

@@ -405,11 +405,14 @@ class CuckooSketch(Sketch):
         return bool(self.might_contain_batch(list(elements)).all())
 
     # ----------------------------------------------------------------- merge
-    def merge(self, other: "CuckooSketch", dedup: bool = True) -> "CuckooSketch":
-        """putAll(filter). ``dedup=True`` (set union, the distributed-build
-        default) collapses duplicate copies of a key — see merge_counted for
-        why, and pass ``dedup=False`` if you rely on put/remove symmetry
-        (one remove() per put()) ACROSS a merge."""
+    def merge(self, other: "CuckooSketch", dedup: bool | None = None) -> "CuckooSketch":
+        """putAll(filter). ``dedup`` defaults to ``self.dedup_build``: a
+        set-union build (dedup_build=True, the distributed default) collapses
+        duplicate copies of a key, while a multiset filter
+        (dedup_build=False, the delete workflow) re-inserts every copy so
+        put/remove symmetry survives the merge — including after a
+        to_bytes/from_bytes round trip, which preserves the flag. Pass an
+        explicit bool to override per call; see merge_counted for details."""
         ok, overflow = self.merge_counted(other, dedup=dedup)
         if not ok:
             raise OverflowError(
@@ -419,12 +422,16 @@ class CuckooSketch(Sketch):
         return self
 
     def merge_counted(
-        self, other: "CuckooSketch", dedup: bool = True
+        self, other: "CuckooSketch", dedup: bool | None = None
     ) -> tuple[bool, int]:
         """putAll(filter): fingerprint walk + re-insert (SURVEY.md §3.3).
         Returns (all_fit, overflow_count).
 
-        ``dedup=True`` (default) takes SET union at pair granularity: an
+        ``dedup=None`` (default) follows ``self.dedup_build``, so set-union
+        filters dedup and multiset (delete-workflow) filters re-insert
+        every copy without call sites having to thread the flag.
+
+        ``dedup=True`` takes SET union at pair granularity: an
         incoming fingerprint already present in its destination pair is
         skipped (not an overflow). Letting duplicate copies accumulate
         across merges saturates hot pairs on skewed data and turns cold-key
@@ -437,6 +444,8 @@ class CuckooSketch(Sketch):
         guava-probably's putAll does. Genuine capacity overflow is counted
         either way.
         """
+        if dedup is None:
+            dedup = self.dedup_build
         self._check_compatible(other)
         mask = np.arange(other.b)[None, :] < other.occ[:, None]
         buckets, slots = np.nonzero(mask)
@@ -490,8 +499,13 @@ class CuckooSketch(Sketch):
         return (self.capacity, round(self.design_fpp, 12), self.m, self.b, self.f)
 
     def _params_bytes(self) -> bytes:
+        # dedup_build rides in the high bit of the b byte (b is always small)
+        # so multiset filters keep multiset merge semantics across a
+        # to_bytes/from_bytes round trip; legacy blobs have the bit clear,
+        # which decodes to dedup_build=True — the old behavior.
+        b_field = self.b | (0 if self.dedup_build else 0x80)
         return struct.pack(
-            "<qdqBBq", self.capacity, self.design_fpp, self.m, self.b, self.f, self._count
+            "<qdqBBq", self.capacity, self.design_fpp, self.m, b_field, self.f, self._count
         )
 
     def _semisort_active(self) -> bool:
@@ -519,11 +533,12 @@ class CuckooSketch(Sketch):
 
     @classmethod
     def _from_parts(cls, funnel: int, params: bytes, payload: bytes) -> "CuckooSketch":
-        capacity, fpp, m, b, f, count = struct.unpack("<qdqBBq", params)
+        capacity, fpp, m, b_field, f, count = struct.unpack("<qdqBBq", params)
+        b = b_field & 0x7F
         sk = cls.__new__(cls)
         Sketch.__init__(sk, funnel)
         sk.capacity, sk.design_fpp, sk.m, sk.b, sk.f = capacity, fpp, m, b, f
-        sk.dedup_build = True  # build-session behavior, not serialized
+        sk.dedup_build = not (b_field & 0x80)
         sk._count = count
         sk._rng = np.random.default_rng(0xC0FFEE)
         dtype = np.uint16 if f <= 16 else np.uint32

@@ -259,3 +259,68 @@ def test_cuckoo_distributed_build_set_semantics_no_false_negatives():
     n_distinct = len(set(hot.tolist())) + len(cold)
     assert acc.size <= n_distinct
     assert acc.size >= n_distinct * 0.99
+
+
+def test_cuckoo_multiset_flag_survives_serialization_and_default_merge():
+    """A multiset filter (dedup_build=False) that round-trips through
+    to_bytes/from_bytes must keep multiset merge semantics under the
+    DEFAULT merge() — otherwise a delete-workflow filter restored from a
+    checkpoint silently collapses duplicate copies and a later remove()
+    yields false negatives (ADVICE r2)."""
+    a = CuckooSketch(capacity=10_000, fpp=0.01, dedup_build=False)
+    b = CuckooSketch(capacity=10_000, fpp=0.01, dedup_build=False)
+    a.put("x")
+    b.put("x")
+
+    a2 = Sketch.from_bytes(a.to_bytes())
+    b2 = Sketch.from_bytes(b.to_bytes())
+    assert a2.dedup_build is False and b2.dedup_build is False
+
+    a2.merge(b2)  # default must resolve to multiset (dedup=False)
+    assert a2.remove("x")
+    assert a2.might_contain("x")  # second copy survives the round trip
+    assert a2.remove("x")
+    assert not a2.might_contain("x")
+
+    # set-union filters keep set semantics through the same round trip
+    s = CuckooSketch(capacity=10_000, fpp=0.01)
+    s.put("x")
+    s2 = Sketch.from_bytes(s.to_bytes())
+    assert s2.dedup_build is True
+    s2.merge(Sketch.from_bytes(s.to_bytes()))
+    assert s2.remove("x")
+    assert not s2.might_contain("x")
+
+
+def test_hash_column_typed_empty_batch_still_checks_funnel():
+    """A zero-row TYPED batch carries funnel information: probing an empty
+    string column against a FUNNEL_LONG sketch must raise immediately, not
+    only once data arrives (ADVICE r2). All-null/untyped batches still
+    bypass the check (no funnel information)."""
+    import pyarrow as pa
+
+    from guava_probably_spark.sketches.base import (
+        IncompatibleSketchError,
+        hash_column,
+    )
+
+    with pytest.raises(IncompatibleSketchError):
+        hash_column(pa.array([], type=pa.string()), FUNNEL_LONG)
+    with pytest.raises(IncompatibleSketchError):
+        hash_column(pa.array([], type=pa.int64()), FUNNEL_UTF8)
+    # null-typed batches carry no funnel information: no-op, no raise
+    f, h1, h2 = hash_column(pa.array([None, None]), FUNNEL_LONG)
+    assert f == FUNNEL_LONG and len(h1) == 0 and len(h2) == 0
+    f, h1, h2 = hash_column([], FUNNEL_UTF8)
+    assert f == FUNNEL_UTF8 and len(h1) == 0
+
+
+def test_sort_dedup_key_hash_empty_input():
+    """Zero-length input (a partition fed only empty Arrow batches) returns
+    empty arrays instead of raising IndexError (ADVICE r2)."""
+    from guava_probably_spark.operators._arrow_common import sort_dedup_key_hash
+
+    idx, sc, sh, cnt = sort_dedup_key_hash(
+        np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    )
+    assert len(idx) == len(sc) == len(sh) == len(cnt) == 0

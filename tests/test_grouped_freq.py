@@ -202,3 +202,115 @@ def test_grouped_hll_int_column_blob_merges_with_ungrouped(spark):
     assert abs(merged.estimate() - 50) <= 3
     # and byte-identity holds for the single-group case
     assert bytes(grouped_blob) == ungrouped.to_bytes()
+
+
+def _hotkey_pdf(n_hot=60_000, n_cold_keys=500, rows_per_cold=8, seed=5):
+    """One zipf-hot key with few distinct values + a cold tail."""
+    rng = np.random.default_rng(seed)
+    hot = pd.DataFrame(
+        {"g": ["hot"] * n_hot, "x": rng.normal(0, 1, n_hot)}
+    )
+    cold = pd.DataFrame(
+        {
+            "g": np.repeat([f"c{i}" for i in range(n_cold_keys)], rows_per_cold),
+            "x": rng.normal(5, 1, n_cold_keys * rows_per_cold),
+        }
+    )
+    return pd.concat([hot, cold], ignore_index=True)
+
+
+def test_grouped_kll_hotkey_prereduce_bounds_shuffle_and_keeps_bounds(spark):
+    """Skew armor (VERDICT r2 item 2): a planted hot key must cross the
+    exchange as ≤ input_parts partial blobs, not its raw row set, and the
+    merged estimates must stay within the published rank-error bound."""
+    from guava_probably_spark.operators.grouped_kll import (
+        _prereduce_stage,
+        grouped_kll,
+    )
+
+    pdf = _hotkey_pdf()
+    df = spark.createDataFrame(pdf).repartition(8)
+    narrow = df.select(F.col("g").alias("k"), F.col("x").cast("double").alias("v"))
+
+    def make():
+        return KllSketch(k=200)
+
+    # what actually crosses the shuffle: the pre-reduced mixed stream
+    mixed = narrow.mapInArrow(
+        _prereduce_stage(make, max(16 * 200, 1024)),
+        "k string, v double, s binary, c bigint",
+    )
+    hot_rows = mixed.where(F.col("k") == "hot").collect()
+    assert len(hot_rows) <= 8, "hot key must ship ≤ one partial per input partition"
+    assert all(r.s is not None for r in hot_rows), "hot rows must be partial blobs"
+    assert sum(r.c for r in hot_rows) == 60_000
+    # cold keys pass through raw (a blob per (part, key) would cost more)
+    cold_raw = mixed.where(F.col("k") == "c0").collect()
+    assert all(r.s is None for r in cold_raw) and len(cold_raw) == 8
+
+    # end to end: estimates within bound, counts exact, vs pre_reduce=False
+    for flag in (True, False):
+        rows = {
+            r.key: (Sketch.from_bytes(r.sketch), r.n)
+            for r in grouped_kll(df, "g", "x", k=200, pre_reduce=flag).collect()
+        }
+        sk, n = rows["hot"]
+        assert n == 60_000
+        err = sk.rank_error_bound()
+        hx = np.asarray(pdf[pdf.g == "hot"].x)
+        for q in (0.1, 0.5, 0.9):
+            est_rank = float(np.mean(hx < sk.quantile(q)))
+            assert abs(est_rank - q) <= err + 0.01
+        assert rows["c0"][1] == 8
+
+
+def test_grouped_tdigest_hotkey_prereduce_estimates(spark):
+    from guava_probably_spark.operators import grouped_tdigest
+
+    pdf = _hotkey_pdf(n_hot=40_000, n_cold_keys=100)
+    df = spark.createDataFrame(pdf).repartition(6)
+    rows = {
+        r.key: (Sketch.from_bytes(r.sketch), r.n)
+        for r in grouped_tdigest(df, "g", "x").collect()
+    }
+    sk, n = rows["hot"]
+    assert n == 40_000
+    hx = np.asarray(pdf[pdf.g == "hot"].x)
+    for q in (0.25, 0.5, 0.75):
+        est_rank = float(np.mean(hx < sk.quantile(q)))
+        assert abs(est_rank - q) <= 0.02
+
+
+def test_grouped_mode_hotkey_prereduce_identical_and_bounded(spark):
+    """grouped_mode's map-side (key, value, count) combine: result rows are
+    IDENTICAL to the unreduced build (mode is count-distributive) and a hot
+    key crosses the shuffle as ≤ parts × distinct_values counted rows."""
+    from guava_probably_spark.operators.grouped_mode import (
+        _prereduce_stage,
+        grouped_mode,
+    )
+
+    rng = np.random.default_rng(9)
+    n_hot = 50_000
+    pdf = pd.DataFrame(
+        {
+            "g": ["hot"] * n_hot + [f"c{i}" for i in range(300) for _ in range(4)],
+            "v": [f"tool{j}" for j in rng.integers(0, 5, n_hot)]
+            + [f"tool{j}" for j in rng.integers(0, 50, 1200)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    mixed = df.select("g", "v").mapInArrow(
+        _prereduce_stage(), "k string, v string, c bigint"
+    )
+    hot_rows = mixed.where(F.col("k") == "hot").collect()
+    assert len(hot_rows) <= 8 * 5  # parts × distinct values
+    assert sum(r.c for r in hot_rows) == n_hot
+
+    a = sorted(map(tuple, grouped_mode(df, "g", "v").collect()))
+    b = sorted(map(tuple, grouped_mode(df, "g", "v", pre_reduce=False).collect()))
+    assert a == b
+    hot = [t for t in a if t[0] == "hot"]
+    counts = pdf[pdf.g == "hot"].v.value_counts()
+    assert hot == [("hot", counts.idxmax(), int(counts.max()), n_hot)]

@@ -231,3 +231,29 @@ def test_grouped_theta_prereduce_blob_identical(spark):
         ref.update(np.array([f"u{i % 700}" for i in range(n) if f"d{i % 3}" == g], dtype=object))
         assert blob == ref.to_bytes()
         assert cnt == sum(1 for i in range(n) if f"d{i % 3}" == g)
+
+
+def test_grouped_theta_stages_tolerate_zero_row_batches():
+    """A partition that receives only zero-row Arrow batches (possible after
+    a selective upstream filter) must yield nothing rather than raise
+    IndexError in the lexsort/dedup kernels (ADVICE r2)."""
+    import pyarrow as pa
+
+    from guava_probably_spark.operators.grouped_theta import (
+        _build_stage,
+        _prereduce_stage,
+    )
+    from guava_probably_spark.sketches.base import FUNNEL_UTF8
+
+    empty_raw = pa.RecordBatch.from_arrays(
+        [pa.array([], type=pa.string()), pa.array([], type=pa.string())],
+        names=["k", "v"],
+    )
+    assert list(_prereduce_stage(1, 64)(iter([empty_raw]))) == []
+
+    empty_mid = pa.RecordBatch.from_arrays(
+        [pa.array([], type=pa.string()), pa.array([], type=pa.int64())],
+        names=["k", "h"],
+    )
+    assert list(_build_stage(64, FUNNEL_UTF8)(iter([empty_mid]))) == []
+    assert list(_build_stage(64, FUNNEL_UTF8)(iter([]))) == []
