@@ -536,7 +536,14 @@ def _q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_hll_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window sketch aggregation: daily HLL(user_id) windows over
     events.ts via the grouped build — the batch twin of the streaming
-    windowed sketches (streaming/), oracle-checked per window."""
+    windowed sketches (streaming/), oracle-checked per window. The second
+    UNION branch ('roll7') rolls a 7-row sliding merge over the daily
+    sketch table via operators/rollup.rolling_merge — 7-day actives with NO
+    rescan of raw events (the mergeable-sketch payoff) — oracle-checked
+    against an exact windowed COUNT(DISTINCT)."""
+    from pyspark.sql import Window
+    from guava_probably_spark.operators import rolling_merge
+
     events = _t(spark, sf_dir, "events").withColumn(
         "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
     )
@@ -544,14 +551,51 @@ def _q_hll_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = g.select("day", hll_cardinality()("sketch").alias("est"))
     exact = events.groupBy("day").agg(F.countDistinct("user_id").alias("exact_distinct"))
     bound = 3 * 1.04 / (2 ** 14) ** 0.5
-    return exact.join(est, "day").select(
-        "day",
-        "exact_distinct",
-        (
-            F.abs(F.col("est") - F.col("exact_distinct"))
-            <= F.greatest(F.lit(bound) * F.col("exact_distinct"), F.lit(3.0))
-        ).alias("within"),
+
+    def within(df):
+        return df.select(
+            "kind",
+            "day",
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= F.greatest(F.lit(bound) * F.col("exact_distinct"), F.lit(3.0))
+            ).alias("within"),
+        )
+
+    daily = within(
+        exact.join(est, "day").withColumn("kind", F.lit("daily"))
     )
+
+    # roll7: merge the last 7 daily blobs per day (global window over the
+    # ~30-row daily table — the documented single-partition posture of
+    # rolling_merge without partition_cols; blobs only, never raw rows)
+    rolled = rolling_merge(g.select("day", "sketch", "n"), "day", window=7)
+    est7 = rolled.select(
+        "day", hll_cardinality()("window_sketch").alias("est")
+    )
+    du = events.select("day", "user_id").distinct()
+    days = (
+        du.select("day")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("day")))
+    )
+    a = days.select(F.col("day").alias("aday"), F.col("rn").alias("arn"))
+    b = days.select(F.col("day").alias("bday"), F.col("rn").alias("brn"))
+    win7 = a.join(
+        b,
+        (F.col("brn") >= F.col("arn") - 6) & (F.col("brn") <= F.col("arn")),
+    )
+    exact7 = (
+        win7.join(du, F.col("bday") == F.col("day"))
+        .groupBy("aday")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .withColumnRenamed("aday", "day")
+    )
+    roll = within(
+        exact7.join(est7, "day").withColumn("kind", F.lit("roll7"))
+    )
+    return daily.unionByName(roll)
 
 
 def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1232,9 +1276,16 @@ def oracle_sql() -> dict[str, str]:
             "true AS within FROM events"
         ),
         "hll_window_daily_users": (
-            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
-            "count(DISTINCT user_id) AS exact_distinct, true AS within "
-            "FROM events GROUP BY 1"
+            "WITH du AS (SELECT DISTINCT strftime(date_trunc('day', ts), "
+            "'%Y-%m-%d') AS day, user_id FROM events), "
+            "days AS (SELECT day, row_number() OVER (ORDER BY day) AS rn "
+            "FROM (SELECT DISTINCT day FROM du)) "
+            "SELECT 'daily' AS kind, day, count(*) AS exact_distinct, "
+            "true AS within FROM du GROUP BY day "
+            "UNION ALL "
+            "SELECT 'roll7', a.day, count(DISTINCT u.user_id), true "
+            "FROM days a JOIN days b ON b.rn BETWEEN a.rn - 6 AND a.rn "
+            "JOIN du u ON u.day = b.day GROUP BY a.day"
         ),
         "setops_grid": (
             "WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0), "

@@ -187,19 +187,24 @@ def build_with_checkpoint(
     if files_limit is not None:
         files = files[:files_limit]
 
-    done: set[str] = set()
-    have_checkpoint = False
+    # Resume todo-list via ANTI-JOIN: the driver collects only the names of
+    # files still to do (bounded by remaining work — near zero on a late
+    # resume), never the full completed set. At 10^6 files with 99%
+    # checkpointed this is ~10^4 strings instead of ~10^6 (VERDICT r2
+    # item 6); blobs never reach the driver on any path.
+    todo = files
     try:
         ck = spark.read.parquet(checkpoint_dir)
-        have_checkpoint = True
-        done = {
-            r.file
-            for r in ck.filter(F.col("lineage") == lineage).select("file").collect()
-        }
     except Exception:
-        pass  # no checkpoint yet
-
-    todo = [f for f in files if f not in done]
+        ck = None  # no checkpoint yet
+    if ck is not None:
+        all_files_df = spark.createDataFrame([(f,) for f in files], "file string")
+        done_names = ck.filter(F.col("lineage") == lineage).select("file")
+        todo_set = {
+            r.file
+            for r in all_files_df.join(done_names, "file", "left_anti").collect()
+        }
+        todo = [f for f in files if f in todo_set]  # keep input order
     for i in range(0, len(todo), wave_size):
         wave = todo[i : i + wave_size]
         wave_df = spark.createDataFrame(
@@ -277,7 +282,7 @@ def build_with_checkpoint(
         acc = spec.create()
     return acc, ResumeStats(
         total_files=len(files),
-        reused=len(done & set(files)),
+        reused=len(files) - len(todo),
         recomputed=len(todo),
         rows=n,
         overflow=overflow,

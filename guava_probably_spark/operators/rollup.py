@@ -138,6 +138,16 @@ def rolling_merge(
     order) — a daily table is tiny regardless of the raw-data scale; a hot
     partition holds |distinct order values| rows, not raw rows. ``dedup``
     follows the cuckoo build semantics (irrelevant for other kinds).
+
+    SINGLE-PARTITION CAVEAT: with no ``partition_cols`` the plan is
+    ``Window.partitionBy()`` = ``Exchange SinglePartition`` — every input
+    row flows through ONE task. That is the intended posture for the
+    intended input (a daily/hourly sketch table: ≤10^3–10^4 KB-blob rows,
+    the 100 TB scan already happened when that table was built), but it
+    does NOT scale to large ungrouped sketch tables. If the input has more
+    than ~10^5 rows, pass ``partition_cols`` (e.g. a tenant or metric key)
+    so each partition's window sorts independently. Plan shape is pinned by
+    test_rolling_merge_plan_posture.
     """
     from pyspark.sql import Window
     from pyspark.sql.types import BinaryType

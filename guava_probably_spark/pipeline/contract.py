@@ -279,7 +279,7 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in df_.filter(F.col("id") % 17 == 0).select("id", F.col(col).alias("v")).collect():
             got[r.id] = r.v
     mismatched = [i for i in exp if got.get(i) != exp[i]]
-    return base.select(
+    per_row = base.select(
         "id",
         "modality",
         "n_bytes",
@@ -287,6 +287,46 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "header_ok",
         (~F.col("id").isin(mismatched)).alias("decode_ok"),
     )
+    # decode-aggregate rows (VERDICT r2 item 7): the FULL decode→resize→
+    # features output of every row, folded to one (count, feature-sum,
+    # aux-sum) row per modality and hash-checked against oracle-side PINNED
+    # values (computed once at sf0.01, the driver's gate scale — any drift
+    # in the decode/resize/feature kernels breaks the hash). Encoded into
+    # the per-row schema as id −1/−2/−3, n_bytes = Σ feature
+    # (px_sum/amp_sum), first_byte = Σ aux (px_sq_sum/n_samples/n_frames).
+    aggs = (
+        img.agg(
+            F.lit(-1).cast("long").alias("id"),
+            F.concat(F.lit("agg:image:"), F.count("*")).alias("modality"),
+            F.sum("px_sum").alias("n_bytes"),
+            F.sum("px_sq_sum").alias("first_byte"),
+        )
+        .unionByName(
+            aud.agg(
+                F.lit(-2).cast("long").alias("id"),
+                F.concat(F.lit("agg:audio:"), F.count("*")).alias("modality"),
+                F.sum("amp_sum").alias("n_bytes"),
+                F.sum("n_samples").alias("first_byte"),
+            )
+        )
+        .unionByName(
+            vid.agg(
+                F.lit(-3).cast("long").alias("id"),
+                F.concat(F.lit("agg:video:"), F.count("*")).alias("modality"),
+                F.sum("px_sum").alias("n_bytes"),
+                F.sum("n_frames").alias("first_byte"),
+            )
+        )
+        .select(
+            "id",
+            "modality",
+            "n_bytes",
+            "first_byte",
+            F.lit(True).alias("header_ok"),
+            F.lit(True).alias("decode_ok"),
+        )
+    )
+    return per_row.unionByName(aggs)
 
 
 def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,7 +742,20 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "ELSE 'video' END AS modality, "
             "CAST(4 + octet_length(encode(text)) AS BIGINT) "
             "AS n_bytes, CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte, "
-            "true AS header_ok, true AS decode_ok FROM documents"
+            "true AS header_ok, true AS decode_ok FROM documents "
+            # decode-aggregate rows: PINNED at sf0.01 (the driver's gate
+            # scale) from a verified local run of the deterministic fake
+            # decode — the whole decode→resize→features output is folded
+            # into these sums, so any kernel drift breaks the hash
+            "UNION ALL SELECT id, modality, n_bytes, first_byte, "
+            "header_ok, decode_ok FROM (VALUES "
+            "(CAST(-1 AS BIGINT), 'agg:image:167', CAST(4091061 AS BIGINT), "
+            "CAST(696923793 AS BIGINT), true, true), "
+            "(CAST(-2 AS BIGINT), 'agg:audio:167', CAST(617577359 AS BIGINT), "
+            "CAST(25413 AS BIGINT), true, true), "
+            "(CAST(-3 AS BIGINT), 'agg:video:166', CAST(16313241 AS BIGINT), "
+            "CAST(664 AS BIGINT), true, true)) "
+            "AS t(id, modality, n_bytes, first_byte, header_ok, decode_ok)"
         ),
         # exact first-occurrence semantics of the two-batch replay: batch 1
         # keeps min even doc_id per fingerprint; batch 2 keeps min doc_id of

@@ -547,3 +547,32 @@ def test_rolling_merge_weekly_actives_from_daily_sketches(spark, events):
     got_n = {r.day: r.window_n for r in rolled.select("day", "window_n").collect()}
     for i, d in enumerate(days):
         assert got_n[d] == sum(n_by_day[x] for x in days[max(0, i - 6) : i + 1])
+
+
+def test_rolling_merge_plan_posture(spark):
+    """Pins the documented plan shapes (rollup.rolling_merge docstring):
+    no partition_cols → ONE Exchange SinglePartition (intended for tiny
+    daily sketch tables only); with partition_cols → hash-partitioned
+    window, no single-partition exchange."""
+    from guava_probably_spark.operators import rolling_merge
+    from guava_probably_spark.sketches import SketchSpec
+
+    spec = SketchSpec("hll", {"p": 12})
+    rows = [
+        ("t1", f"d{i:02d}", spec.create().to_bytes(), 1) for i in range(5)
+    ] + [("t2", f"d{i:02d}", spec.create().to_bytes(), 1) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "tenant string, day string, sketch binary, n bigint"
+    )
+
+    global_plan = rolling_merge(df, "day", window=3)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in global_plan
+
+    part_plan = (
+        rolling_merge(df, "day", window=3, partition_cols=["tenant"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in part_plan
+    assert "hashpartitioning(tenant" in part_plan
