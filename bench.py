@@ -329,6 +329,27 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
         best_g = dt if best_g is None else min(best_g, dt)
     timings["q_grouped_hll_conv_highcard"] = round(best_g, 3)
 
+    def grouped_conv_prehash():
+        # wide-value fast path: JVM-side xxhash64 means the ~230-byte text
+        # never crosses into Python — 16 bytes/row do; estimates carry the
+        # same 1.04/sqrt(m) bound (FUNNEL_PREHASHED blobs, see grouped_hll)
+        from guava_probably_spark.operators import grouped_hll
+
+        df = spark.read.parquet(t_path)
+        return grouped_hll(
+            df, "conv_id", "text", p=12, output="estimate",
+            partitions=128, prehash=True,
+        ).count()
+
+    grouped_conv_prehash()
+    best_g = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        grouped_conv_prehash()
+        dt = time.monotonic() - t0
+        best_g = dt if best_g is None else min(best_g, dt)
+    timings["q_grouped_hll_conv_prehash"] = round(best_g, 3)
+
     def grouped_quantiles_conv():
         from guava_probably_spark.operators import grouped_quantiles
 

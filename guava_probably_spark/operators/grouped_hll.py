@@ -375,6 +375,7 @@ def grouped_hll(
     partitions: int | None = None,
     pre_reduce: bool = False,
     assume_colocated: bool = False,
+    prehash: bool = False,
 ) -> DataFrame:
     """Per-key HLL at high key cardinality. output='sketch' → (key, sketch,
     n) with blobs byte-compatible with the ungrouped HllSketch build;
@@ -386,16 +387,43 @@ def grouped_hll(
     armor (a 10^9-row hot key ships ≤ 2^p rows per source partition).
     assume_colocated=True skips the repartition entirely — correct when the
     input is already partitioned by `key` (bucketed table read, upstream
-    repartition); the grouped build then has ZERO shuffle."""
+    repartition); the grouped build then has ZERO shuffle.
+
+    prehash=True hashes the value column JVM-SIDE with ``xxhash64`` and
+    feeds the 64-bit hash straight into the register build: no Python
+    stage runs before the shuffle at all, and a wide value column (e.g.
+    ~230-byte turn text) never crosses the JVM↔Python boundary — 16 bytes
+    per row do. The estimate is statistically identical (xxhash64 is a
+    uniform 64-bit hash; collision mass at 10^10 values is ≤ 10^-9 of the
+    estimate, far under the 1.04/√m bound), but blobs carry the
+    FUNNEL_PREHASHED tag and refuse to merge with murmur3-funnel blobs of
+    the same column — the register domains differ. Null values are dropped
+    first (Spark's xxhash64 maps NULL to the seed, which would count nulls
+    as one distinct value). Mutually exclusive with pre_reduce (whose
+    map-side combine hashes in Python)."""
     if output not in ("sketch", "estimate"):
         raise ValueError("output must be 'sketch' or 'estimate'")
+    if prehash and pre_reduce:
+        raise ValueError("prehash and pre_reduce are mutually exclusive")
     from ._arrow_common import funnel_for_spark_type
 
     key_type = df.schema[key].dataType.simpleString()
     funnel = funnel_for_spark_type(df.schema[col].dataType)
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
     narrow = df.select(key, col)
-    if pre_reduce:
+    if prehash:
+        from pyspark.sql import functions as F
+
+        from ..sketches.base import FUNNEL_PREHASHED
+
+        funnel = FUNNEL_PREHASHED
+        hashed = (
+            df.where(F.col(col).isNotNull())
+            .select(F.col(key).alias("k"), F.xxhash64(col).alias("h"))
+        )
+        colocated = hashed if assume_colocated else hashed.repartition(parts, "k")
+        build = _build_stage(p, output, funnel)
+    elif pre_reduce:
         rows = narrow.mapInArrow(
             _prereduce_stage(1, p), f"k {key_type}, reg int, v bigint"
         )

@@ -11,10 +11,17 @@ every requested quantile for every key simultaneously:
   per-quantile index gather (idx = max(0, ⌈q·n⌉−1), the nearest-rank /
   `quantile_disc` convention DuckDB uses — oracle-matched by construction).
 
-Skew posture: a hot key sorts inside one partition — O(n log n) vectorized,
-no Python per group; the shuffle carries 8-byte values, never the payload.
-For UNBOUNDED per-key rows prefer the mergeable KLL sketch path; this
-operator is the exact fast path for bounded groups.
+Skew posture (r3): exact quantiles are count-distributive over
+(value, count) runs, so the same sampled skew probe grouped_kll uses
+(``pre_reduce="auto"``) gates a map-side run-length combine — a zipf-hot
+key whose value domain repeats (turn indexes, token counts) crosses the
+exchange as its distinct (key, value, count) runs instead of its raw row
+set, and the reduce side answers quantiles from cumulative run counts —
+EXACTLY equal to the unreduced build (nearest-rank over counted runs is
+the same order statistic; tested row-identical). Cold inputs keep the
+single-phase plan: the probe returns false and nothing extra runs.
+For UNBOUNDED per-key rows with unbounded value domains prefer the
+mergeable KLL sketch path; this operator is the exact fast path.
 """
 
 from __future__ import annotations
@@ -24,54 +31,126 @@ from collections.abc import Iterator, Sequence
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
+
+
+def _gather(batches: Iterator[pa.RecordBatch]):
+    """Collect (keys, float64 values[, counts]) dropping null/NaN values.
+    Returns None if nothing survives; counts is None for raw input."""
+    keys_parts, v_parts, c_parts = [], [], []
+    counted = False
+    for batch in batches:
+        key_arr = batch.column(0)
+        val = batch.column(1)
+        cnt = batch.column(2) if batch.num_columns > 2 else None
+        counted = counted or cnt is not None
+        if val.null_count:
+            keep = val.is_valid()
+            key_arr = key_arr.filter(keep)
+            if cnt is not None:
+                cnt = cnt.filter(keep)
+            val = val.drop_null()
+        if len(val) == 0:
+            continue
+        arr = val.to_numpy(zero_copy_only=False).astype(np.float64)
+        finite = ~np.isnan(arr)
+        if not finite.all():
+            # pandas-origin frames surface missing floats as NaN, not
+            # null — NaN sorts last and would poison the top quantiles
+            key_arr = key_arr.filter(pa.array(finite))
+            if cnt is not None:
+                cnt = cnt.filter(pa.array(finite))
+            arr = arr[finite]
+        if len(arr) == 0:
+            continue
+        keys_parts.append(key_arr)
+        v_parts.append(arr)
+        if cnt is not None:
+            c_parts.append(cnt.to_numpy(zero_copy_only=False).astype(np.int64))
+    if not keys_parts:
+        return None
+    keys = pa.chunked_array(keys_parts).combine_chunks()
+    if len(keys) == 0:
+        return None
+    w = np.concatenate(c_parts) if counted else None
+    return keys, np.concatenate(v_parts), w
+
+
+def _runs(keys, v, w):
+    """Collapse to distinct (key, value) runs with summed weights, runs
+    sorted by (key, value). Returns (uniq, run_key, run_val, run_cnt)."""
+    from ._arrow_common import encode_keys
+
+    uniq, codes = encode_keys(keys)
+    order = np.lexsort((v, codes))
+    sc, sv = codes[order], v[order]
+    run_start = np.empty(len(sc), dtype=bool)
+    run_start[0] = True
+    np.logical_or(sc[1:] != sc[:-1], sv[1:] != sv[:-1], out=run_start[1:])
+    rs = np.flatnonzero(run_start)
+    run_key = sc[rs]
+    run_val = sv[rs]
+    if w is None:
+        run_cnt = np.diff(np.append(rs, len(sc))).astype(np.int64)
+    else:
+        run_id = np.cumsum(run_start) - 1
+        run_cnt = np.bincount(run_id, weights=w[order]).astype(np.int64)
+    return uniq, run_key, run_val, run_cnt
+
+
+def _prereduce_stage():
+    """Map-side run-length combine: per input partition emit distinct
+    (key, value, count) rows — bounds a hot key's shuffle footprint by its
+    distinct values in that partition."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        gathered = _gather(batches)
+        if gathered is None:
+            return
+        keys, v, w = gathered
+        uniq, run_key, run_val, run_cnt = _runs(keys, v, w)
+        yield pa.RecordBatch.from_arrays(
+            [
+                uniq.take(pa.array(run_key)),
+                pa.array(run_val),
+                pa.array(run_cnt),
+            ],
+            names=["k", "v", "c"],
+        )
+
+    return fn
 
 
 def _build_stage(qs: Sequence[float]):
     qarr = np.asarray(qs, dtype=np.float64)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        keys_parts = []
-        v_parts = []
-        for batch in batches:
-            key_arr = batch.column(0)
-            val = batch.column(1)
-            if val.null_count:
-                keep = val.is_valid()
-                key_arr = key_arr.filter(keep)
-                val = val.drop_null()
-            if len(val) == 0:
-                continue
-            arr = val.to_numpy(zero_copy_only=False).astype(np.float64)
-            finite = ~np.isnan(arr)
-            if not finite.all():
-                # pandas-origin frames surface missing floats as NaN, not
-                # null — NaN sorts last and would poison the top quantiles
-                key_arr = key_arr.filter(pa.array(finite))
-                arr = arr[finite]
-            if len(arr) == 0:
-                continue
-            keys_parts.append(key_arr)
-            v_parts.append(arr)
-        if not keys_parts:
+        gathered = _gather(batches)
+        if gathered is None:
             return
-        keys = pa.chunked_array(keys_parts).combine_chunks()
-        v = np.concatenate(v_parts)
-        from ._arrow_common import encode_keys
-
-        uniq, codes = encode_keys(keys)
-        order = np.lexsort((v, codes))
-        sc = codes[order]
-        sv = v[order]
-        n_per = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
-        starts = np.zeros(len(uniq) + 1, dtype=np.int64)
-        np.cumsum(n_per, out=starts[1:])
+        keys, v, w = gathered
+        uniq, run_key, run_val, run_cnt = _runs(keys, v, w)
+        # per-key totals + cumulative run counts (global; per-key ranks are
+        # recovered by subtracting the segment's base)
+        n_per = np.bincount(run_key, weights=run_cnt, minlength=len(uniq)).astype(
+            np.int64
+        )
+        runs_per = np.bincount(run_key, minlength=len(uniq)).astype(np.int64)
+        seg_start = np.zeros(len(uniq) + 1, dtype=np.int64)
+        np.cumsum(runs_per, out=seg_start[1:])
+        cum = np.cumsum(run_cnt)
+        base = np.zeros(len(uniq), dtype=np.int64)
+        nz = seg_start[:-1] > 0
+        base[nz] = cum[seg_start[:-1][nz] - 1]
         cols = [uniq, pa.array(n_per)]
         names = ["key", "n"]
         for q in qarr:
+            # nearest-rank (DuckDB quantile_disc): 0-based rank per key
             idx = np.maximum(np.ceil(q * n_per).astype(np.int64) - 1, 0)
             np.minimum(idx, n_per - 1, out=idx)
-            cols.append(pa.array(sv[starts[:-1] + idx]))
+            # first run whose within-key cumulative count exceeds the rank
+            pos = np.searchsorted(cum, base + idx, side="right")
+            cols.append(pa.array(run_val[pos]))
             names.append(f"q{int(round(q * 100))}")
         yield pa.RecordBatch.from_arrays(cols, names=names)
 
@@ -84,14 +163,33 @@ def grouped_quantiles(
     col: str,
     qs: Sequence[float] = (0.25, 0.5, 0.75),
     partitions: int | None = None,
+    pre_reduce: bool | str = "auto",
+    hot_threshold: int = 4096,
 ) -> DataFrame:
-    """Exact nearest-rank quantiles per key: (key, n, q25, q50, …)."""
+    """Exact nearest-rank quantiles per key: (key, n, q25, q50, …).
+
+    ``pre_reduce="auto"`` (default) reuses grouped_kll's sampled skew probe:
+    unskewed inputs keep the single-phase plan; per-partition-hot keys
+    trigger the map-side (key, value, count) combine, which is exact
+    (nearest-rank over counted runs) and bounds a hot key's shuffle by its
+    distinct values per partition. Pass True/False to force a plan.
+    """
     key_type = df.schema[key].dataType.simpleString()
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-    narrow = df.select(key, df[col].cast("double"))
-    colocated = narrow.repartition(parts, key)
+    narrow = df.select(F.col(key).alias("k"), df[col].cast("double").alias("v"))
     qcols = ", ".join(f"q{int(round(q * 100))} double" for q in qs)
     schema = f"key {key_type}, n bigint, {qcols}"
+    if pre_reduce == "auto":
+        from .grouped_kll import _skew_probe
+
+        pre_reduce = _skew_probe(narrow, hot_threshold)
+    if pre_reduce:
+        reduced = narrow.mapInArrow(
+            _prereduce_stage(), f"k {key_type}, v double, c bigint"
+        )
+        colocated = reduced.repartition(parts, "k")
+    else:
+        colocated = narrow.repartition(parts, "k")
     return colocated.mapInArrow(_build_stage(qs), schema).withColumnRenamed(
         "key", key
     )
@@ -122,8 +220,6 @@ def quantile_trim(
     The broadcast holds one float per key: fine to ~10^7 keys, beyond that
     fall back to a shuffled join on key.
     """
-    from pyspark.sql import functions as F
-
     if keep not in ("below", "above"):
         raise ValueError(f"keep must be 'below' or 'above', got {keep!r}")
     qname = f"q{int(round(q * 100))}"

@@ -43,6 +43,10 @@ KIND_THETA = 8
 FUNNEL_NONE = 0   # value sketches (KLL / t-digest): raw float64, no hashing
 FUNNEL_UTF8 = 1   # string/binary column: raw UTF-8 bytes (Funnels.stringFunnel)
 FUNNEL_LONG = 2   # integer column: 8-byte little-endian (Funnels.longFunnel)
+FUNNEL_PREHASHED = 3  # values pre-hashed JVM-side (xxhash64) — the 64-bit
+# hash IS the sketch input, no murmur3 re-hash. Distinct funnel id so these
+# blobs refuse to merge with murmur3-funnel blobs of the same logical
+# column (the register domains differ).
 
 _REGISTRY: dict[int, type["Sketch"]] = {}
 

@@ -314,3 +314,93 @@ def test_grouped_mode_hotkey_prereduce_identical_and_bounded(spark):
     hot = [t for t in a if t[0] == "hot"]
     counts = pdf[pdf.g == "hot"].v.value_counts()
     assert hot == [("hot", counts.idxmax(), int(counts.max()), n_hot)]
+
+
+def test_grouped_hll_prehash_estimates_and_funnel_isolation(spark):
+    """prehash=True: JVM-side xxhash64 feeds the register build directly —
+    estimates within the published bound and byte-level funnel isolation
+    (FUNNEL_PREHASHED blobs must refuse to merge with murmur3 blobs of the
+    same column)."""
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.operators import grouped_hll
+    from guava_probably_spark.sketches import Sketch
+    from guava_probably_spark.sketches.base import IncompatibleSketchError
+
+    n, keys = 60_000, 6
+    pdf = pd.DataFrame(
+        {
+            "g": [f"k{i % keys}" for i in range(n)],
+            "v": [f"value-{i % 4000}-{i % keys}" for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    p = 12
+    bound = 3 * 1.04 / (2**p) ** 0.5
+    rows = {
+        r.g: (Sketch.from_bytes(r.sketch), r.n)
+        for r in grouped_hll(df, "g", "v", p=p, prehash=True).collect()
+    }
+    assert set(rows) == set(pdf.g.unique())
+    for g, sub in pdf.groupby("g"):
+        sk, cnt = rows[g]
+        assert cnt == len(sub)
+        exact = sub.v.nunique()
+        assert abs(sk.estimate() - exact) <= max(bound * exact, 3.0)
+    # funnel isolation: merging with a murmur3-funnel blob must raise
+    plain = {
+        r.g: Sketch.from_bytes(r.sketch)
+        for r in grouped_hll(df, "g", "v", p=p).collect()
+    }
+    with pytest.raises(IncompatibleSketchError):
+        rows["k0"][0].merge(plain["k0"])
+    # nulls dropped, not counted as a distinct value (xxhash64(NULL)=seed)
+    ndf = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 10, "v": ["x", None] * 5})
+    )
+    (row,) = grouped_hll(ndf, "g", "v", p=p, prehash=True).collect()
+    sk = Sketch.from_bytes(row.sketch)
+    assert row.n == 5 and abs(sk.estimate() - 1.0) < 0.5
+    # mutually exclusive with pre_reduce
+    with pytest.raises(ValueError):
+        grouped_hll(df, "g", "v", prehash=True, pre_reduce=True)
+
+
+def test_grouped_quantiles_hotkey_prereduce_identical_and_bounded(spark):
+    """grouped_quantiles' run-length combine: results IDENTICAL to the
+    unreduced build (nearest-rank over counted runs is the same order
+    statistic) and a hot key crosses the shuffle as ≤ parts × distinct
+    values counted rows."""
+    from guava_probably_spark.operators.grouped_quantiles import (
+        _prereduce_stage,
+        grouped_quantiles,
+    )
+
+    rng = np.random.default_rng(13)
+    n_hot = 50_000
+    pdf = pd.DataFrame(
+        {
+            "g": ["hot"] * n_hot + [f"c{i}" for i in range(200) for _ in range(6)],
+            "x": np.concatenate(
+                [rng.integers(0, 40, n_hot), rng.integers(0, 40, 1200)]
+            ).astype(float),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    mixed = df.select("g", F.col("x").cast("double")).mapInArrow(
+        _prereduce_stage(), "k string, v double, c bigint"
+    )
+    hot_rows = mixed.where(F.col("k") == "hot").collect()
+    assert len(hot_rows) <= 8 * 40  # parts × distinct values
+    assert sum(r.c for r in hot_rows) == n_hot
+
+    a = sorted(map(tuple, grouped_quantiles(df, "g", "x", pre_reduce=True).collect()))
+    b = sorted(map(tuple, grouped_quantiles(df, "g", "x", pre_reduce=False).collect()))
+    assert a == b
+    # nearest-rank parity with numpy on the hot key
+    hot = dict(zip(("g", "n", "q25", "q50", "q75"), [t for t in a if t[0] == "hot"][0]))
+    hx = np.sort(pdf[pdf.g == "hot"].x.to_numpy())
+    for q, name in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+        idx = min(max(int(np.ceil(q * n_hot)) - 1, 0), n_hot - 1)
+        assert hot[name] == hx[idx]
