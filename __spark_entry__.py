@@ -1280,8 +1280,11 @@ def oracle_sql() -> dict[str, str]:
             "'%Y-%m-%d') AS day, user_id FROM events), "
             "days AS (SELECT day, row_number() OVER (ORDER BY day) AS rn "
             "FROM (SELECT DISTINCT day FROM du)) "
-            "SELECT 'daily' AS kind, day, count(*) AS exact_distinct, "
-            "true AS within FROM du GROUP BY day "
+            # count(DISTINCT user_id), not count(*) over du: a NULL user_id
+            # would count as a distinct row in du but Spark's countDistinct
+            # ignores NULLs — keep both branches NULL-safe
+            "SELECT 'daily' AS kind, day, count(DISTINCT user_id) "
+            "AS exact_distinct, true AS within FROM du GROUP BY day "
             "UNION ALL "
             "SELECT 'roll7', a.day, count(DISTINCT u.user_id), true "
             "FROM days a JOIN days b ON b.rn BETWEEN a.rn - 6 AND a.rn "

@@ -122,3 +122,89 @@ def sort_dedup_key_hash(
     starts = np.flatnonzero(first)
     cnt = np.diff(np.append(starts, len(sc)))
     return order[starts], sc[starts], sh[starts], cnt
+
+
+def gather_keyed_values(
+    batches: Iterator[pa.RecordBatch], *, as_float: bool = False
+):
+    """Null-filter → one contiguous ``(keys, values, counts)`` for a
+    partition whose batches are (key, value[, count]) columns.
+
+    The single home for the gather that grouped_kll / grouped_mode /
+    grouped_quantiles each used to hand-roll (this module's docstring
+    explains why copies diverge). ``as_float=True`` converts values to a
+    float64 numpy array and additionally drops NaNs (pandas-origin frames
+    surface missing floats as NaN, not null — a NaN would poison quantile
+    and sketch kernels); otherwise values stay an Arrow array (e.g. for
+    dictionary encoding). ``counts`` is an int64 numpy array when any batch
+    carried a third column (pre-reduced input), else None. Returns None if
+    no rows survive.
+    """
+    keys_parts, v_parts, c_parts = [], [], []
+    counted = False
+    for batch in batches:
+        key_arr = batch.column(0)
+        val = batch.column(1)
+        cnt = batch.column(2) if batch.num_columns > 2 else None
+        counted = counted or cnt is not None
+        if val.null_count:
+            keep = val.is_valid()
+            key_arr = key_arr.filter(keep)
+            if cnt is not None:
+                cnt = cnt.filter(keep)
+            val = val.drop_null()
+        if len(val) == 0:
+            continue
+        if as_float:
+            arr = val.to_numpy(zero_copy_only=False).astype(np.float64)
+            finite = ~np.isnan(arr)
+            if not finite.all():
+                key_arr = key_arr.filter(pa.array(finite))
+                if cnt is not None:
+                    cnt = cnt.filter(pa.array(finite))
+                arr = arr[finite]
+            if len(arr) == 0:
+                continue
+            v_parts.append(arr)
+        else:
+            v_parts.append(val)
+        keys_parts.append(key_arr)
+        if cnt is not None:
+            c_parts.append(cnt.to_numpy(zero_copy_only=False).astype(np.int64))
+    if not keys_parts:
+        return None
+    keys = pa.chunked_array(keys_parts).combine_chunks()
+    if len(keys) == 0:
+        return None
+    if as_float:
+        values = np.concatenate(v_parts)
+    else:
+        values = pa.chunked_array(v_parts).combine_chunks()
+    counts = np.concatenate(c_parts) if counted else None
+    return keys, values, counts
+
+
+def collapse_key_value_runs(
+    codes: np.ndarray, vals: np.ndarray, w: np.ndarray | None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Lexsort (key code, value) and collapse to distinct runs with summed
+    weights: returns ``(run_key, run_val, run_cnt)``, runs ordered by
+    (key asc, value asc). ``w=None`` counts rows; otherwise weights are
+    summed per run (the count-distributive combine shared by grouped_mode
+    and grouped_quantiles)."""
+    if len(codes) == 0:
+        return codes, vals[:0], np.empty(0, dtype=np.int64)
+    order = np.lexsort((vals, codes))
+    sc, sv = codes[order], vals[order]
+    run_start = np.empty(len(sc), dtype=bool)
+    run_start[0] = True
+    np.logical_or(sc[1:] != sc[:-1], sv[1:] != sv[:-1], out=run_start[1:])
+    rs = np.flatnonzero(run_start)
+    run_key = sc[rs]
+    run_val = sv[rs]
+    if w is None:
+        run_cnt = np.diff(np.append(rs, len(sc))).astype(np.int64)
+    else:
+        run_id = np.cumsum(run_start) - 1
+        run_cnt = np.bincount(run_id, weights=w[order]).astype(np.int64)
+    return run_key, run_val, run_cnt

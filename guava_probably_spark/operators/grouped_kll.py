@@ -50,34 +50,16 @@ from pyspark.sql import DataFrame, functions as F
 
 def _gather_values(batches: Iterator[pa.RecordBatch]):
     """Collect (keys, float64 values) from a partition's batches, dropping
-    nulls and NaNs. Returns None if no rows survive."""
-    keys_parts, v_parts = [], []
-    for batch in batches:
-        key_arr = batch.column(0)
-        val = batch.column(1)
-        if val.null_count:
-            keep = val.is_valid()
-            key_arr = key_arr.filter(keep)
-            val = val.drop_null()
-        if len(val) == 0:
-            continue
-        arr = val.to_numpy(zero_copy_only=False).astype(np.float64)
-        finite = ~np.isnan(arr)
-        if not finite.all():
-            # pandas-origin frames surface missing floats as NaN, not
-            # null — treat both as absent (a NaN would poison quantiles)
-            key_arr = key_arr.filter(pa.array(finite))
-            arr = arr[finite]
-        if len(arr) == 0:
-            continue
-        keys_parts.append(key_arr)
-        v_parts.append(arr)
-    if not keys_parts:
+    nulls and NaNs — thin wrapper over the shared gather (values only; the
+    merge stage has its own 4-column gather for the mixed raw/partial
+    schema). Returns None if no rows survive."""
+    from ._arrow_common import gather_keyed_values
+
+    gathered = gather_keyed_values(batches, as_float=True)
+    if gathered is None:
         return None
-    keys = pa.chunked_array(keys_parts).combine_chunks()
-    if len(keys) == 0:
-        return None
-    return keys, np.concatenate(v_parts)
+    keys, v, _ = gathered
+    return keys, v
 
 
 def _segment(keys, v):
@@ -389,7 +371,10 @@ def grouped_kll(
     extra Arrow round trip of every row, measured ~1.45× at 8M rows / 792k
     cold keys — see _skew_probe for the measured skew-split alternative
     that lost). Pass True/False to skip the probe and force
-    two-phase / single-phase.
+    two-phase / single-phase. NOTE: "auto" runs one eager sampled job over
+    the input lineage at plan-construction time — for an expensive upstream
+    DAG (joins, UDFs) pass an explicit True/False, or cache the input,
+    to avoid evaluating the lineage twice.
     """
 
     def make():
@@ -399,7 +384,8 @@ def grouped_kll(
 
     return _grouped_value_sketch(
         df, key, col, make, partitions, assume_colocated,
-        pre_reduce, hot_threshold or max(16 * k, 1024),
+        pre_reduce,
+        max(16 * k, 1024) if hot_threshold is None else hot_threshold,
     )
 
 
@@ -426,5 +412,6 @@ def grouped_tdigest(
 
     return _grouped_value_sketch(
         df, key, col, make, partitions, assume_colocated,
-        pre_reduce, hot_threshold or max(int(16 * delta), 1024),
+        pre_reduce,
+        max(int(16 * delta), 1024) if hot_threshold is None else hot_threshold,
     )

@@ -7,12 +7,14 @@ second lexsort on (key, count desc, first-pos asc) picks each key's winner.
 Tie-break is deterministic: the smallest value in sort order — the oracle
 reproduces it with min(value) over the max-count set.
 
-Skew armor (``pre_reduce``, default on): a MAP-SIDE ``(key, value, count)``
-combine runs on each input partition BEFORE the exchange, so a hot key ships
-at most ``parts × distinct_values`` counted rows across the shuffle instead
-of its entire row set — the same posture grouped_hll/theta/cms take. Mode is
-count-distributive, so the reduced build is exactly equal to the unreduced
-one (tested row-identical on planted-hot-key input).
+Skew armor (``pre_reduce="auto"``, the default): the same sampled skew
+probe grouped_kll/grouped_quantiles use gates a MAP-SIDE
+``(key, value, count)`` combine — engaged, a hot key ships at most
+``parts × distinct_values`` counted rows across the shuffle instead of its
+entire row set; not engaged (no per-partition-hot keys), the single-phase
+plan runs with zero extra passes. Mode is count-distributive, so the
+reduced build is exactly equal to the unreduced one (tested
+row-identical on planted-hot-key input).
 
 No per-group Python; a hot key is one in-partition sorted run.
 """
@@ -24,40 +26,7 @@ from collections.abc import Iterator
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql import DataFrame
-
-
-def _gather_pairs(batches: Iterator[pa.RecordBatch]):
-    """Collect (keys, values[, counts]) from a partition's batches, dropping
-    null values. Returns None if no rows survive. Counts is None for raw
-    (un-reduced) input."""
-    keys_parts, v_parts, c_parts = [], [], []
-    counted = False
-    for batch in batches:
-        key_arr = batch.column(0)
-        val = batch.column(1)
-        cnt = batch.column(2) if batch.num_columns > 2 else None
-        counted = counted or cnt is not None
-        if val.null_count:
-            keep = val.is_valid()
-            key_arr = key_arr.filter(keep)
-            if cnt is not None:
-                cnt = cnt.filter(keep)
-            val = val.drop_null()
-        if len(val) == 0:
-            continue
-        keys_parts.append(key_arr)
-        v_parts.append(val)
-        if cnt is not None:
-            c_parts.append(cnt.to_numpy(zero_copy_only=False).astype(np.int64))
-    if not keys_parts:
-        return None
-    keys = pa.chunked_array(keys_parts).combine_chunks()
-    vals = pa.chunked_array(v_parts).combine_chunks()
-    if len(keys) == 0:
-        return None
-    w = np.concatenate(c_parts) if counted else None
-    return keys, vals, w
+from pyspark.sql import DataFrame, functions as F
 
 
 def _encode_runs(keys, vals, w):
@@ -65,7 +34,7 @@ def _encode_runs(keys, vals, w):
     summed weights. Returns (kuniq, vdict, vorder, run_key, run_val,
     run_cnt) where run_val indexes the VALUE-ORDER rank (ascending) so the
     smallest-value tie-break is a stable first-pick."""
-    from ._arrow_common import encode_keys
+    from ._arrow_common import collapse_key_value_runs, encode_keys
 
     kuniq, kc = encode_keys(keys)
     venc = vals.dictionary_encode()
@@ -76,20 +45,7 @@ def _encode_runs(keys, vals, w):
     vrank = np.empty(len(vdict), dtype=np.int64)
     vrank[vorder] = np.arange(len(vdict))
     vc = vrank[venc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
-
-    order = np.lexsort((vc, kc))
-    sk_, sv_ = kc[order], vc[order]
-    run_start = np.empty(len(sk_), dtype=bool)
-    run_start[0] = True
-    np.logical_or(sk_[1:] != sk_[:-1], sv_[1:] != sv_[:-1], out=run_start[1:])
-    rs = np.flatnonzero(run_start)
-    run_key = sk_[rs]
-    run_val = sv_[rs]
-    if w is None:
-        run_cnt = np.diff(np.append(rs, len(sk_)))
-    else:
-        run_id = np.cumsum(run_start) - 1
-        run_cnt = np.bincount(run_id, weights=w[order]).astype(np.int64)
+    run_key, run_val, run_cnt = collapse_key_value_runs(kc, vc, w)
     return kuniq, vdict, vorder, run_key, run_val, run_cnt
 
 
@@ -99,7 +55,9 @@ def _prereduce_stage():
     distinct pairs per partition no matter how hot a key is."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        gathered = _gather_pairs(batches)
+        from ._arrow_common import gather_keyed_values
+
+        gathered = gather_keyed_values(batches)
         if gathered is None:
             return
         keys, vals, w = gathered
@@ -118,7 +76,9 @@ def _prereduce_stage():
 
 def _build_stage():
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        gathered = _gather_pairs(batches)
+        from ._arrow_common import gather_keyed_values
+
+        gathered = gather_keyed_values(batches)
         if gathered is None:
             return
         keys, vals, w = gathered
@@ -150,26 +110,35 @@ def grouped_mode(
     key: str,
     col: str,
     partitions: int | None = None,
-    pre_reduce: bool = True,
+    pre_reduce: bool | str = "auto",
+    hot_threshold: int = 4096,
 ) -> DataFrame:
     """Per-key exact mode → (key, top_value, top_count, n); ties broken by
     the smallest value.
 
-    ``pre_reduce`` (default) applies the map-side (key, value, count)
-    combine, bounding a hot key's shuffle footprint to
-    ``input_parts × distinct_values`` counted rows instead of its raw row
-    set. Mode is count-distributive, so results are identical either way.
+    ``pre_reduce="auto"`` (default) reuses grouped_kll's sampled skew
+    probe: unskewed inputs keep the single-phase plan (no extra pass);
+    per-partition-hot keys trigger the map-side (key, value, count)
+    combine, bounding the hot key's shuffle footprint to
+    ``input_parts × distinct_values`` counted rows. Mode is
+    count-distributive, so results are identical either way. NOTE: "auto"
+    runs one eager sampled job over the input lineage at plan-construction
+    time — pass an explicit True/False for expensive upstream DAGs.
     """
     key_type = df.schema[key].dataType.simpleString()
     val_type = df.schema[col].dataType.simpleString()
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-    narrow = df.select(key, col)
+    narrow = df.select(F.col(key).alias("k"), F.col(col).alias("v"))
+    if pre_reduce == "auto":
+        from .grouped_kll import _skew_probe
+
+        pre_reduce = _skew_probe(narrow, hot_threshold)
     if pre_reduce:
         reduced = narrow.mapInArrow(
             _prereduce_stage(), f"k {key_type}, v {val_type}, c bigint"
         )
         colocated = reduced.repartition(parts, "k")
     else:
-        colocated = narrow.repartition(parts, key)
+        colocated = narrow.repartition(parts, "k")
     schema = f"key {key_type}, top_value {val_type}, top_count bigint, n bigint"
     return colocated.mapInArrow(_build_stage(), schema).withColumnRenamed("key", key)

@@ -34,67 +34,13 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 
-def _gather(batches: Iterator[pa.RecordBatch]):
-    """Collect (keys, float64 values[, counts]) dropping null/NaN values.
-    Returns None if nothing survives; counts is None for raw input."""
-    keys_parts, v_parts, c_parts = [], [], []
-    counted = False
-    for batch in batches:
-        key_arr = batch.column(0)
-        val = batch.column(1)
-        cnt = batch.column(2) if batch.num_columns > 2 else None
-        counted = counted or cnt is not None
-        if val.null_count:
-            keep = val.is_valid()
-            key_arr = key_arr.filter(keep)
-            if cnt is not None:
-                cnt = cnt.filter(keep)
-            val = val.drop_null()
-        if len(val) == 0:
-            continue
-        arr = val.to_numpy(zero_copy_only=False).astype(np.float64)
-        finite = ~np.isnan(arr)
-        if not finite.all():
-            # pandas-origin frames surface missing floats as NaN, not
-            # null — NaN sorts last and would poison the top quantiles
-            key_arr = key_arr.filter(pa.array(finite))
-            if cnt is not None:
-                cnt = cnt.filter(pa.array(finite))
-            arr = arr[finite]
-        if len(arr) == 0:
-            continue
-        keys_parts.append(key_arr)
-        v_parts.append(arr)
-        if cnt is not None:
-            c_parts.append(cnt.to_numpy(zero_copy_only=False).astype(np.int64))
-    if not keys_parts:
-        return None
-    keys = pa.chunked_array(keys_parts).combine_chunks()
-    if len(keys) == 0:
-        return None
-    w = np.concatenate(c_parts) if counted else None
-    return keys, np.concatenate(v_parts), w
-
-
 def _runs(keys, v, w):
     """Collapse to distinct (key, value) runs with summed weights, runs
     sorted by (key, value). Returns (uniq, run_key, run_val, run_cnt)."""
-    from ._arrow_common import encode_keys
+    from ._arrow_common import collapse_key_value_runs, encode_keys
 
     uniq, codes = encode_keys(keys)
-    order = np.lexsort((v, codes))
-    sc, sv = codes[order], v[order]
-    run_start = np.empty(len(sc), dtype=bool)
-    run_start[0] = True
-    np.logical_or(sc[1:] != sc[:-1], sv[1:] != sv[:-1], out=run_start[1:])
-    rs = np.flatnonzero(run_start)
-    run_key = sc[rs]
-    run_val = sv[rs]
-    if w is None:
-        run_cnt = np.diff(np.append(rs, len(sc))).astype(np.int64)
-    else:
-        run_id = np.cumsum(run_start) - 1
-        run_cnt = np.bincount(run_id, weights=w[order]).astype(np.int64)
+    run_key, run_val, run_cnt = collapse_key_value_runs(codes, v, w)
     return uniq, run_key, run_val, run_cnt
 
 
@@ -104,7 +50,9 @@ def _prereduce_stage():
     distinct values in that partition."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        gathered = _gather(batches)
+        from ._arrow_common import gather_keyed_values
+
+        gathered = gather_keyed_values(batches, as_float=True)
         if gathered is None:
             return
         keys, v, w = gathered
@@ -125,7 +73,9 @@ def _build_stage(qs: Sequence[float]):
     qarr = np.asarray(qs, dtype=np.float64)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        gathered = _gather(batches)
+        from ._arrow_common import gather_keyed_values
+
+        gathered = gather_keyed_values(batches, as_float=True)
         if gathered is None:
             return
         keys, v, w = gathered
@@ -172,7 +122,10 @@ def grouped_quantiles(
     unskewed inputs keep the single-phase plan; per-partition-hot keys
     trigger the map-side (key, value, count) combine, which is exact
     (nearest-rank over counted runs) and bounds a hot key's shuffle by its
-    distinct values per partition. Pass True/False to force a plan.
+    distinct values per partition. Pass True/False to force a plan. NOTE:
+    "auto" runs one eager sampled job over the input lineage at
+    plan-construction time — for an expensive upstream DAG pass an explicit
+    True/False, or cache the input, to avoid evaluating the lineage twice.
     """
     key_type = df.schema[key].dataType.simpleString()
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2

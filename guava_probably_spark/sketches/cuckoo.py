@@ -115,8 +115,11 @@ class CuckooSketch(Sketch):
         under set semantics two keys whose fingerprints collide in one
         pair share a single copy, so removing one makes the other a false
         negative (multiset keeps one copy per insert, and a collided
-        remove leaves the shared fingerprint present). Build-session
-        behavior only — excluded from blob format and compatibility."""
+        remove leaves the shared fingerprint present). SERIALIZED in the
+        blob (high bit of the b params byte) so a restored multiset filter
+        keeps multiset semantics under the default merge(); excluded from
+        is_compatible (set and multiset filters of the same geometry may
+        merge — the caller's dedup choice decides the semantics)."""
         super().__init__(funnel)
         self.capacity = int(capacity)
         self.design_fpp = float(fpp)
