@@ -314,26 +314,45 @@ def _merge_stage_multi(dedups: dict[str, bool]):
     """``dedups``: per-target cuckoo merge semantics (_spec_dedup)."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # repartition(p, "name") routes ALL of a name's rows to one task,
+        # so at large executor counts this task merges every partial of
+        # its name — decode through the same gated thread pool as
+        # fold_sketch_rows (zlib releases the GIL) so a 1000-blob merge
+        # isn't serial-decode bound
+        rows: list[tuple[str, bytes, int, int]] = []
+        for batch in batches:
+            rows.extend(
+                zip(
+                    batch.column(0).to_pylist(),
+                    batch.column(1).to_pylist(),
+                    batch.column(2).to_pylist(),
+                    batch.column(3).to_pylist(),
+                )
+            )
+        if not rows:
+            return
+        if (
+            len(rows) >= _FOLD_DECODE_MIN_ROWS
+            and sum(len(r[1]) for r in rows) >= 4_000_000
+        ):
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=_FOLD_DECODE_THREADS) as pool:
+                decoded = list(pool.map(lambda r: Sketch.from_bytes(r[1]), rows))
+        else:
+            decoded = [Sketch.from_bytes(r[1]) for r in rows]
         accs: dict[str, Sketch] = {}
         ns: dict[str, int] = {}
         ovs: dict[str, int] = {}
-        for batch in batches:
-            names = batch.column(0).to_pylist()
-            blobs = batch.column(1).to_pylist()
-            counts = batch.column(2).to_pylist()
-            overflows = batch.column(3).to_pylist()
-            for name, blob, cnt, ov in zip(names, blobs, counts, overflows):
-                sk = Sketch.from_bytes(blob)
-                if name in accs:
-                    ovs[name] = ovs.get(name, 0) + _merge_into(
-                        accs[name], sk, dedup=dedups.get(name, True)
-                    )
-                else:
-                    accs[name] = sk
-                ns[name] = ns.get(name, 0) + cnt
-                ovs[name] = ovs.get(name, 0) + ov
-        if not accs:
-            return
+        for (name, _blob, cnt, ov), sk in zip(rows, decoded):
+            if name in accs:
+                ovs[name] = ovs.get(name, 0) + _merge_into(
+                    accs[name], sk, dedup=dedups.get(name, True)
+                )
+            else:
+                accs[name] = sk
+            ns[name] = ns.get(name, 0) + cnt
+            ovs[name] = ovs.get(name, 0) + ov
         keys = sorted(accs)
         yield pa.RecordBatch.from_pydict(
             {

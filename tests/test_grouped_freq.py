@@ -404,3 +404,27 @@ def test_grouped_quantiles_hotkey_prereduce_identical_and_bounded(spark):
     for q, name in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
         idx = min(max(int(np.ceil(q * n_hot)) - 1, 0), n_hot - 1)
         assert hot[name] == hx[idx]
+
+
+def test_skew_probe_memoization(spark):
+    """The sampled skew probe memoizes per (plan semanticHash, threshold):
+    a second call with the same input plan must not run another Spark job."""
+    import importlib
+
+    gk = importlib.import_module("guava_probably_spark.operators.grouped_kll")
+
+    pdf = pd.DataFrame({"g": [f"k{i % 5}" for i in range(1000)], "x": range(1000)})
+    df = spark.createDataFrame(pdf)
+    narrow = df.select(F.col("g").alias("k"), F.col("x").cast("double").alias("v"))
+    gk._PROBE_CACHE.clear()
+    r1 = gk._skew_probe(narrow, 4096)
+    assert len(gk._PROBE_CACHE) == 1
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    r2 = gk._skew_probe(narrow, 4096)
+    after = tracker.getJobIdsForGroup(None)
+    assert r2 == r1
+    assert before == after, "memoized probe must not launch a Spark job"
+    # a different threshold is a different cache entry
+    gk._skew_probe(narrow, 128)
+    assert len(gk._PROBE_CACHE) == 2
