@@ -164,6 +164,28 @@ def main() -> None:
         fmt(concat_group_texts(docs, "source", "doc_id", "text")),
     ))
 
+    from guava_probably_spark.operators import grouped_kll
+
+    sections.append((
+        "Grouped KLL — two-phase skew armor (pre_reduce=True)",
+        "Phase 1 (`MapInArrow` directly over the scan) pre-builds partial "
+        "sketch blobs for per-partition-hot keys and forwards cold rows "
+        "raw; the ONE Exchange above it carries the mixed narrow stream "
+        "(8-byte values + KB blobs), never a hot key's raw row set; phase "
+        "2 merges per key. The default `pre_reduce=\"auto\"` picks this "
+        "plan only when the sampled skew probe fires — unskewed inputs "
+        "keep the single-phase shape (no first MapInArrow).",
+        fmt(grouped_kll(events, "event_type", "value", k=64, pre_reduce=True)),
+    ))
+    sections.append((
+        "Grouped HLL — JVM prehash (prehash=True)",
+        "NO Python node below the Exchange: the value column is hashed by "
+        "codegen `xxhash64` inside the scan projection, so only "
+        "(key, int64) rows cross into Python after the shuffle — a wide "
+        "text column never pays the Arrow IPC.",
+        fmt(grouped_hll(events, "event_type", "user_id", p=12, prehash=True)),
+    ))
+
     out = [
         "# Physical plans of the core operators",
         "",
