@@ -176,3 +176,62 @@ def test_fingerprints_are_batch_layout_invariant(docs, data):
         got_min = sigs_of(texts, ids)
         for i in ids:
             assert got_min[i] == ref_min[i], (i, docs[i])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),              # key id
+            st.one_of(
+                st.integers(-50, 50).map(float),
+                st.just(float("nan")),
+                st.none(),
+            ),
+        ),
+        min_size=0,
+        max_size=300,
+    ),
+    st.integers(1, 4),
+)
+def test_grouped_quantiles_counted_runs_property(rows, n_chunks):
+    """Property: the counted-run quantile kernel (pre-reduced input) equals
+    the raw-row kernel for any key/value multiset, chunking, and null/NaN
+    mix — nearest-rank over run cumulative counts is the same order
+    statistic (the exactness claim behind grouped_quantiles' skew armor)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from guava_probably_spark.operators.grouped_quantiles import (
+        _build_stage,
+        _prereduce_stage,
+    )
+
+    keys = pa.array([f"k{k}" for k, _ in rows], type=pa.string())
+    vals = pa.array([v for _, v in rows], type=pa.float64())
+    # split into chunks to exercise multi-batch gathering
+    n = len(rows)
+    bounds = sorted({0, n} | set(range(0, n, max(1, n // n_chunks))))
+    batches = [
+        pa.RecordBatch.from_arrays(
+            [keys.slice(a, b - a), vals.slice(a, b - a)], names=["k", "v"]
+        )
+        for a, b in zip(bounds, bounds[1:])
+    ]
+
+    def run(stage_batches):
+        out = list(_build_stage((0.25, 0.5, 0.9))(iter(stage_batches)))
+        if not out:
+            return {}
+        tbl = pa.Table.from_batches(out)
+        return {
+            tbl.column("key")[i].as_py(): tuple(
+                tbl.column(c)[i].as_py() for c in ("n", "q25", "q50", "q90")
+            )
+            for i in range(tbl.num_rows)
+        }
+
+    raw = run(batches)
+    reduced = list(_prereduce_stage()(iter(batches)))
+    combined = run(reduced)
+    assert raw == combined

@@ -235,3 +235,42 @@ def test_kll_rank_scalar_returns_float():
     assert isinstance(r, float) and abs(r - 0.5) < 0.1
     arr = sk.rank([100.0, 900.0])
     assert isinstance(arr, np.ndarray) and len(arr) == 2
+
+
+def test_fold_sketch_rows_threaded_decode_equals_sequential():
+    """The gated thread-pool decode (≥8 blob rows AND ≥4MB) must produce
+    the same fold as the sequential path — merge order is input order in
+    both."""
+    import numpy as np
+
+    from guava_probably_spark.operators import build as build_mod
+    from guava_probably_spark.operators.build import fold_sketch_rows
+    from guava_probably_spark.sketches import SketchSpec
+    from guava_probably_spark.sketches.base import FUNNEL_LONG
+
+    rng = np.random.default_rng(21)
+    spec = SketchSpec("bloom", {"capacity": 2_000_000, "fpp": 0.01})
+    rows = []
+    members = []
+    for i in range(10):
+        sk = spec.create()
+        sk.funnel = FUNNEL_LONG
+        vals = rng.choice(10**10, 50_000, replace=False) + i * 10**10
+        sk.update(vals)
+        members.append(vals[:100])
+        rows.append((sk.to_bytes(), 50_000, 0))
+    total_bytes = sum(len(r[0]) for r in rows)
+    assert total_bytes >= 4_000_000, "fixture must cross the thread gate"
+
+    acc_t, n_t, ov_t = fold_sketch_rows(list(rows), dedup=True)
+    # force the sequential path by raising the gate
+    old = build_mod._FOLD_DECODE_MIN_ROWS
+    build_mod._FOLD_DECODE_MIN_ROWS = 10**9
+    try:
+        acc_s, n_s, ov_s = fold_sketch_rows(list(rows), dedup=True)
+    finally:
+        build_mod._FOLD_DECODE_MIN_ROWS = old
+    assert (n_t, ov_t) == (n_s, ov_s)
+    assert acc_t.to_bytes() == acc_s.to_bytes()
+    for vals in members:
+        assert acc_t.might_contain_batch(vals).all()
