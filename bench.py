@@ -513,6 +513,20 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     warmed("q_simhash_fast_docs", simhash_bulk)
 
+    def winnow_boilerplate():
+        # substring-granularity dedup (pipeline/winnow.py): exact pairs
+        # sharing a verbatim >=99-char span — the boilerplate/license-text
+        # config; finds exactly the ~5k planted exact-copy pairs. The
+        # fingerprint density is 2/(window+1) of positions, so window=50
+        # keeps the bucket join at ~5M rows over 400k docs.
+        from guava_probably_spark.pipeline.winnow import repeated_substring_pairs
+
+        return repeated_substring_pairs(
+            big_docs, "doc_id", "text", min_len=99, window=50
+        ).count()
+
+    warmed("q_winnow_boilerplate_docs", winnow_boilerplate)
+
     from guava_probably_spark.operators.grouped_quantiles import quantile_trim
     from guava_probably_spark.pipeline.components import connected_components
     from guava_probably_spark.pipeline.sampling import hash_sample, hash_split

@@ -173,11 +173,29 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two pair-granularity dedup surfaces in one row: SimHash near-dup
+    pairs (whole-document similarity) UNION winnowing repeated-substring
+    pairs (pipeline/winnow.py — exact 'share a verbatim ≥20-char
+    substring' semantics; the oracle recomputes them with a full t-gram
+    self-join, so both the winnowing recall guarantee and the exact verify
+    are hash-checked)."""
+    from guava_probably_spark.pipeline.winnow import repeated_substring_pairs
+
     docs = _t(spark, sf_dir, "documents")
     sim = simhash_df(_aug_simhash(docs), "doc_id", "text")
-    return simhash_near_pairs(sim, max_hamming=3).select(
-        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    near = simhash_near_pairs(sim, max_hamming=3).select(
+        F.lit("simhash").alias("kind"),
+        "a",
+        "b",
+        F.col("hamming").cast("long").alias("score"),
     )
+    sub = repeated_substring_pairs(docs, "doc_id", "text", min_len=20).select(
+        F.lit("substring20").alias("kind"),
+        "a",
+        "b",
+        F.lit(20).cast("long").alias("score"),
+    )
+    return near.unionByName(sub)
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,7 +719,17 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"(SELECT doc_id AS id, {textexpr.rolling_hash_expr('text', 'duck')} "
             f"AS roll_fp FROM documents) r ON s.id = r.id"
         ),
-        "simhash_near_pairs": _simhash_pairs_sql(),
+        "simhash_near_pairs": (
+            f"SELECT 'simhash' AS kind, a, b, hamming AS score "
+            f"FROM ({_simhash_pairs_sql()}) "
+            "UNION ALL "
+            "SELECT 'substring20', a, b, CAST(20 AS BIGINT) FROM ("
+            "WITH g AS (SELECT doc_id, unnest([substr(text, i, 20) "
+            "for i in range(1, greatest(length(text) - 18, 1))]) AS gram "
+            "FROM documents) "
+            "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+            "FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id)"
+        ),
         "embedding_neardup_pairs": (
             f"WITH aug AS ({_AUG_EMB_SQL}) "
             "SELECT x.vec_id AS a, y.vec_id AS b FROM aug x "
