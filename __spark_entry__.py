@@ -206,7 +206,9 @@ def _q_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(A∪B)∪C == A∪(B∪C) on 3 splits of events.user_id — blob byte-equality
-    for bloom/hll/cms; bound/zero-FN preservation for cuckoo/kll/tdigest."""
+    for bloom/hll/cms; bound/zero-FN preservation for cuckoo/kll/tdigest;
+    exact count/Frobenius additivity + certified spectral bound for fd
+    (Frequent Directions over embeddings, Ghashami et al. mergeability)."""
     import numpy as np
 
     events = _t(spark, sf_dir, "events")
@@ -262,6 +264,29 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ranks = np.searchsorted(srt, sk.quantile(qs)) / len(srt)
                 ok = ok and bool((np.abs(ranks - qs) <= sk.rank_error_bound()).all())
         rows.append(Row(kind=kind, ok=bool(ok)))
+    # fd: matrix sketch over the embeddings table. Bracketings may differ in
+    # bytes (row order inside B); the MERGEABILITY guarantee is what must hold
+    # for both: exact n/frob additivity and 0 ⪯ AᵀA − BᵀB ⪯ shift·I.
+    emb = _t(spark, sf_dir, "embeddings")
+    fd_spec = SketchSpec("fd", {"ell": 16})
+    esplits = [emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i) for i in range(3)]
+    fa, fb, fc = (collect_sketch(s, "embedding", fd_spec)[0] for s in esplits)
+    fleft = fa.copy().merge(fb.copy()).merge(fc.copy())
+    fright = fa.copy().merge(fb.copy().merge(fc.copy()))
+    x = np.asarray(
+        [r.embedding for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    frob = float((x * x).sum())
+    gram = x.T @ x
+    ok = True
+    for sk in (fleft, fright):
+        ok = ok and sk.size == len(x)
+        ok = ok and abs(sk.frob - frob) <= 1e-6 * max(frob, 1.0)
+        ok = ok and sk.shift <= 2.0 * sk.frob / sk.ell + 1e-9
+        eig = np.linalg.eigvalsh(gram - sk.gram())
+        tol = 1e-6 * max(frob, 1.0)
+        ok = ok and float(eig[0]) >= -tol and float(eig[-1]) <= sk.shift + tol
+    rows.append(Row(kind="fd", ok=bool(ok)))
     return spark.createDataFrame(rows)
 
 
@@ -1231,7 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "merge_associativity": (
             "SELECT kind, true AS ok FROM (VALUES ('bloom'), ('cuckoo'), ('hll'), "
-            "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta')) AS t(kind)"
+            "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta'), ('fd')) AS t(kind)"
         ),
         "grouped_hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "

@@ -575,6 +575,19 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
     ]
     warmed("q_ann_cosine_topk", lambda: cosine_topk(emb, qvecs, k=10).count())
 
+    def fd_build():
+        # Frequent Directions matrix sketch over the full embedding fixture:
+        # per-partition partials (O(ell*d) each) + tree merge — the pattern
+        # that turns a 10^9-row covariance/PCA pass into one reduce
+        from guava_probably_spark.operators.build import collect_sketch
+        from guava_probably_spark.sketches import SketchSpec
+
+        sk, n, _ = collect_sketch(emb, "embedding", SketchSpec("fd", {"ell": 64}))
+        assert n == extras["pipeline_vectors"]
+        return float(sk.spectral_bound())
+
+    extras["fd_spectral_bound"] = warmed("q_fd_embeddings", fd_build)
+
     def pack():
         from guava_probably_spark.pipeline.packing import pack_sequences
 

@@ -22,6 +22,7 @@ from .cuckoo import CuckooSketch, cuckoo_geometry
 from .hll import HllSketch
 from .kll import KllSketch
 from .mg import MisraGriesSketch
+from .fd import FrequentDirectionsSketch
 from .theta import ThetaSketch
 from .tdigest import TDigestSketch
 
@@ -34,6 +35,7 @@ _KINDS = {
     "tdigest": TDigestSketch,
     "mg": MisraGriesSketch,
     "theta": ThetaSketch,
+    "fd": FrequentDirectionsSketch,
 }
 
 

@@ -1,0 +1,153 @@
+"""Frequent Directions matrix sketch (sketches/fd.py): the exact spectral
+certificate (0 ⪯ AᵀA − BᵀB ⪯ shift·I, shift ≤ 2‖A‖_F²/ℓ), mergeability,
+serialization, and the distributed build through the generic
+collect_sketch machinery."""
+
+import numpy as np
+import pytest
+
+from guava_probably_spark.sketches import (
+    FrequentDirectionsSketch,
+    Sketch,
+    SketchSpec,
+)
+from guava_probably_spark.sketches.base import IncompatibleSketchError
+
+
+def _matrix(n=12_000, d=40, rank=5, noise=0.25, seed=9):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, rank)) @ rng.normal(size=(rank, d)) * 2 + (
+        rng.normal(size=(n, d)) * noise
+    )
+
+
+def _check_certificate(sk, A, ell):
+    G = A.T @ A
+    D = G - sk.gram()
+    ev = np.linalg.eigvalsh(D)
+    frob = float((A * A).sum())
+    tol = 1e-6 * frob
+    assert ev.min() >= -tol, "AᵀA − BᵀB must be PSD"
+    assert ev.max() <= sk.spectral_bound() + tol, "exact certificate violated"
+    assert sk.spectral_bound() <= 2 * frob / ell, "worst-case FD bound violated"
+
+
+def test_fd_certificate_single_stream():
+    A = _matrix()
+    sk = FrequentDirectionsSketch(ell=20)
+    for i in range(0, len(A), 700):  # uneven chunks exercise the buffer
+        sk.update(A[i : i + 700])
+    assert sk.size == len(A)
+    assert abs(sk.frob - float((A * A).sum())) < 1e-6 * sk.frob
+    _check_certificate(sk, A, 20)
+    # top directions recover the planted rank-5 subspace
+    _, _, vt = np.linalg.svd(A, full_matrices=False)
+    overlap = np.linalg.norm(sk.top_directions(5) @ vt[:5].T, 2)
+    assert overlap > 0.99
+
+
+def test_fd_merge_certificate_and_additivity():
+    A = _matrix(seed=11)
+    parts = [FrequentDirectionsSketch(ell=20) for _ in range(5)]
+    for j, p in enumerate(parts):
+        p.update(A[j::5])
+    acc = parts[0]
+    for p in parts[1:]:
+        acc.merge(Sketch.from_bytes(p.to_bytes()))  # merge through blobs
+    assert acc.size == len(A)
+    _check_certificate(acc, A, 20)
+
+
+def test_fd_batched_vs_streaming_paths():
+    """One huge update (batched single-SVD compaction) and row-at-a-time
+    streaming (2ℓ-buffer path) both carry the exact certificate and identical
+    exact invariants."""
+    A = _matrix(n=6000, d=24, seed=3)
+    big = FrequentDirectionsSketch(ell=12)
+    big.update(A)  # one call ≫ 2ℓ rows → batched path
+    small = FrequentDirectionsSketch(ell=12)
+    for row in A:
+        small.update(row)  # never exceeds the buffer → classic path
+    for sk in (big, small):
+        assert sk.size == len(A)
+        assert abs(sk.frob - float((A * A).sum())) < 1e-6 * sk.frob
+        _check_certificate(sk, A, 12)
+
+
+def test_fd_rank_deficient_exact():
+    """rank(A) ≤ ℓ → the reduction is exact: shift stays 0 and BᵀB == AᵀA."""
+    rng = np.random.default_rng(4)
+    A = rng.normal(size=(5000, 3)) @ rng.normal(size=(3, 30))  # rank 3
+    sk = FrequentDirectionsSketch(ell=8)
+    sk.update(A)
+    # shift is the (ℓ+1)-th squared singular value — numerically ~1e-27 on an
+    # exactly-rank-3 input, i.e. zero up to LAPACK noise
+    assert sk.spectral_bound() <= 1e-12 * sk.frob
+    assert np.allclose(sk.gram(), A.T @ A, rtol=1e-9, atol=1e-6)
+
+
+def test_fd_serialization_roundtrip_and_equality():
+    A = _matrix(n=3000)
+    sk = FrequentDirectionsSketch(ell=16)
+    sk.update(A)
+    blob = sk.to_bytes()
+    sk2 = Sketch.from_bytes(blob)
+    assert isinstance(sk2, FrequentDirectionsSketch)
+    assert sk2.to_bytes() == blob
+    assert sk2.size == sk.size and sk2.shift == sk.shift
+    assert np.array_equal(sk2.rows(), sk.rows())
+    assert sk2 == sk and sk.copy() == sk
+    # empty sketch round-trips too
+    e = FrequentDirectionsSketch(ell=16)
+    assert Sketch.from_bytes(e.to_bytes()).is_empty()
+
+
+def test_fd_incompatible_merges_raise():
+    a = FrequentDirectionsSketch(ell=16)
+    a.update(np.ones((4, 8)))
+    b = FrequentDirectionsSketch(ell=8)
+    b.update(np.ones((4, 8)))
+    with pytest.raises(IncompatibleSketchError):
+        a.merge(b)
+    c = FrequentDirectionsSketch(ell=16)
+    c.update(np.ones((4, 9)))  # different dimension
+    with pytest.raises(IncompatibleSketchError):
+        a.merge(c)
+    with pytest.raises(IncompatibleSketchError):
+        a.update(np.ones((2, 5)))  # dimension change mid-stream
+
+
+def test_fd_nan_rows_dropped_and_clear():
+    sk = FrequentDirectionsSketch(ell=8)
+    x = np.ones((6, 4))
+    x[2, 1] = np.nan
+    x[4, 3] = np.inf
+    sk.update(x)
+    assert sk.size == 4
+    sk.clear()
+    assert sk.is_empty() and sk.spectral_bound() == 0.0
+
+
+def test_fd_arrow_list_column_input():
+    import pyarrow as pa
+
+    sk = FrequentDirectionsSketch(ell=8)
+    col = pa.array([[1.0, 2.0], None, [3.0, 4.0]], type=pa.list_(pa.float32()))
+    sk.update(col)
+    assert sk.size == 2
+    assert np.allclose(sk.gram(), np.array([[10.0, 14.0], [14.0, 20.0]]))
+
+
+def test_fd_distributed_collect_sketch(spark):
+    """The generic partial-build + tree-merge machinery handles FD like any
+    other mergeable sketch; the exact certificate holds for the distributed
+    result."""
+    from guava_probably_spark.operators import collect_sketch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sk, n, ov = collect_sketch(emb, "embedding", SketchSpec("fd", {"ell": 24}))
+    A = np.asarray(
+        [r.embedding for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    assert n == len(A) and ov == 0
+    _check_certificate(sk, A, 24)
