@@ -3,11 +3,19 @@
 At 100 TB, image/audio/video ride along as ``binary`` columns with a typed
 metadata struct; decode and feature extraction run as Arrow-batched
 ``mapInPandas`` stages so the (large) payload bytes never round-trip
-through per-row Python pickling. The decode step itself is STUBBED here —
-the sandbox ships no image/audio codecs — behind ``decode_image``:
-``NotImplementedError`` by default, a deterministic fake in tests. The
-Spark-side plumbing (schema, Arrow batch shape, partition flow, feature
-extraction over real bytes) is real and tested.
+through per-row Python pickling.
+
+Decode status (the sandbox ships no codec libraries):
+
+- **REAL, spec-level, pure numpy/stdlib**: BMP (8/24/32-bit uncompressed),
+  PPM/PGM binary netpbm (``decode_image``), WAV RIFF PCM 16-bit
+  (``decode_audio``) — implemented from the published container formats.
+- **Honest stub**: formats that require an actual codec (JPEG/PNG/MP3/video
+  bitstreams) raise ``NotImplementedError`` naming the format; the GPMM
+  test container provides the deterministic fake path for plumbing tests.
+
+The Spark-side plumbing (schema, Arrow batch shape, partition flow, feature
+extraction over real bytes) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -70,14 +78,48 @@ def with_multimodal_payload(df: DataFrame, id_col: str, text_col: str) -> DataFr
     )
 
 
-def audio_features(payloads: DataFrame) -> DataFrame:
-    """Fake-PCM audio feature stage: the payload body (after the container
-    header) is interpreted as little-endian int16 samples — a deterministic
-    stand-in for a real audio decode, with the REAL distributed shape: Arrow
-    binary batches into vectorized numpy, no per-row Python in the math.
+def with_real_containers(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Attach REAL container payloads derived from the text: a valid 8×8
+    24-bit BMP (``bmp`` column) and a valid 16 kHz mono 16-bit PCM WAV
+    (``wav``), pixel/sample bodies = the first 192/200 UTF-8 bytes of the
+    text zero-padded. Fixed body sizes keep the container headers constant,
+    so the whole synthesis is a JVM-side projection (concat/substr/rpad on
+    binary) — no Python touches the payload until the decode stage probes
+    it. These round-trip through the REAL spec-level decoders
+    (``decode_image``/``decode_audio``), giving an oracle-checkable
+    end-to-end real-decode path with no codec library."""
+    import struct as _struct
 
-    Returns (id, n_samples, amp_sum) with amp_sum = Σ|sample| — integers a
-    local recompute can match exactly."""
+    bmp_hdr = _struct.pack("<2sIHHI", b"BM", 54 + 192, 0, 0, 54) + _struct.pack(
+        "<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, 192, 0, 0, 0, 0
+    )
+    wav_hdr = (
+        b"RIFF"
+        + _struct.pack("<I", 36 + 200)
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data"
+        + _struct.pack("<I", 200)
+    )
+    body_img = F.rpad(F.expr(f"substr(encode({text_col},'utf-8'), 1, 192)"), 192, bytes([0]))
+    body_wav = F.rpad(F.expr(f"substr(encode({text_col},'utf-8'), 1, 200)"), 200, bytes([0]))
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.concat(F.lit(bmp_hdr), body_img).alias("bmp"),
+        F.concat(F.lit(wav_hdr), body_wav).alias("wav"),
+    )
+
+
+def audio_features(payloads: DataFrame) -> DataFrame:
+    """Audio feature stage over ``decode_audio`` — REAL for RIFF/WAV PCM
+    payloads (spec-level chunk walk, no codec library), deterministic
+    int16-body interpretation for the GPMM test container — with the real
+    distributed shape: Arrow binary batches into vectorized numpy, no
+    per-row Python in the math.
+
+    Returns (id, n_samples, amp_sum) with amp_sum = Σ|sample| across all
+    channels — integers a local recompute can match exactly."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,9 +127,8 @@ def audio_features(payloads: DataFrame) -> DataFrame:
                 continue
             ns, amps = [], []
             for b in pdf["payload"]:
-                body = bytes(b)[len(_MAGIC):]
-                pcm = np.frombuffer(body[: len(body) // 2 * 2], dtype="<i2")
-                ns.append(len(pcm))
+                pcm, _rate = decode_audio(bytes(b))
+                ns.append(pcm.shape[0] * pcm.shape[1])
                 amps.append(int(np.abs(pcm.astype(np.int64)).sum()))
             yield pd.DataFrame(
                 {"id": pdf["id"].astype("int64"), "n_samples": ns, "amp_sum": amps}
@@ -166,29 +207,160 @@ def extract_binary_features(payloads: DataFrame) -> DataFrame:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an (h, w, 3) uint8 array.
 
-    The sandbox has no codec libraries: without ``fake=True`` this raises
-    ``NotImplementedError`` (clearly-marked stub per the build contract).
-    With ``fake=True`` it derives a deterministic 8×8 RGB tile from the
-    payload bytes so downstream plumbing (resize, feature-extract, batch
-    shapes) is testable end to end.
-    """
-    try:  # pragma: no cover - codec not present in this environment
-        import PIL.Image  # noqa: F401
+    REAL decode for the codec-free container formats (pure numpy, from the
+    published format specs — no library needed):
 
+    - **BMP** (``BM`` magic): uncompressed BITMAPINFOHEADER 8/24/32-bit,
+      BGR(A)→RGB, bottom-up or top-down row order, 4-byte row stride.
+    - **PPM/PGM** (``P6``/``P5`` magic): binary netpbm, maxval ≤ 255;
+      grayscale is expanded to 3 channels.
+
+    Formats that genuinely require a codec library (JPEG/PNG/GIF/WebP — not
+    shipped in this sandbox) raise ``NotImplementedError`` naming the format.
+    The deterministic GPMM test container yields an 8×8 tile derived from
+    the payload bytes when ``fake=True`` (plumbing tests), else raises.
+    """
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    named = {
+        b"\xff\xd8": "JPEG",
+        b"\x89P": "PNG",
+        b"GI": "GIF",
+        b"RI": "RIFF(WebP?)",
+    }.get(payload[:2])
+    if named:
         raise NotImplementedError(
-            "real image decode is intentionally not wired in this build"
+            f"{named} decode requires a codec library not present in this "
+            "environment (BMP/PPM/PGM decode IS implemented)"
         )
-    except ImportError:
-        pass
     if not fake:
         raise NotImplementedError(
-            "no image codec available in this environment; pass fake=True "
-            "for the deterministic test tile"
+            "unrecognized image container; supported real formats are "
+            "BMP/PPM/PGM, or pass fake=True for the deterministic test tile"
         )
     h = np.frombuffer(payload, dtype=np.uint8)
     seed = int(h.sum() % 251) if len(h) else 0
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed BMP (BITMAPINFOHEADER, BI_RGB) → (h, w, 3) uint8 RGB.
+
+    Vectorized: one frombuffer + strided reshape, no per-pixel Python."""
+    import struct as _struct
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = _struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = _struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    width, height = _struct.unpack_from("<ii", payload, 18)
+    planes, bpp = _struct.unpack_from("<HH", payload, 26)
+    compression = _struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression}) not supported")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bpp BMP not supported")
+    bottom_up = height > 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("bad BMP dimensions")
+    stride = (width * (bpp // 8) + 3) // 4 * 4
+    need = data_off + stride * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP pixel data ({len(payload)} < {need})")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=data_off)
+    rows = raw.reshape(height, stride)
+    if bpp == 8:
+        # 8-bit is palette-indexed; honor a grayscale-identity palette (the
+        # common case for scientific data), else apply the palette
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=min(1024, data_off - pal_off), offset=pal_off
+        ).reshape(-1, 4)
+        idx = rows[:, :width]
+        img = pal[idx][..., 2::-1]  # BGRA palette entries → RGB
+    else:
+        ch = bpp // 8
+        px = rows[:, : width * ch].reshape(height, width, ch)
+        img = px[..., 2::-1]  # BGR(A) → RGB, alpha dropped
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary netpbm P6 (RGB) / P5 (gray) with maxval ≤ 255 → (h, w, 3)."""
+    magic = payload[:2]
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    ch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    img = px.reshape(h, w, ch)
+    return np.ascontiguousarray(np.repeat(img, 3, axis=2) if ch == 1 else img)
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an audio payload → (int16 sample array of shape (n, channels),
+    sample_rate).
+
+    REAL decode for **WAV** (RIFF/WAVE, PCM format 1, 16-bit): direct chunk
+    walk per the RIFF spec, vectorized frombuffer — no library. The GPMM
+    test container decodes its body as little-endian int16 mono at the fake
+    16 kHz rate (the deterministic plumbing path). Compressed formats raise.
+    """
+    import struct as _struct
+
+    if payload[:4] == _MAGIC:
+        body = payload[len(_MAGIC):]
+        pcm = np.frombuffer(body[: len(body) // 2 * 2], dtype="<i2")
+        return pcm.reshape(-1, 1), 16000
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        named = {b"ID3": "MP3", b"Ogg": "OGG", b"fLa": "FLAC"}.get(payload[:3])
+        if named:
+            raise NotImplementedError(
+                f"{named} decode requires a codec library not present in "
+                "this environment (WAV PCM decode IS implemented)"
+            )
+        raise ValueError("not a RIFF/WAVE or GPMM audio payload")
+    pos, rate, channels, bits, fmt = 12, None, None, None, None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = _struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = _struct.unpack_from("<HHI", body, 0)
+            bits = _struct.unpack_from("<H", body, 14)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM 16-bit WAV is supported (got format {fmt}, {bits}-bit)"
+        )
+    pcm = np.frombuffer(data[: len(data) // (2 * channels) * 2 * channels], dtype="<i2")
+    return pcm.reshape(-1, channels), int(rate)
 
 
 def frame_sample(payload: bytes, n_frames: int = 4, fake: bool = False) -> list[np.ndarray]:
