@@ -138,6 +138,26 @@ def test_fd_arrow_list_column_input():
     assert np.allclose(sk.gram(), np.array([[10.0, 14.0], [14.0, 20.0]]))
 
 
+def test_fd_grouped_build(spark):
+    """Per-key FD sketches through the generic salted two-phase
+    `build_grouped` (phase-2 partial merge exercises FD mergeability under
+    the hot-key split): the certificate holds per group."""
+    from guava_probably_spark.operators import build_grouped
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    g = build_grouped(emb, "label", "embedding", SketchSpec("fd", {"ell": 12}), salt=4)
+    data = {}
+    for r in emb.select("label", "embedding").collect():
+        data.setdefault(r.label, []).append(r.embedding)
+    rows = g.collect()
+    assert len(rows) == len(data)
+    for r in rows:
+        sk = Sketch.from_bytes(r.sketch)
+        A = np.asarray(data[r.label], dtype=np.float64)
+        assert r.n == len(A) and sk.size == len(A)
+        _check_certificate(sk, A, 12)
+
+
 def test_fd_distributed_collect_sketch(spark):
     """The generic partial-build + tree-merge machinery handles FD like any
     other mergeable sketch; the exact certificate holds for the distributed
