@@ -5,6 +5,8 @@ collect_sketch machinery."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from guava_probably_spark.sketches import (
     FrequentDirectionsSketch,
@@ -136,6 +138,39 @@ def test_fd_arrow_list_column_input():
     sk.update(col)
     assert sk.size == 2
     assert np.allclose(sk.gram(), np.array([[10.0, 14.0], [14.0, 20.0]]))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    d=st.integers(1, 12),
+    ell=st.integers(2, 16),
+    n_parts=st.integers(1, 5),
+    seed=st.integers(0, 2**31 - 1),
+    scale=st.sampled_from([1e-6, 1.0, 1e6]),
+)
+def test_fd_certificate_property(n, d, ell, n_parts, seed, scale):
+    """Adversarial shapes (d=1, ℓ>d, tiny n, extreme scales, random split
+    counts): the exact certificate and exact additivity hold for the sketch
+    built from any partition split and blob round-trip."""
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, d)) * scale
+    parts = [FrequentDirectionsSketch(ell=ell) for _ in range(n_parts)]
+    for j, p in enumerate(parts):
+        if len(A[j::n_parts]):
+            p.update(A[j::n_parts])
+    acc = parts[0]
+    for p in parts[1:]:
+        acc.merge(Sketch.from_bytes(p.to_bytes()))
+    assert acc.size == n
+    frob = float((A * A).sum())
+    assert abs(acc.frob - frob) <= 1e-9 * max(frob, 1e-300)
+    assert acc.shift <= 2.0 * frob / ell + 1e-9 * frob
+    D = A.T @ A - acc.gram()
+    ev = np.linalg.eigvalsh(D)
+    tol = 1e-6 * max(frob, 1e-300)
+    assert ev.min() >= -tol
+    assert ev.max() <= acc.shift + tol
 
 
 def test_fd_grouped_build(spark):
