@@ -65,16 +65,28 @@ class FrequentDirectionsSketch(Sketch):
             return b""
         return np.ascontiguousarray(self._buf[: self._filled]).tobytes()
 
+    # decode sanity caps: a corrupt params block must raise ValueError, not
+    # attempt a multi-TB buffer allocation (ell/d are u32 in the wire format)
+    _MAX_ELL = 1 << 20
+    _MAX_D = 1 << 20
+
     @classmethod
     def _from_parts(
         cls, funnel: int, params: bytes, payload: bytes
     ) -> "FrequentDirectionsSketch":
         ell, d, count, frob, shift = struct.unpack_from("<IIqdd", params, 0)
+        if not (2 <= ell <= cls._MAX_ELL) or d > cls._MAX_D or count < 0:
+            raise ValueError(f"implausible fd params (ell={ell}, d={d}, n={count})")
         sk = cls(ell=ell, d=d or None)
         sk._count = count
         sk.frob = frob
         sk.shift = shift
         if payload and d:
+            if len(payload) % (8 * d) or len(payload) // (8 * d) > 2 * ell:
+                raise ValueError(
+                    f"fd payload of {len(payload)} bytes does not fit "
+                    f"<= {2 * ell} rows x {d} float64"
+                )
             rows = np.frombuffer(payload, dtype=np.float64).reshape(-1, d).copy()
             sk._ensure_buf(d)
             sk._buf[: len(rows)] = rows

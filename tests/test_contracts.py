@@ -153,15 +153,20 @@ def test_from_bytes_corruption_always_raises_valueerror():
     all_specs = SPECS + [
         SketchSpec("mg", {"k": 64, "funnel": FUNNEL_UTF8}),
         SketchSpec("theta", {"k": 256}),
+        SketchSpec("fd", {"ell": 16}),
     ]
     vals = _data(2000)
     for spec in all_specs:
         sk = spec.create()
-        try:
-            sk.update(vals)
-        except IncompatibleSketchError:
-            sk.update([f"item-{v}" for v in vals[:500]])
-        blob = sk.to_bytes()
+        if spec.kind == "fd":
+            sk.update(np.asarray(vals, dtype=np.float64).reshape(-1, 8))
+            blob = sk.to_bytes()
+        else:
+            try:
+                sk.update(vals)
+            except IncompatibleSketchError:
+                sk.update([f"item-{v}" for v in vals[:500]])
+            blob = sk.to_bytes()
         r = random.Random(spec.kind)
         for _ in range(150):
             b = bytearray(blob)
