@@ -118,6 +118,23 @@ def hll_cardinality():
 
 
 @functools.cache
+def hll_fold(p: int):
+    """Fold HLL blobs to a coarser precision p (EXACT — byte-identical to a
+    direct build at p; see HllSketch.fold_to). Lets sketch tables built at
+    different precisions merge: fold the finer column first, then
+    sketch_merge as usual."""
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def f(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [Sketch.from_bytes(b).fold_to(p).to_bytes() for b in blobs]
+        )
+
+    return f
+
+
+@functools.cache
 def sketch_size():
     @pandas_udf(LongType())
     def f(blobs: pd.Series) -> pd.Series:
@@ -192,6 +209,24 @@ def register_sql(spark: SparkSession) -> None:
     spark.udf.register("sketch_expected_fpp", sketch_expected_fpp())
     spark.udf.register("sketch_merge", sketch_merge_udf())
     spark.udf.register("sketch_intersect", sketch_intersect_udf())
+    spark.udf.register("hll_fold", _hll_fold_sql())
+
+
+@functools.cache
+def _hll_fold_sql():
+    """SQL form of hll_fold: hll_fold(sketch, p) with p as a column/literal."""
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def f(blobs: pd.Series, ps: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                Sketch.from_bytes(b).fold_to(int(p)).to_bytes()
+                for b, p in zip(blobs, ps)
+            ]
+        )
+
+    return f
 
 
 def composite_key(*cols):

@@ -178,6 +178,37 @@ class HllSketch(Sketch):
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
+    def fold_to(self, p: int) -> "HllSketch":
+        """EXACT precision fold p₁ → p ≤ p₁: returns a new sketch
+        byte-identical to one built directly at precision p from the same
+        elements — so tables of sketches built at different precisions can
+        merge (fold the finer one first).
+
+        Why exact: for an element with high-p index i₁ and register value
+        ρ₁, the low-p remaining-bit stream is [low s=p₁−p bits of i₁][old
+        stream]. If those s bits are nonzero, the new ρ is their
+        leading-zero count + 1 (the same for every element in bucket i₁ —
+        independent of ρ₁); if zero, the new ρ is s + ρ₁. max() commutes
+        with both maps, so folding registers equals folding elements."""
+        if not 4 <= p <= self.p:
+            raise ValueError(f"can only fold to 4 <= p <= {self.p}, got {p}")
+        out = HllSketch(p, self.funnel)
+        if p == self.p:
+            out.registers = self.registers.copy()
+            return out
+        s = self.p - p
+        r1 = self.registers
+        idx1 = np.arange(self.m, dtype=np.uint64)
+        discarded = idx1 & np.uint64((1 << s) - 1)
+        # leading-zero rho of the s discarded bits (s+1 where they are 0)
+        rho_d = _leading_zero_rho(discarded << np.uint64(64 - s), s)
+        contrib = np.where(
+            discarded == 0, r1.astype(np.uint32) + np.uint32(s), rho_d.astype(np.uint32)
+        )
+        vals = np.where(r1 > 0, contrib, 0).astype(np.uint8)
+        np.maximum.at(out.registers, (idx1 >> np.uint64(s)).astype(np.int64), vals)
+        return out
+
     def relative_error_bound(self, nsigma: float = 3.0) -> float:
         return nsigma * 1.04 / math.sqrt(self.m)
 

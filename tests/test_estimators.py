@@ -30,6 +30,39 @@ def test_hll_duplicates_dont_inflate():
     assert err <= sk.relative_error_bound(3.0)
 
 
+@pytest.mark.parametrize("p1,p2", [(14, 12), (14, 8), (12, 4), (16, 11), (18, 14)])
+def test_hll_fold_byte_identical_to_direct_build(p1, p2):
+    """fold_to is EXACT: the folded sketch is byte-identical to one built
+    directly at the coarser precision from the same elements (the fold map
+    commutes with per-register max — see HllSketch.fold_to)."""
+    rng = np.random.default_rng(p1 * 100 + p2)
+    vals = rng.integers(0, 2**62, size=150_000)
+    hi = HllSketch(p=p1, funnel=FUNNEL_LONG)
+    hi.update(vals)
+    direct = HllSketch(p=p2, funnel=FUNNEL_LONG)
+    direct.update(vals)
+    assert hi.fold_to(p2).to_bytes() == direct.to_bytes()
+    assert hi.fold_to(p1).to_bytes() == hi.to_bytes()  # same-p fold = copy
+
+
+def test_hll_fold_enables_mixed_precision_merge():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 2**62, size=100_000)
+    fine = HllSketch(p=14, funnel=FUNNEL_LONG)
+    fine.update(vals[:50_000])
+    coarse = HllSketch(p=12, funnel=FUNNEL_LONG)
+    coarse.update(vals[50_000:])
+    assert not fine.is_compatible(coarse)
+    merged = fine.fold_to(12).merge(coarse)
+    direct = HllSketch(p=12, funnel=FUNNEL_LONG)
+    direct.update(vals)
+    assert merged.to_bytes() == direct.to_bytes()
+    with pytest.raises(ValueError):
+        coarse.fold_to(14)  # can't refine
+    with pytest.raises(ValueError):
+        coarse.fold_to(3)  # below the minimum precision
+
+
 def test_hll_merge_is_union_not_sum():
     a, b = HllSketch(12, funnel=FUNNEL_LONG), HllSketch(12, funnel=FUNNEL_LONG)
     vals = np.arange(20000, dtype=np.int64)

@@ -481,6 +481,33 @@ def test_cube_sketches_and_sql_setops(spark, lineitem):
         assert r.common == float(exact_common), (r.ta, r.tb)
 
 
+def test_hll_fold_sql_mixed_precision_rollup(spark):
+    """Mixed-precision rollup through the SQL surface: per-group p=14
+    sketches folded to p=12 via hll_fold and merged equal a direct global
+    p=12 build BYTE-FOR-BYTE (fold commutes with per-register max, so the
+    whole distributed pipeline is exact)."""
+    import os as _os
+
+    from guava_probably_spark.operators import build_grouped, collect_sketch
+
+    register_sql(spark)
+    events = spark.read.parquet(
+        _os.path.join(
+            _os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+            "events.parquet",
+        )
+    )
+    g = build_grouped(events, "event_type", "user_id", SketchSpec("hll", {"p": 14}))
+    g.createOrReplaceTempView("hll14_v")
+    folded = spark.sql("SELECT hll_fold(sketch, 12) AS sketch FROM hll14_v").collect()
+    acc = None
+    for r in folded:
+        sk = Sketch.from_bytes(r.sketch)
+        acc = sk if acc is None else acc.merge(sk)
+    direct, _, _ = collect_sketch(events, "user_id", SketchSpec("hll", {"p": 12}))
+    assert acc.to_bytes() == direct.to_bytes()
+
+
 def test_build_grouped_cuckoo_overflow_raises_loudly(spark):
     """build_grouped's output schema has no overflow column, so a group
     exceeding cuckoo capacity must raise instead of silently dropping
