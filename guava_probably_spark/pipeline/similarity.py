@@ -83,6 +83,51 @@ def cosine_topk(
     )
 
 
+def pca_project(
+    emb: DataFrame,
+    directions,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto k principal directions — the FD-sketch
+    composition for ANN at scale: ``collect_sketch(emb, vec, fd)`` →
+    ``sk.top_directions(k)`` → project 128-dim float32 vectors down to k
+    dims, then run cosine_topk / IVF in the reduced space.
+
+    One broadcast of the (k, d) matrix inside a ``mapInArrow`` closure;
+    per-partition blocked matmul; output rebuilt as an Arrow list column
+    from the flat values buffer (no per-row Python objects). The scan is the
+    only cost — at 10^11 vectors the projected table is d/k× smaller, which
+    is the win every downstream pass inherits.
+
+    Exactness note: if the corpus is (numerically) rank ≤ k, FD's reduction
+    is exact (shift = 0) and the projection preserves all pairwise inner
+    products — verified in tests by top-k equality against the full-dim
+    search."""
+    v = np.ascontiguousarray(np.asarray(directions, dtype=np.float64))
+    if v.ndim != 2:
+        raise ValueError(f"directions must be (k, d), got shape {v.shape}")
+    k = v.shape[0]
+    out_schema = f"{id_col} long, {vec_col} array<float>"
+
+    def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            m = _mat(batch.column(1))
+            proj = (m @ v.T).astype(np.float32)
+            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * k)
+            lists = pa.ListArray.from_arrays(
+                offsets, pa.array(proj.ravel(), type=pa.float32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0).cast(pa.int64()), lists], names=[id_col, vec_col]
+            )
+
+    return emb.select(F.col(id_col).cast("long"), vec_col).mapInArrow(stage, out_schema)
+
+
 def hyperplane_signatures(
     emb: DataFrame,
     n_planes: int = 16,

@@ -193,6 +193,40 @@ def test_fd_grouped_build(spark):
         _check_certificate(sk, A, 12)
 
 
+def test_fd_pca_projection_preserves_topk(spark):
+    """The FD → top_directions → pca_project → cosine_topk composition: on
+    a (numerically) rank-r corpus with r ≤ ell, FD is exact, projecting to
+    r dims preserves all inner products, and the reduced-space top-k equals
+    the full-dim top-k exactly."""
+    from guava_probably_spark.operators import collect_sketch
+    from guava_probably_spark.pipeline.similarity import cosine_topk, pca_project
+
+    rng = np.random.default_rng(21)
+    r, d, n = 5, 32, 2000
+    A = (rng.normal(size=(n, r)) @ rng.normal(size=(r, d))).astype(np.float32)
+    rows = [(i, [float(x) for x in A[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(4)
+
+    sk, cnt, _ = collect_sketch(emb, "embedding", SketchSpec("fd", {"ell": 16}))
+    assert cnt == n and sk.spectral_bound() <= 1e-9 * sk.frob  # exact reduction
+    dirs = sk.top_directions(r)
+
+    proj = pca_project(emb, dirs)
+    # distributed projection equals the local matmul
+    got = {row.vec_id: np.asarray(row.embedding) for row in proj.collect()}
+    exp = (A.astype(np.float64) @ dirs.T).astype(np.float32)
+    for i in range(n):
+        assert np.allclose(got[i], exp[i], rtol=1e-5, atol=1e-5)
+
+    queries = [(i, [float(x) for x in A[i]]) for i in range(8)]
+    full = {(row.query_id, row.rank): row.neighbor_id
+            for row in cosine_topk(emb, queries, k=5).collect()}
+    pq = [(i, [float(x) for x in exp[i]]) for i in range(8)]
+    red = {(row.query_id, row.rank): row.neighbor_id
+           for row in cosine_topk(proj, pq, k=5).collect()}
+    assert full == red
+
+
 def test_fd_distributed_collect_sketch(spark):
     """The generic partial-build + tree-merge machinery handles FD like any
     other mergeable sketch; the exact certificate holds for the distributed
