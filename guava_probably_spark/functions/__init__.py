@@ -209,12 +209,17 @@ def register_sql(spark: SparkSession) -> None:
     spark.udf.register("sketch_expected_fpp", sketch_expected_fpp())
     spark.udf.register("sketch_merge", sketch_merge_udf())
     spark.udf.register("sketch_intersect", sketch_intersect_udf())
-    spark.udf.register("hll_fold", _hll_fold_sql())
+    spark.udf.register("hll_fold", _sketch_fold_sql())
+    spark.udf.register("sketch_fold", _sketch_fold_sql())
 
 
 @functools.cache
-def _hll_fold_sql():
-    """SQL form of hll_fold: hll_fold(sketch, p) with p as a column/literal."""
+def _sketch_fold_sql():
+    """SQL fold to a coarser parameter: ``sketch_fold(sketch, param)`` —
+    HLL blobs fold to precision ``param`` (byte-identical to a direct build,
+    see HllSketch.fold_to), theta blobs to a smaller k (same exactness, see
+    ThetaSketch.fold_to). Kinds without fold_to raise AttributeError →
+    surfaced as a task error, never a silent wrong blob."""
     from pyspark.sql.types import BinaryType
 
     @pandas_udf(BinaryType())

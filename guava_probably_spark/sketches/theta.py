@@ -121,6 +121,18 @@ class ThetaSketch(Sketch):
         self._fold(np.unique(np.concatenate([a, b])))
         return self
 
+    def fold_to(self, k: int) -> "ThetaSketch":
+        """EXACT fold to a smaller k: the k₂ smallest of the k₁ smallest
+        distinct hashes ARE the k₂ smallest of the whole stream, so the
+        folded sketch is byte-identical to one built directly at k₂ —
+        tables of theta sketches built at different k can merge (fold the
+        finer one first)."""
+        if not 16 <= k <= self.k:
+            raise ValueError(f"can only fold to 16 <= k <= {self.k}, got {k}")
+        out = ThetaSketch(k, self.funnel)
+        out.hashes = self.hashes[: min(len(self.hashes), k)].copy()
+        return out
+
     # -- estimates ------------------------------------------------------------
     def estimate(self) -> float:
         n = len(self.hashes)

@@ -66,6 +66,41 @@ def test_theta_setops_bounded():
     assert abs(a.difference_estimate(b) - (n - overlap)) <= i_bound + rel * n
 
 
+@pytest.mark.parametrize("k1,k2", [(4096, 256), (1024, 1023), (512, 16)])
+def test_theta_fold_byte_identical_to_direct_build(k1, k2):
+    """fold_to is EXACT: the k₂ smallest of the k₁ smallest distinct hashes
+    are the k₂ smallest of the stream, so the folded blob equals a direct
+    k₂ build byte-for-byte (saturated and unsaturated inputs)."""
+    from guava_probably_spark.sketches.base import FUNNEL_LONG
+
+    rng = np.random.default_rng(k1 + k2)
+    for n in (max(2, k2 // 2), 50_000):  # below and above saturation
+        vals = rng.integers(0, 2**62, size=n)
+        hi = ThetaSketch(k=k1, funnel=FUNNEL_LONG)
+        hi.update(vals)
+        lo = ThetaSketch(k=k2, funnel=FUNNEL_LONG)
+        lo.update(vals)
+        assert hi.fold_to(k2).to_bytes() == lo.to_bytes(), n
+
+
+def test_theta_fold_enables_mixed_k_merge():
+    from guava_probably_spark.sketches.base import FUNNEL_LONG
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 2**62, size=60_000)
+    fine = ThetaSketch(k=16384, funnel=FUNNEL_LONG)
+    fine.update(vals[:30_000])
+    coarse = ThetaSketch(k=4096, funnel=FUNNEL_LONG)
+    coarse.update(vals[30_000:])
+    assert not fine.is_compatible(coarse)
+    merged = fine.fold_to(4096).merge(coarse)
+    direct = ThetaSketch(k=4096, funnel=FUNNEL_LONG)
+    direct.update(vals)
+    assert merged.to_bytes() == direct.to_bytes()
+    with pytest.raises(ValueError):
+        coarse.fold_to(16384)
+
+
 def test_theta_serialization_and_incompatible():
     sk = ThetaSketch(k=64)
     sk.update(_items(0, 1000))
