@@ -650,6 +650,25 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     warmed("q_interleave_sources_docs", interleave)
 
+    def ngram_decontam():
+        # GPT-3-style n-gram decontamination: 400k-doc train corpus explodes
+        # to ~15M 13-grams JVM-side, collapses to ONE bloom blob, then a
+        # broadcast probe + per-doc aggregation over a 4k-doc eval set
+        from guava_probably_spark.pipeline.contamination import (
+            ngram_overlap_contamination,
+        )
+
+        ev = big_docs.filter(F.col("doc_id") % 100 == 0)
+        out = ngram_overlap_contamination(
+            big_docs, ev, "doc_id", "text", n=13, threshold=0.8, fpp=1e-4
+        )
+        # every eval doc IS in train → all contaminated; agg forces the probe
+        return out.agg(
+            F.sum(F.col("contaminated").cast("long")), F.sum("hits")
+        ).collect()[0][0]
+
+    extras["ngram_decontam_flagged"] = warmed("q_ngram_decontam_docs", ngram_decontam)
+
     # IVF scale path: codebook trained once (offline in production), search
     # prunes to nprobe/nlist of the corpus — the 10^9-vector answer
     from guava_probably_spark.pipeline.ivf import assign_lists, ivf_topk, train_codebook

@@ -67,3 +67,75 @@ def flag_contaminated(
         .join(confirmed, "id", "left")
         .select("id", F.coalesce(F.col("leaked"), F.lit(False)).alias("leaked"))
     )
+
+
+def _ngram_col(text_col: str, n: int):
+    """Word n-grams of the normalized text as an array<string> column —
+    lowercase, punctuation stripped, whitespace-split, n-token windows
+    joined by single spaces. Pure JVM (lower/regexp/split/transform/slice):
+    no Python touches the corpus."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]+", " ")
+    toks = F.split(F.trim(F.regexp_replace(norm, r"\s+", " ")), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    # sequence(1, stop) DESCENDS when stop < 1, so gate on size >= n
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_overlap_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    threshold: float = 0.5,
+    fpp: float = 1e-6,
+    capacity: int | None = None,
+) -> DataFrame:
+    """N-gram-level decontamination (the GPT-3-appendix recipe): an eval doc
+    is contaminated when ≥ ``threshold`` of its word ``n``-grams appear
+    anywhere in the training corpus — catching partial leaks (a benchmark
+    question embedded in a larger page) that whole-document fingerprints
+    miss.
+
+    Scale shape mirrors ``flag_contaminated``: the training side collapses
+    to ONE Bloom blob over its exploded n-grams (tree-merged partials, no
+    raw-row shuffle — explode is a projection), then a broadcast probe of
+    the eval n-grams and a per-doc aggregation. Zero false negatives by the
+    filter contract, so no leaked n-gram escapes; false positives inflate
+    ``overlap`` by ≤ fpp in expectation (conservative direction).
+
+    Returns (id, ngrams, hits, overlap, contaminated); docs with fewer than
+    n tokens have ngrams=0, overlap=0.0, contaminated=false.
+    """
+    from guava_probably_spark.functions import might_contain_udf
+    from guava_probably_spark.operators import collect_sketch
+
+    spark = train.sparkSession
+    train_ng = train.select(F.explode(_ngram_col(text_col, n)).alias("ng"))
+    cap = capacity or train_ng.count()
+    sk, _, _ = collect_sketch(
+        train_ng, "ng", SketchSpec("bloom", {"capacity": max(cap, 1024), "fpp": fpp})
+    )
+    probe = might_contain_udf(spark, sk.to_bytes())
+    ev = eval_df.select(
+        F.col(id_col).alias("id"), F.explode_outer(_ngram_col(text_col, n)).alias("ng")
+    )
+    per_doc = (
+        ev.withColumn("hit", F.when(F.col("ng").isNull(), None).otherwise(probe("ng")))
+        .groupBy("id")
+        .agg(
+            F.count("ng").alias("ngrams"),
+            F.coalesce(F.sum(F.col("hit").cast("long")), F.lit(0)).alias("hits"),
+        )
+        .select(
+            "id",
+            "ngrams",
+            "hits",
+            (F.col("hits") / F.greatest(F.col("ngrams"), F.lit(1))).alias("overlap"),
+        )
+    )
+    return per_doc.withColumn(
+        "contaminated",
+        (F.col("ngrams") > 0) & (F.col("overlap") >= F.lit(float(threshold))),
+    )

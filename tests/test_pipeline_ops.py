@@ -595,6 +595,53 @@ def test_flag_contaminated_exact_and_zero_fn(spark, sf_dir):
     assert all(loose[i] for i, leaked in want.items() if leaked)
 
 
+def test_ngram_overlap_contamination(spark):
+    """GPT-3-style n-gram decontamination: per-doc overlap fraction equals
+    an exact local recompute (zero FN through the bloom; at fpp=1e-6 on a
+    tiny corpus no FP fires), full/partial/clean leaks classified right,
+    and sub-n-token docs come back (0, 0.0, false)."""
+    from guava_probably_spark.pipeline.contamination import ngram_overlap_contamination
+
+    train_rows = [
+        (i, " ".join(f"w{i}t{j}" for j in range(30))) for i in range(40)
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    n = 5
+
+    def grams(t):
+        toks = t.lower().split()
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    train_grams = {g for _, t in train_rows for g in grams(t)}
+    ev_rows = [
+        (100, train_rows[3][1].upper()),                     # full leak (case-mangled)
+        (101, train_rows[7][1] + " " + " ".join(f"q{j}" for j in range(30))),  # ~half
+        (102, " ".join(f"q{j}" for j in range(40))),         # clean
+        (103, "too short"),                                  # < n tokens
+    ]
+    ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+    got = {
+        r.id: r
+        for r in ngram_overlap_contamination(
+            train, ev, "doc_id", "text", n=n, threshold=0.4
+        ).collect()
+    }
+    assert set(got) == {100, 101, 102, 103}
+    for eid, text in ev_rows:
+        gs = grams(text)
+        exact_hits = sum(g in train_grams for g in gs)
+        r = got[eid]
+        assert r.ngrams == len(gs) and r.hits == exact_hits, eid
+        assert abs(r.overlap - (exact_hits / max(len(gs), 1))) < 1e-12
+    assert got[100].contaminated and got[100].overlap == 1.0
+    assert got[101].contaminated  # 26/56 ≈ 0.46 of its grams leak ≥ 0.4
+    assert got[101].overlap == pytest.approx(
+        sum(g in train_grams for g in grams(ev_rows[1][1])) / len(grams(ev_rows[1][1]))
+    )
+    assert not got[102].contaminated and got[102].hits == 0
+    assert got[103].ngrams == 0 and not got[103].contaminated
+
+
 def test_vocab_topk_matches_exact_and_certifies(spark, sf_dir):
     """Sketch-pruned top-k vocabulary equals the exact full-shuffle answer
     (same tie-break) and the containment certificate holds."""
