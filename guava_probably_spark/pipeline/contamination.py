@@ -28,6 +28,37 @@ from guava_probably_spark import SketchSpec
 from guava_probably_spark.pipeline import textexpr
 
 
+def _train_filter(train_keys: DataFrame, col: str, fpp: float, capacity: int | None):
+    """ONE filter blob over the training-side key column.
+
+    With a known ``capacity``: a plain Bloom sized to it.  With
+    ``capacity=None``: a one-pass Scalable Bloom build (Almeida et al.
+    2007, ``sketches/sbf.py``) — no separate ``count()`` job over the
+    training corpus, which at 10^9+ rows is a whole extra scan.  The SBF
+    fold over P partial builders weakens the compound bound to ≤ P × the
+    per-partial design, so each partial is designed at ``fpp / P``; the
+    post-fold :meth:`compact` collapses under-filled stages to keep the
+    probe-side stage count down.  Zero false negatives either way.
+    """
+    from guava_probably_spark.operators import collect_sketch
+
+    if capacity is not None:
+        spec = SketchSpec("bloom", {"capacity": max(capacity, 1024), "fpp": fpp})
+        sk, _, _ = collect_sketch(train_keys, col, spec)
+        return sk
+    parts = max(train_keys.rdd.getNumPartitions(), 1)
+    spec = SketchSpec(
+        "sbf",
+        {
+            "initial_capacity": 1 << 16,
+            "fpp": max(fpp / parts, 1e-12),
+            "growth": 8,
+        },
+    )
+    sk, _, _ = collect_sketch(train_keys, col, spec)
+    return sk.compact()
+
+
 def flag_contaminated(
     train: DataFrame,
     eval_df: DataFrame,
@@ -42,6 +73,11 @@ def flag_contaminated(
 
     Exact when ``verify=True`` (default); with ``verify=False`` the result
     may overflag at rate ≤ fpp but never underflags.
+
+    ``capacity=None`` (default) builds the filter in ONE pass with a
+    Scalable Bloom (no ``count()`` pre-scan of train — see
+    :func:`_train_filter`); pass a capacity to get a classic fixed-size
+    Bloom blob instead.
     """
     from guava_probably_spark.functions import might_contain_udf
     from guava_probably_spark.operators import collect_sketch
@@ -49,10 +85,7 @@ def flag_contaminated(
     spark = train.sparkSession
     fp_expr = textexpr.md5_fingerprint_expr(text_col, "spark")
     train_fp = train.select(F.expr(fp_expr).alias("fp"))
-    cap = capacity or train_fp.count()
-    sk, _, _ = collect_sketch(
-        train_fp, "fp", SketchSpec("bloom", {"capacity": max(cap, 1024), "fpp": fpp})
-    )
+    sk = _train_filter(train_fp, "fp", fpp, capacity)
     probe = might_contain_udf(spark, sk.to_bytes())
     ev = eval_df.select(F.col(id_col).alias("id"), F.expr(fp_expr).alias("fp"))
     flagged = ev.withColumn("hit", probe(F.col("fp")))
@@ -99,8 +132,9 @@ def ngram_overlap_contamination(
     miss.
 
     Scale shape mirrors ``flag_contaminated``: the training side collapses
-    to ONE Bloom blob over its exploded n-grams (tree-merged partials, no
-    raw-row shuffle — explode is a projection), then a broadcast probe of
+    to ONE filter blob over its exploded n-grams (tree-merged partials, no
+    raw-row shuffle — explode is a projection; one-pass Scalable Bloom when
+    ``capacity=None``, classic Bloom when given), then a broadcast probe of
     the eval n-grams and a per-doc aggregation. Zero false negatives by the
     filter contract, so no leaked n-gram escapes; false positives inflate
     ``overlap`` by ≤ fpp in expectation (conservative direction).
@@ -109,14 +143,10 @@ def ngram_overlap_contamination(
     n tokens have ngrams=0, overlap=0.0, contaminated=false.
     """
     from guava_probably_spark.functions import might_contain_udf
-    from guava_probably_spark.operators import collect_sketch
 
     spark = train.sparkSession
     train_ng = train.select(F.explode(_ngram_col(text_col, n)).alias("ng"))
-    cap = capacity or train_ng.count()
-    sk, _, _ = collect_sketch(
-        train_ng, "ng", SketchSpec("bloom", {"capacity": max(cap, 1024), "fpp": fpp})
-    )
+    sk = _train_filter(train_ng, "ng", fpp, capacity)
     probe = might_contain_udf(spark, sk.to_bytes())
     ev = eval_df.select(
         F.col(id_col).alias("id"), F.explode_outer(_ngram_col(text_col, n)).alias("ng")

@@ -23,6 +23,7 @@ from .hll import HllSketch
 from .kll import KllSketch
 from .mg import MisraGriesSketch
 from .fd import FrequentDirectionsSketch
+from .sbf import ScalableBloomSketch
 from .theta import ThetaSketch
 from .tdigest import TDigestSketch
 
@@ -36,6 +37,7 @@ _KINDS = {
     "mg": MisraGriesSketch,
     "theta": ThetaSketch,
     "fd": FrequentDirectionsSketch,
+    "sbf": ScalableBloomSketch,
 }
 
 
@@ -71,6 +73,7 @@ __all__ = [
     "Sketch",
     "SketchSpec",
     "BloomSketch",
+    "ScalableBloomSketch",
     "CuckooSketch",
     "HllSketch",
     "CmsSketch",

@@ -20,6 +20,7 @@ SPECS = [
     SketchSpec("cms", {"epsilon": 0.005, "delta": 0.01, "funnel": FUNNEL_LONG}),
     SketchSpec("kll", {"k": 200}),
     SketchSpec("tdigest", {"delta": 100.0}),
+    SketchSpec("sbf", {"initial_capacity": 512, "fpp": 0.01, "funnel": FUNNEL_LONG}),
 ]
 IDS = [s.kind for s in SPECS]
 
@@ -30,6 +31,7 @@ INCOMPATIBLE_TWINS = {
     "cms": SketchSpec("cms", {"epsilon": 0.004, "delta": 0.01, "funnel": FUNNEL_LONG}),
     "kll": SketchSpec("kll", {"k": 256}),
     "tdigest": SketchSpec("tdigest", {"delta": 50.0}),
+    "sbf": SketchSpec("sbf", {"initial_capacity": 511, "fpp": 0.01, "funnel": FUNNEL_LONG}),
 }
 
 
@@ -92,6 +94,12 @@ def test_merge_equals_whole_build_or_within_bound(spec):
     if spec.kind in ("bloom", "hll", "cms"):
         whole = build(data)
         assert left.to_bytes() == right.to_bytes() == whole.to_bytes()
+    elif spec.kind == "sbf":
+        # stage-set union: byte-equal across merge orders (canonical form),
+        # zero FN; NOT byte-equal to the whole build (stage layout differs)
+        assert left.to_bytes() == right.to_bytes()
+        uniq = np.unique(data)
+        assert left.might_contain_batch(uniq).all()
     elif spec.kind == "cuckoo":
         uniq = np.unique(data)
         assert left.might_contain_batch(uniq).all()
@@ -128,7 +136,7 @@ def test_merge_commutativity(spec):
 
     ab = build(a_data).merge(build(b_data))
     ba = build(b_data).merge(build(a_data))
-    if spec.kind in ("bloom", "hll", "cms"):
+    if spec.kind in ("bloom", "hll", "cms", "sbf"):
         assert ab.to_bytes() == ba.to_bytes()
     elif spec.kind == "cuckoo":
         uniq = np.unique(data)
@@ -154,6 +162,7 @@ def test_from_bytes_corruption_always_raises_valueerror():
         SketchSpec("mg", {"k": 64, "funnel": FUNNEL_UTF8}),
         SketchSpec("theta", {"k": 256}),
         SketchSpec("fd", {"ell": 16}),
+        SketchSpec("sbf", {"initial_capacity": 128, "fpp": 0.02, "funnel": FUNNEL_LONG}),
     ]
     vals = _data(2000)
     for spec in all_specs:
