@@ -10,7 +10,7 @@ from .build import (  # noqa: F401
     collect_sketches_multi,
     tree_merge,
 )
-from .semijoin import sketch_prune, sketch_semijoin  # noqa: F401
+from .semijoin import sketch_antijoin, sketch_prune, sketch_semijoin  # noqa: F401
 from .checkpoint import (  # noqa: F401
     ResumeStats,
     build_with_checkpoint,

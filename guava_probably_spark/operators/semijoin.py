@@ -32,14 +32,29 @@ def sketch_prune(
     capacity: int | None = None,
 ) -> DataFrame:
     """Filter `fact` down to rows whose key might be in dim[dim_key]."""
+    sk = _dim_filter(dim, dim_key, kind, fpp, capacity)
+    probe = might_contain_udf(spark, sk.to_bytes())
+    return fact.filter(probe(fact[fact_key]))
+
+
+def _dim_filter(dim: DataFrame, dim_key: str, kind: str, fpp: float, capacity: int | None):
+    """Build the broadcastable filter blob on the dim side's keys.
+
+    ``kind="sbf"`` builds one-pass without a capacity (scalable bloom,
+    per-partial fpp/P so the compound union bound lands at ``fpp``);
+    bloom/cuckoo size to ``capacity`` or a ``count()`` of the dim."""
+    if kind == "sbf":
+        parts = max(dim.rdd.getNumPartitions(), 1)
+        spec = SketchSpec("sbf", {"fpp": max(fpp / parts, 1e-12)})
+        sk, _, _ = collect_sketch(dim, dim_key, spec)
+        return sk.compact()
     if capacity is None:
         capacity = dim.count()  # dims are small by assumption; else pass it
     spec = SketchSpec(kind, {"capacity": max(capacity, 1), "fpp": fpp})
     sk, _, overflow = collect_sketch(dim, dim_key, spec)
     if overflow:
         raise OverflowError(f"semi-join filter overflowed by {overflow} entries")
-    probe = might_contain_udf(spark, sk.to_bytes())
-    return fact.filter(probe(fact[fact_key]))
+    return sk
 
 
 def sketch_semijoin(
@@ -58,3 +73,53 @@ def sketch_semijoin(
 
     pruned = sketch_prune(spark, fact, fact_key, dim, dim_key, kind, fpp)
     return pruned.join(broadcast(dim), pruned[fact_key] == dim[dim_key], "inner")
+
+
+def sketch_antijoin(
+    spark: SparkSession,
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    kind: str = "bloom",
+    fpp: float = 0.01,
+    capacity: int | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Corpus delta: the fact rows whose key is NOT in dim[dim_key].
+
+    The incremental-ingest question at 100 TB — "which of today's 10^9
+    documents are new relative to the existing corpus?" — without shuffling
+    either side in full.  The filter contract inverts cleanly:
+
+    - probe == False  ⇒ the key is DEFINITELY absent (zero FN means a
+      present key always probes True) — those rows pass with no join at all;
+    - probe == True   ⇒ either a real match or a false positive (rate ≤
+      fpp).  With ``exact=True`` (default) only this candidate slice —
+      |matches| + fpp·|new| rows, not the whole fact side — goes through a
+      real ``left_anti`` join to rescue the false positives.  The result is
+      then EXACTLY the unfiltered anti-join.
+
+    ``exact=False`` skips the rescue join entirely: the result is a pure
+    broadcast-probe filter (no shuffle of any side) that under-reports new
+    rows by ≤ fpp — the conservative direction for dedup-style ingest
+    (a duplicate is never re-admitted; a few new rows wait for a later
+    pass or a smaller fpp).
+
+    ``kind="sbf"`` builds the dim filter one-pass without a capacity.
+    """
+    sk = _dim_filter(dim, dim_key, kind, fpp, capacity)
+    probe = might_contain_udf(spark, sk.to_bytes())
+    # null fact keys never match any dim key: SQL anti-join keeps them,
+    # and might_contain_udf probes null as False, so they land in
+    # definitely-new on both paths — semantics agree by construction
+    hit = probe(fact[fact_key])
+    definitely_new = fact.filter(~hit)
+    if not exact:
+        return definitely_new
+    candidates = fact.filter(hit)
+    dim_keys = dim.select(dim[dim_key].alias("__dim_key")).distinct()
+    rescued = candidates.join(
+        dim_keys, candidates[fact_key] == dim_keys["__dim_key"], "left_anti"
+    )
+    return definitely_new.unionByName(rescued)

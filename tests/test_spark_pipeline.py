@@ -219,6 +219,40 @@ def test_semijoin_pruning_exact(spark, lineitem, sf_dir):
     assert sj.count() == exact  # join removes FPs → exactly equal
 
 
+def test_antijoin_corpus_delta_exact_and_conservative(spark):
+    """sketch_antijoin: exact mode equals Spark's own left_anti (incl. null
+    fact keys, which are 'new' by SQL anti-join semantics); approximate
+    mode is a strict subset that misses only filter false positives; and
+    the sbf kind builds the dim filter one-pass without a capacity."""
+    from guava_probably_spark.operators import sketch_antijoin
+
+    fact = spark.range(20_000).select(
+        F.when(F.col("id") % 997 == 0, None).otherwise(F.col("id")).alias("k")
+    )
+    dim = spark.range(0, 20_000, 3).select(F.col("id").alias("dk"))  # every 3rd
+    truth = set(
+        r.k for r in fact.join(dim, fact["k"] == dim["dk"], "left_anti").collect()
+    )
+    for kind in ("bloom", "sbf"):
+        got = set(
+            r.k
+            for r in sketch_antijoin(
+                spark, fact, "k", dim, "dk", kind=kind, fpp=0.01
+            ).collect()
+        )
+        assert got == truth, kind  # exact mode: identical to left_anti
+        approx = set(
+            r.k
+            for r in sketch_antijoin(
+                spark, fact, "k", dim, "dk", kind=kind, fpp=0.01, exact=False
+            ).collect()
+        )
+        assert approx <= truth, kind  # conservative: never re-admits a dup
+        missed = len(truth - approx)
+        assert missed <= max(0.03 * len(truth), 10), (kind, missed)  # ≈fpp
+        assert None in approx  # null keys are definitely-new on both paths
+
+
 def test_sql_registration(spark, events):
     register_sql(spark)
     spec = SketchSpec("hll", {"p": 12})
