@@ -651,9 +651,11 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
     warmed("q_interleave_sources_docs", interleave)
 
     def ngram_decontam():
-        # GPT-3-style n-gram decontamination: 400k-doc train corpus explodes
-        # to ~15M 13-grams JVM-side, collapses to ONE bloom blob, then a
-        # broadcast probe + per-doc aggregation over a 4k-doc eval set
+        # GPT-3-style n-gram decontamination, EXACT: the filter builds on
+        # the SMALL side (the 4k-doc eval set → sub-MB bloom), the 400k-doc
+        # train corpus (~38M 13-grams) is scanned ONCE with the probe
+        # pruning inside the scan, and a broadcast join back to the eval
+        # grams erases the filter's false positives
         from guava_probably_spark.pipeline.contamination import (
             ngram_overlap_contamination,
         )
@@ -668,6 +670,31 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
         ).collect()[0][0]
 
     extras["ngram_decontam_flagged"] = warmed("q_ngram_decontam_docs", ngram_decontam)
+
+    def histogram():
+        # doc-length profile: one KLL pass picks 19 splits, one codegen
+        # pass hash-aggregates exact bucket counts — no sort, no range
+        # shuffle (the exact alternative, ntile over a global sort, is a
+        # single-task total ordering)
+        from guava_probably_spark.operators import histogram_equidepth
+
+        lens = big_docs.select(F.length("text").cast("double").alias("len"))
+        rows = histogram_equidepth(lens, "len", bins=20).collect()
+        return sum(r.rows for r in rows)
+
+    extras["histogram_rows"] = warmed("q_histogram_doclen", histogram)
+
+    def lm_score():
+        # sketch-LM quality score: word-bigram CMS trained over the 400k-doc
+        # corpus in one pass (~80M grams), broadcast, then a vectorized
+        # probe + per-doc mean over a 4k-doc eval slice
+        from guava_probably_spark.pipeline.textops import lm_quality_score
+
+        ev = big_docs.filter(F.col("doc_id") % 100 == 0)
+        out = lm_quality_score(big_docs, ev, "doc_id", "text", n=2)
+        return out.agg(F.sum("ngrams"), F.avg("avg_logprob")).collect()[0][0]
+
+    extras["lm_score_grams"] = warmed("q_lm_quality_docs", lm_score)
 
     # IVF scale path: codebook trained once (offline in production), search
     # prunes to nprobe/nlist of the corpus — the 10^9-vector answer

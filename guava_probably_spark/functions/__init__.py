@@ -42,10 +42,28 @@ def _cached_sketch(blob: bytes) -> Sketch:
 
 def _coerce_for_funnel(arr: pa.Array, sk: Sketch) -> pa.Array:
     """pandas represents a nullable int column as float64(NaN) — restore the
-    integer type for LONG-funnel sketches before hashing."""
+    integer type for LONG-funnel sketches before hashing.
+
+    The float64 round trip is only lossless below 2^53: a nullable column
+    of full-range 64-bit keys (e.g. xxhash64 grams) would silently hash to
+    the WRONG values after this cast — every probe a coin flip.  That is
+    corruption, not degradation, so it raises; the caller-side fix is to
+    keep nulls out of the probed batch (`coalesce(key, lit(0))` + mask the
+    result on the null rows, as the library's own operators do)."""
     from ..sketches.base import FUNNEL_LONG
 
     if getattr(sk, "funnel", None) == FUNNEL_LONG and pa.types.is_floating(arr.type):
+        import pyarrow.compute as pc
+
+        limit = float(1 << 53)
+        unsafe = pc.any(pc.greater(pc.abs(arr.cast(pa.float64())), limit)).as_py()
+        if unsafe:
+            raise ValueError(
+                "nullable int64 probe batch came through pandas as float64 "
+                "and holds values beyond 2^53 — the cast back would corrupt "
+                "them. Probe with coalesce(key, lit(0)) and mask null rows "
+                "instead of probing a nullable full-range key column."
+            )
         return arr.cast(pa.int64())
     return arr
 

@@ -1,0 +1,85 @@
+"""Equi-depth histogram: sketch-chosen boundaries, EXACT bucket counts.
+
+The standard profiling question over a 100-TB numeric column ("what does
+the length / price / score distribution look like?") as two cheap passes:
+
+1. ONE mergeable-sketch pass (KLL by default, t-digest selectable) picks
+   ``bins − 1`` quantile split points — KB of driver state, no shuffle of
+   the data (``collect_sketch`` tree-merges per-partition partials);
+2. ONE whole-stage-codegen pass assigns each row its bucket with a pure
+   JVM fold over the broadcast splits array (no Python, no sort, no range
+   shuffle — the classic exact approach, ``ntile`` over a global sort, is
+   a single-task total ordering at scale) and hash-aggregates exact counts.
+
+Counts are EXACT for the returned boundaries; only the boundary PLACEMENT
+is approximate — each bucket holds n/bins rows ± the sketch's published
+rank error (ε·n per edge, KLL ε ≈ 1.7/k·√(log(n/δ)) — see
+``KllSketch.rank_error_bound``).  NULLs are excluded (documented; count
+them separately if needed).
+
+Output: (bucket, lo, hi, rows) with lo inclusive / hi exclusive; the outer
+edges are the sketch's 0/1-quantile estimates (display only — bucket
+membership depends solely on the splits, so every row is counted exactly
+once whatever the edge estimates say).  Duplicate split points (heavy mass
+on one value) collapse, so fewer than ``bins`` buckets can come back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sketches import SketchSpec
+from .build import collect_sketch
+
+
+def histogram_equidepth(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    spec: SketchSpec | None = None,
+) -> DataFrame:
+    """Equi-depth histogram of ``df[col]`` — see module doc.
+
+    Returns a DataFrame (bucket int, lo double, hi double, rows long),
+    ordered by bucket.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    spec = spec or SketchSpec("kll", {"k": 200})
+    vals = df.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull() & ~F.isnan("v")
+    )
+    sk, n, _ = collect_sketch(vals, "v", spec)
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "bucket int, lo double, hi double, rows long"
+        )
+    qs = [i / bins for i in range(1, bins)]
+    import numpy as np
+
+    splits = sorted(set(float(x) for x in np.atleast_1d(sk.quantile(np.array(qs)))))
+    lo_all = float(sk.quantile(0.0))
+    hi_all = float(sk.quantile(1.0))
+    # bucket = number of splits strictly below v — a pure JVM fold over the
+    # (bins−1)-element literal array, inside whole-stage codegen
+    arr = F.array(*[F.lit(s) for s in splits])
+    bucket = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, s: acc + F.when(F.col("v") >= s, 1).otherwise(0),
+    ).alias("bucket")
+    counts = {
+        r["bucket"]: r["rows"]
+        for r in vals.select(bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    }
+    edges = [lo_all] + splits + [hi_all]
+    rows = [
+        (b, edges[b], edges[b + 1], int(counts.get(b, 0)))
+        for b in range(len(splits) + 1)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "bucket int, lo double, hi double, rows long"
+    )

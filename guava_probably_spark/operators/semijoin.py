@@ -110,10 +110,18 @@ def sketch_antijoin(
     """
     sk = _dim_filter(dim, dim_key, kind, fpp, capacity)
     probe = might_contain_udf(spark, sk.to_bytes())
-    # null fact keys never match any dim key: SQL anti-join keeps them,
-    # and might_contain_udf probes null as False, so they land in
-    # definitely-new on both paths — semantics agree by construction
-    hit = probe(fact[fact_key])
+    # null fact keys never match any dim key: SQL anti-join keeps them, so
+    # they must land in definitely-new. Probe coalesce(key, 0) and mask the
+    # null rows to False explicitly — a null in the batch would otherwise
+    # surface the int64 key column to pandas as float64, corrupting
+    # full-range keys (the probe UDF raises on that now)
+    from pyspark.sql.functions import coalesce, lit, when
+    from pyspark.sql.types import NumericType
+
+    key = fact[fact_key]
+    numeric = isinstance(fact.schema[fact_key].dataType, NumericType)
+    probed = probe(coalesce(key, lit(0)) if numeric else key)
+    hit = when(key.isNull(), lit(False)).otherwise(probed)
     definitely_new = fact.filter(~hit)
     if not exact:
         return definitely_new

@@ -28,22 +28,38 @@ from guava_probably_spark import SketchSpec
 from guava_probably_spark.pipeline import textexpr
 
 
-def _train_filter(train_keys: DataFrame, col: str, fpp: float, capacity: int | None):
+def _train_filter(
+    train_keys: DataFrame,
+    col: str,
+    fpp: float,
+    capacity: int | None,
+    funnel: int | None = None,
+):
     """ONE filter blob over the training-side key column.
 
-    With a known ``capacity``: a plain Bloom sized to it.  With
-    ``capacity=None``: a one-pass Scalable Bloom build (Almeida et al.
-    2007, ``sketches/sbf.py``) — no separate ``count()`` job over the
-    training corpus, which at 10^9+ rows is a whole extra scan.  The SBF
-    fold over P partial builders weakens the compound bound to ≤ P × the
-    per-partial design, so each partial is designed at ``fpp / P``; the
-    post-fold :meth:`compact` collapses under-filled stages to keep the
-    probe-side stage count down.  Zero false negatives either way.
+    With a known ``capacity``: a plain Bloom sized to it — ONE bit array,
+    ONE probe per element, the cheapest shape.  Both decontamination
+    operators obtain that capacity essentially for free (a parquet
+    ``count(*)`` is row-group metadata; the n-gram count is one codegen
+    arithmetic aggregate over token counts), so this is the default.
+
+    With ``capacity=None``: a one-pass Scalable Bloom build (Almeida et
+    al. 2007, ``sketches/sbf.py``) for inputs whose cardinality genuinely
+    cannot be pre-computed (an accumulating stream, a source behind an
+    expensive transform).  The SBF fold over P partial builders weakens
+    the compound bound to ≤ P × the per-partial design, so each partial is
+    designed at ``fpp / P``; the post-fold :meth:`compact` collapses
+    under-filled stages.  The price is a multi-stage filter: ~1.5× the
+    bits and a probe that touches every stage on a miss — measured ~3× the
+    single-bloom build+probe cost at 38M keys.  Zero FN either way.
     """
     from guava_probably_spark.operators import collect_sketch
 
+    extra = {} if funnel is None else {"funnel": funnel}
     if capacity is not None:
-        spec = SketchSpec("bloom", {"capacity": max(capacity, 1024), "fpp": fpp})
+        spec = SketchSpec(
+            "bloom", {"capacity": max(capacity, 1024), "fpp": fpp, **extra}
+        )
         sk, _, _ = collect_sketch(train_keys, col, spec)
         return sk
     parts = max(train_keys.rdd.getNumPartitions(), 1)
@@ -53,6 +69,7 @@ def _train_filter(train_keys: DataFrame, col: str, fpp: float, capacity: int | N
             "initial_capacity": 1 << 16,
             "fpp": max(fpp / parts, 1e-12),
             "growth": 8,
+            **extra,
         },
     )
     sk, _, _ = collect_sketch(train_keys, col, spec)
@@ -67,6 +84,7 @@ def flag_contaminated(
     fpp: float = 1e-6,
     capacity: int | None = None,
     verify: bool = True,
+    scalable: bool = False,
 ) -> DataFrame:
     """(id, leaked) for every eval row: leaked ⇔ its normalization
     fingerprint (case/whitespace/punctuation-insensitive) appears in train.
@@ -74,10 +92,11 @@ def flag_contaminated(
     Exact when ``verify=True`` (default); with ``verify=False`` the result
     may overflag at rate ≤ fpp but never underflags.
 
-    ``capacity=None`` (default) builds the filter in ONE pass with a
-    Scalable Bloom (no ``count()`` pre-scan of train — see
-    :func:`_train_filter`); pass a capacity to get a classic fixed-size
-    Bloom blob instead.
+    ``capacity=None`` (default) sizes the Bloom from ``train.count()`` —
+    a parquet row-group-metadata operation, not a data scan.  Pass
+    ``scalable=True`` for sources where even the row count is expensive
+    (an accumulating stream): a one-pass Scalable Bloom build instead
+    (see :func:`_train_filter` for the trade).
     """
     from guava_probably_spark.functions import might_contain_udf
     from guava_probably_spark.operators import collect_sketch
@@ -85,6 +104,8 @@ def flag_contaminated(
     spark = train.sparkSession
     fp_expr = textexpr.md5_fingerprint_expr(text_col, "spark")
     train_fp = train.select(F.expr(fp_expr).alias("fp"))
+    if capacity is None and not scalable:
+        capacity = train.count()  # metadata-only for columnar sources
     sk = _train_filter(train_fp, "fp", fpp, capacity)
     probe = might_contain_udf(spark, sk.to_bytes())
     ev = eval_df.select(F.col(id_col).alias("id"), F.expr(fp_expr).alias("fp"))
@@ -115,6 +136,45 @@ def _ngram_col(text_col: str, n: int):
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def _ngrams_df(df: DataFrame, text_col: str, n: int, keep: tuple = (), outer: bool = False):
+    """One row per word n-gram: (keep..., ng string) — the SCALE path.
+
+    Same normalization and the same space-joined gram strings as
+    :func:`_ngram_col`, but gram assembly runs in ``pyspark.ml.feature.
+    NGram`` (compiled Scala over the token array) instead of a
+    ``transform``/``slice``/``array_join`` higher-order expression —
+    Catalyst interprets HOF lambdas per element, and at 38M 13-grams the
+    interpreted path measured 143 s where NGram + explode measures ~8 s
+    warm.  ``_ngram_col`` stays as the pure-expression form (small inputs,
+    oracle parity); a test pins the two to identical gram lists.
+    """
+    from pyspark.ml.feature import NGram
+
+    norm = F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^\p{L}\p{N}\s]+", " "
+    )
+    toks = F.split(F.trim(F.regexp_replace(norm, r"\s+", " ")), " ")
+    tok_df = df.select(*[F.col(c) for c in keep], toks.alias("_toks"))
+    grams = NGram(n=n, inputCol="_toks", outputCol="_grams").transform(tok_df)
+    ex = F.explode_outer if outer else F.explode
+    return grams.select(*[F.col(c) for c in keep], ex("_grams").alias("ng"))
+
+
+def _gram_count(df: DataFrame, text_col: str, n: int) -> int:
+    """EXACT total word-n-gram count as ONE codegen arithmetic aggregate —
+    sum(max(|tokens| − (n−1), 0)) — no gram construction, no explode.
+    This is why the sized-Bloom path is effectively one-pass: the
+    'count pre-scan' costs a tokenizer projection (~2 s at 400k docs where
+    the gram pipeline itself measures ~60 s)."""
+    norm = F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^\p{L}\p{N}\s]+", " "
+    )
+    toks = F.split(F.trim(F.regexp_replace(norm, r"\s+", " ")), " ")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    row = df.select(F.sum(cnt).alias("c")).collect()[0]
+    return int(row.c or 0)
+
+
 def ngram_overlap_contamination(
     train: DataFrame,
     eval_df: DataFrame,
@@ -123,40 +183,82 @@ def ngram_overlap_contamination(
     n: int = 13,
     threshold: float = 0.5,
     fpp: float = 1e-6,
-    capacity: int | None = None,
+    hashed: bool = True,
 ) -> DataFrame:
     """N-gram-level decontamination (the GPT-3-appendix recipe): an eval doc
     is contaminated when ≥ ``threshold`` of its word ``n``-grams appear
     anywhere in the training corpus — catching partial leaks (a benchmark
     question embedded in a larger page) that whole-document fingerprints
-    miss.
+    miss.  The result is EXACT (modulo 64-bit gram-hash collisions when
+    ``hashed=True``; ``hashed=False`` is string-exact).
 
-    Scale shape mirrors ``flag_contaminated``: the training side collapses
-    to ONE filter blob over its exploded n-grams (tree-merged partials, no
-    raw-row shuffle — explode is a projection; one-pass Scalable Bloom when
-    ``capacity=None``, classic Bloom when given), then a broadcast probe of
-    the eval n-grams and a per-doc aggregation. Zero false negatives by the
-    filter contract, so no leaked n-gram escapes; false positives inflate
-    ``overlap`` by ≤ fpp in expectation (conservative direction).
+    The filter is built on the SMALL side.  A train-side gram filter is
+    the wrong shape at scale — 10^12 train grams is a terabytes-sized
+    bloom that nothing can broadcast (and 38M grams already measured a
+    91 MB blob / 52 s build).  Inverted:
+
+    1. eval grams (the small side, 10^3-10^6 docs) → ONE tiny Bloom blob
+       (KB-MB) — tree-merged partials as everywhere else;
+    2. train is scanned ONCE, each gram probed against the broadcast blob
+       (Arrow-vectorized, rows drop inside the scan stage) — survivors are
+       ≈ |true matches| + fpp·|train grams|, NEVER the train side itself;
+    3. the surviving gram set (distinct, tiny) broadcast-joins back to the
+       eval grams: the join erases the filter's false positives, so
+       per-doc hits are exact — the sketch only PRUNES, it never decides.
+
+    Zero FN (a leaked gram always probes true and always joins back);
+    ``fpp`` only tunes how much of train survives pruning, not
+    correctness.
 
     Returns (id, ngrams, hits, overlap, contaminated); docs with fewer than
     n tokens have ngrams=0, overlap=0.0, contaminated=false.
     """
     from guava_probably_spark.functions import might_contain_udf
+    from guava_probably_spark.sketches.base import FUNNEL_LONG
 
     spark = train.sparkSession
-    train_ng = train.select(F.explode(_ngram_col(text_col, n)).alias("ng"))
-    sk = _train_filter(train_ng, "ng", fpp, capacity)
+    # hashed=True (default, the scale path): grams travel as xxhash64 of
+    # the gram string (computed JVM-side, so Arrow ships 8 B/gram instead
+    # of ~100 B and Python hashes fixed-width ints). A collision can only
+    # count a non-leaked gram as leaked (≤ |grams|²/2⁶⁵ — conservative);
+    # hashed=False keeps readable string grams (audits of WHAT leaked).
+    def _keyed(ng_df):
+        if hashed:
+            return ng_df.withColumn(
+                "ng", F.when(F.col("ng").isNull(), None).otherwise(F.xxhash64("ng"))
+            )
+        return ng_df
+
+    ev = _keyed(
+        _ngrams_df(
+            eval_df.select(F.col(id_col).alias("id"), text_col),
+            text_col,
+            n,
+            keep=("id",),
+            outer=True,
+        )
+    )
+    ev_keys = ev.filter(F.col("ng").isNotNull()).select("ng").distinct()
+    funnel = FUNNEL_LONG if hashed else None
+    # eval is the small side by contract: one count job over it is cheap
+    # (and counts total gram rows ≥ distinct grams — the bound direction)
+    cap = ev_keys.count()
+    sk = _train_filter(ev_keys, "ng", fpp, max(cap, 1), funnel=funnel)
     probe = might_contain_udf(spark, sk.to_bytes())
-    ev = eval_df.select(
-        F.col(id_col).alias("id"), F.explode_outer(_ngram_col(text_col, n)).alias("ng")
+    train_ng = _keyed(_ngrams_df(train, text_col, n))
+    leaked = (
+        train_ng.filter(probe(F.col("ng")))  # no nulls: plain explode
+        .select(F.col("ng").alias("_leaked_ng"))
+        .distinct()
+    )
+    joined = ev.join(
+        F.broadcast(leaked), ev["ng"] == F.col("_leaked_ng"), "left"
     )
     per_doc = (
-        ev.withColumn("hit", F.when(F.col("ng").isNull(), None).otherwise(probe("ng")))
-        .groupBy("id")
+        joined.groupBy("id")
         .agg(
             F.count("ng").alias("ngrams"),
-            F.coalesce(F.sum(F.col("hit").cast("long")), F.lit(0)).alias("hits"),
+            F.count("_leaked_ng").alias("hits"),
         )
         .select(
             "id",

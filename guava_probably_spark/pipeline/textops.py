@@ -177,3 +177,65 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 100, mg_k: int = 4096):
     kth = rows[-1].cnt if len(rows) == k else 0
     guaranteed = len(rows) == k and kth > sk.error_bound()
     return spark.createDataFrame(rows, "word string, cnt long"), guaranteed
+
+
+def lm_quality_score(
+    train: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    epsilon: float = 1e-5,
+    delta: float = 1e-3,
+) -> DataFrame:
+    """Sketch-LM quality score: rank documents by how typical their word
+    ``n``-grams are of a reference corpus — the classic gibberish /
+    boilerplate / wrong-domain filter of training-data pipelines, with the
+    usual KenLM stand-in replaced by a Count-Min sketch so the "model"
+    trains in ONE distributed pass and broadcasts as a few MB.
+
+    - train: explode word n-grams JVM-side (a projection, no raw-row
+      shuffle) → ONE CMS blob via tree-merged partials; the total n-gram
+      count falls out of the same pass (``collect_sketch`` row count).
+    - score: per doc, mean over its grams of log((ĉ+1)/(N+1)) where ĉ is
+      the CMS point estimate — an add-one unigram-over-n-grams language
+      model.  The probe is one Arrow-vectorized pass; the per-doc mean is
+      a map-side-combined hash aggregation.  No Python touches text — the
+      UDF sees only the gram column.
+
+    CMS error is one-sided (ĉ ≤ c + ε·N w.p. 1−δ), so scores are biased
+    UP by at most log1p(ε·N/(c+1)) per gram — rare-gram (low) scores are
+    the reliable signal, which is the direction the filter uses.
+
+    Returns (id, ngrams, avg_logprob); docs with fewer than n words have
+    ngrams=0 and NULL avg_logprob (no evidence either way — decide
+    explicitly, don't auto-flag).  Deterministic: same corpus → byte-equal
+    CMS → identical scores under any partitioning.
+    """
+    from guava_probably_spark import SketchSpec
+    from guava_probably_spark.functions import cms_freq_udf
+    from guava_probably_spark.operators import collect_sketch
+    from guava_probably_spark.pipeline.contamination import _ngrams_df
+
+    spark = df.sparkSession
+    train_g = _ngrams_df(train, text_col, n).withColumnRenamed("ng", "g")
+    cms, total, _ = collect_sketch(
+        train_g, "g", SketchSpec("cms", {"epsilon": epsilon, "delta": delta})
+    )
+    freq = cms_freq_udf(spark, cms.to_bytes())
+    ev = _ngrams_df(
+        df.select(F.col(id_col).alias("id"), text_col),
+        text_col,
+        n,
+        keep=("id",),
+        outer=True,
+    ).withColumnRenamed("ng", "g")
+    lp = F.log((freq(F.col("g")) + F.lit(1.0)) / F.lit(float(total) + 1.0))
+    return (
+        ev.withColumn("lp", F.when(F.col("g").isNull(), None).otherwise(lp))
+        .groupBy("id")
+        .agg(
+            F.count("g").alias("ngrams"),
+            F.avg("lp").alias("avg_logprob"),
+        )
+    )

@@ -285,7 +285,11 @@ class ScalableBloomSketch(Sketch):
     # -- probe -------------------------------------------------------------------
     def _contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         out = np.zeros(len(h1), dtype=bool)
-        for st in self.stages:
+        # probe most-populated stages first: a present element most likely
+        # matches where the mass is, dropping out of the remaining probes
+        # (read-path ordering only — no effect on results or serialization;
+        # canonical order ascends by capacity, i.e. mass usually LAST)
+        for st in sorted(self.stages, key=lambda s: -s.n_est):
             todo = np.nonzero(~out)[0]
             if not len(todo):
                 break

@@ -132,7 +132,7 @@ def main() -> None:
         status.update(rows=rows, overflow=overflow)
         if hasattr(sk, "estimate"):
             status["estimate"] = sk.estimate()
-        if hasattr(sk, "expected_fpp") and args.kind in ("bloom", "cuckoo"):
+        if hasattr(sk, "expected_fpp") and args.kind in ("bloom", "cuckoo", "sbf"):
             status["expected_fpp"] = sk.expected_fpp()
         if args.output:
             with open(args.output, "wb") as f:

@@ -102,6 +102,21 @@ def main() -> None:
         fmt(sj),
     ))
 
+    from guava_probably_spark.operators import sketch_antijoin
+
+    aj = sketch_antijoin(
+        spark, lineitem, "l_partkey", part.filter(F.col("p_size") < 15), "p_partkey"
+    )
+    sections.append((
+        "Sketch anti-join (corpus delta)",
+        "Two branches under the union: probe==False rows pass with NO join "
+        "at all (a codegen filter over the broadcast blob probe); only the "
+        "candidate slice (matches + fpp·new) enters the "
+        "`BroadcastHashJoin LeftAnti` that rescues false positives. "
+        "Neither side of the anti-join ever shuffles the full fact table.",
+        fmt(aj),
+    ))
+
     for i in range(2):
         half = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == i)
         gh = build_grouped(half, "event_type", "user_id", SketchSpec("hll", {"p": 12}), salt=2)

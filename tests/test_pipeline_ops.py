@@ -640,6 +640,21 @@ def test_ngram_overlap_contamination(spark):
     )
     assert not got[102].contaminated and got[102].hits == 0
     assert got[103].ngrams == 0 and not got[103].contaminated
+    # the readable string-gram path (hashed=False, the audit mode) and a
+    # deliberately awful fpp (every train gram survives pruning — the join
+    # must still erase all false positives) agree with the default path
+    for kw in ({"hashed": False}, {"fpp": 0.9}):
+        alt = {
+            r.id: r
+            for r in ngram_overlap_contamination(
+                train, ev, "doc_id", "text", n=n, threshold=0.4, **kw
+            ).collect()
+        }
+        for eid in got:
+            assert (alt[eid].ngrams, alt[eid].hits) == (
+                got[eid].ngrams,
+                got[eid].hits,
+            ), kw
 
 
 def test_vocab_topk_matches_exact_and_certifies(spark, sf_dir):
@@ -797,3 +812,86 @@ def test_minhash_signature_batch_layout_invariant():
     assert sig(["", text, "x y"], [0, 1, 2])[1] == alone
     # a doc with <3 tokens has no trigrams: identity signature
     assert all(v == 2**63 - 1 for v in sig([text, "x y"], [1, 2])[2])
+
+
+def test_lm_quality_score_matches_local_recompute(spark):
+    """Sketch-LM scores from the distributed pipeline equal a local numpy
+    recompute through the SAME deterministic CMS blob (1e-9), gibberish
+    ranks below in-domain text, and sub-n-word docs come back NULL."""
+    from guava_probably_spark.pipeline.contamination import _ngram_col
+    from guava_probably_spark.pipeline.textops import lm_quality_score
+    from guava_probably_spark.sketches import SketchSpec
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(50)]
+    train_rows = [
+        (i, " ".join(rng.choice(vocab[:20], size=40)))  # head-heavy domain
+        for i in range(200)
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev_rows = [
+        (0, " ".join(rng.choice(vocab[:20], size=30))),   # in-domain
+        (1, " ".join(rng.choice(vocab[30:], size=30))),   # out-of-domain
+        (2, "zzz"),                                        # < n words → NULL
+    ]
+    ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+    n = 2
+    got = {
+        r.id: r
+        for r in lm_quality_score(train, ev, "doc_id", "text", n=n).collect()
+    }
+
+    # local recompute through the same deterministic blob
+    def grams(t):
+        toks = t.lower().split()
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    cms = SketchSpec("cms", {"epsilon": 1e-5, "delta": 1e-3}).create()
+    all_grams = [g for _, t in train_rows for g in grams(t)]
+    cms.update(all_grams)
+    total = len(all_grams)
+    for eid, text in ev_rows:
+        gs = grams(text)
+        r = got[eid]
+        assert r.ngrams == len(gs)
+        if not gs:
+            assert r.avg_logprob is None
+            continue
+        want = float(np.mean(np.log((cms.estimate(gs) + 1.0) / (total + 1.0))))
+        assert abs(r.avg_logprob - want) < 1e-9, eid
+    assert got[0].avg_logprob > got[1].avg_logprob  # in-domain scores higher
+    # spark-side ngram expression agrees with the python reference
+    sdf = ev.select(F.size(_ngram_col("text", n)).alias("c")).collect()
+    assert [r.c for r in sdf] == [len(grams(t)) for _, t in ev_rows]
+
+
+def test_ngrams_df_matches_expression_form(spark):
+    """The NGram-based scale path emits EXACTLY the gram lists of the
+    pure-expression `_ngram_col` — unicode punctuation, whitespace runs,
+    short docs, empty and NULL text."""
+    from guava_probably_spark.pipeline.contamination import _ngram_col, _ngrams_df
+
+    rows = [
+        (0, "The quick  brown FOX, jumps over; the lazy dog's tail today"),
+        (1, "  múltiple   spaces\tand\nnewlines  plus unicode: naïve café ok"),
+        (2, "one two three"),          # exactly n tokens at n=3
+        (3, "too short"),              # < n
+        (4, ""),                       # empty
+        (5, None),                     # null text
+        (6, "a b c d e f g h i j k l m n o p"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for n in (2, 3, 13):
+        expr = {
+            r.id: r.g
+            for r in df.select("id", _ngram_col("text", n).alias("g"))
+            .collect()
+        }
+        ml = {}
+        for r in _ngrams_df(df, "text", n, keep=("id",), outer=True).collect():
+            ml.setdefault(r.id, [])
+            if r.ng is not None:
+                ml[r.id].append(r.ng)
+        for rid, _ in rows:
+            want = expr.get(rid) or []
+            assert ml[rid] == list(want), (n, rid, want, ml[rid])

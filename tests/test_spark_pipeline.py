@@ -637,3 +637,43 @@ def test_rolling_merge_plan_posture(spark):
     )
     assert "SinglePartition" not in part_plan
     assert "hashpartitioning(tenant" in part_plan
+
+
+def test_histogram_equidepth_exact_counts_within_rank_bound(spark, lineitem):
+    """Bucket counts are EXACT for the sketch-chosen splits (numpy
+    recompute on the same boundaries), they sum to n, and each bucket's
+    depth is n/bins within the published KLL rank error per edge."""
+    from guava_probably_spark.operators.histogram import histogram_equidepth
+    from guava_probably_spark.sketches import SketchSpec
+
+    bins = 8
+    hist = histogram_equidepth(lineitem, "l_extendedprice", bins=bins).collect()
+    vals = np.array(
+        [r.v for r in lineitem.select(F.col("l_extendedprice").alias("v")).collect()]
+    )
+    n = len(vals)
+    assert sum(r.rows for r in hist) == n
+    splits = [r.lo for r in hist[1:]]
+    exact = np.histogram(vals, bins=[-np.inf] + splits + [np.inf])[0]
+    assert [r.rows for r in hist] == exact.tolist()  # counts exact per split
+    sk = SketchSpec("kll", {"k": 200}).create()
+    sk.update(vals)
+    eps = sk.rank_error_bound()
+    for r in hist:
+        assert abs(r.rows - n / bins) <= 2 * eps * n + 1  # equi-depth ± 2ε·n
+
+    # heavy mass on one value: duplicate splits collapse, counts still exact
+    const = spark.range(10_000).select(
+        F.when(F.col("id") % 10 == 0, F.col("id").cast("double"))
+        .otherwise(F.lit(7.0))
+        .alias("x")
+    )
+    h2 = histogram_equidepth(const, "x", bins=6).collect()
+    assert sum(r.rows for r in h2) == 10_000
+    assert len(h2) <= 6
+
+    # empty input and bins=1 degenerate shapes
+    empty = spark.range(0).select(F.col("id").cast("double").alias("x"))
+    assert histogram_equidepth(empty, "x", bins=4).count() == 0
+    one = histogram_equidepth(lineitem.limit(100), "l_extendedprice", bins=1).collect()
+    assert len(one) == 1 and one[0].rows == 100
