@@ -219,6 +219,54 @@ def sketch_intersect_udf():
     return pandas_udf(_f, DoubleType())
 
 
+@functools.cache
+def mg_topk(k: int):
+    """Top-k heavy hitters out of a Misra–Gries blob column: one row of
+    (item string, lo bigint, hi bigint) per hitter, count-descending with
+    the sketch's deterministic tie-break.  True frequency is bracketed
+    lo ≤ f ≤ hi (= lo + the summary's error bound n/(k_mg+1)); items are
+    rendered as strings so int- and string-keyed summaries share a schema.
+    The per-source-top-tokens / top-URLs query over a grouped-MG table in
+    pure SQL — no raw-row shuffle after the table is built."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_t = ArrayType(
+        StructType(
+            [
+                StructField("item", StringType()),
+                StructField("lo", LongType()),
+                StructField("hi", LongType()),
+            ]
+        )
+    )
+
+    @pandas_udf(out_t)
+    def f(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(None)
+                continue
+            sk = Sketch.from_bytes(b)
+            e = sk.error_bound()
+            items = sorted(sk.counters.items(), key=lambda kv: (-kv[1], str(kv[0])))
+            out.append(
+                [
+                    {"item": str(key), "lo": int(c), "hi": int(c) + e}
+                    for key, c in items[:k]
+                ]
+            )
+        return pd.Series(out)
+
+    return f
+
+
 def register_sql(spark: SparkSession) -> None:
     """SQL veneer: spark.sql("SELECT hll_estimate(sketch) FROM ...")."""
     spark.udf.register("hll_estimate", hll_estimate())
@@ -229,6 +277,7 @@ def register_sql(spark: SparkSession) -> None:
     spark.udf.register("sketch_intersect", sketch_intersect_udf())
     spark.udf.register("hll_fold", _sketch_fold_sql())
     spark.udf.register("sketch_fold", _sketch_fold_sql())
+    spark.udf.register("mg_topk10", mg_topk(10))
 
 
 @functools.cache

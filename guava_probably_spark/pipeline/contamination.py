@@ -85,6 +85,7 @@ def flag_contaminated(
     capacity: int | None = None,
     verify: bool = True,
     scalable: bool = False,
+    direction: str = "train",
 ) -> DataFrame:
     """(id, leaked) for every eval row: leaked ⇔ its normalization
     fingerprint (case/whitespace/punctuation-insensitive) appears in train.
@@ -97,6 +98,18 @@ def flag_contaminated(
     ``scalable=True`` for sources where even the row count is expensive
     (an accumulating stream): a one-pass Scalable Bloom build instead
     (see :func:`_train_filter` for the trade).
+
+    ``direction`` picks which side carries the filter:
+
+    - ``"train"`` (default): the filter summarizes TRAIN — right when the
+      train blob fits a broadcast (≤ ~10^9 docs) and especially when it is
+      REUSED across many eval sets or micro-batches (build once, probe
+      forever; the streaming dedup state works the same way).
+    - ``"eval"``: the filter summarizes the EVAL fingerprints (tiny by
+      contract), train is scanned ONCE with in-scan probe pruning, and the
+      surviving fingerprint set joins back — EXACT regardless of
+      ``verify``, with no train-sized state anywhere.  The only shape that
+      works at 10^12 train docs, where a train-side bloom is terabytes.
     """
     from guava_probably_spark.functions import might_contain_udf
     from guava_probably_spark.operators import collect_sketch
@@ -104,6 +117,22 @@ def flag_contaminated(
     spark = train.sparkSession
     fp_expr = textexpr.md5_fingerprint_expr(text_col, "spark")
     train_fp = train.select(F.expr(fp_expr).alias("fp"))
+    if direction == "eval":
+        ev = eval_df.select(F.col(id_col).alias("id"), F.expr(fp_expr).alias("fp"))
+        ev_keys = ev.select("fp").distinct()
+        sk = _train_filter(ev_keys, "fp", fpp, max(ev_keys.count(), 1))
+        probe = might_contain_udf(spark, sk.to_bytes())
+        leaked = (
+            train_fp.filter(probe(F.col("fp")))
+            .select(F.col("fp").alias("_leaked_fp"))
+            .distinct()
+        )
+        return (
+            ev.join(F.broadcast(leaked), ev["fp"] == F.col("_leaked_fp"), "left")
+            .select("id", F.col("_leaked_fp").isNotNull().alias("leaked"))
+        )
+    if direction != "train":
+        raise ValueError(f"direction must be 'train' or 'eval', got {direction!r}")
     if capacity is None and not scalable:
         capacity = train.count()  # metadata-only for columnar sources
     sk = _train_filter(train_fp, "fp", fpp, capacity)

@@ -593,6 +593,15 @@ def test_flag_contaminated_exact_and_zero_fn(spark, sf_dir):
     # unverified mode: may overflag, never underflags
     loose = {r.id: r.leaked for r in flag_contaminated(train, ev, "doc_id", "text", verify=False).collect()}
     assert all(loose[i] for i, leaked in want.items() if leaked)
+    # inverted direction (filter on the eval side, the 10^12-train shape):
+    # exact by construction, even with a uselessly-loose fpp
+    inv = {
+        r.id: r.leaked
+        for r in flag_contaminated(
+            train, ev, "doc_id", "text", fpp=0.9, direction="eval"
+        ).collect()
+    }
+    assert inv == want
 
 
 def test_ngram_overlap_contamination(spark):

@@ -677,3 +677,30 @@ def test_histogram_equidepth_exact_counts_within_rank_bound(spark, lineitem):
     assert histogram_equidepth(empty, "x", bins=4).count() == 0
     one = histogram_equidepth(lineitem.limit(100), "l_extendedprice", bins=1).collect()
     assert len(one) == 1 and one[0].rows == 100
+
+
+def test_grouped_mg_topk_brackets_exact_counts(spark, events):
+    """The generic grouped builder works for Misra–Gries (per-key top-k
+    without enumerating candidates), and mg_topk's [lo, hi] brackets the
+    exact per-group frequency of every returned heavy hitter."""
+    from guava_probably_spark.functions import mg_topk
+
+    g = build_grouped(events, "event_type", "user_id", SketchSpec("mg", {"k": 64}), salt=4)
+    got = {
+        r.event_type: r.top
+        for r in g.select("event_type", mg_topk(5)("sketch").alias("top")).collect()
+    }
+    exact = {}
+    for r in (
+        events.groupBy("event_type", "user_id").agg(F.count("*").alias("c")).collect()
+    ):
+        exact.setdefault(r.event_type, {})[str(r.user_id)] = r.c
+    assert set(got) == set(exact)
+    for et, tops in got.items():
+        assert 1 <= len(tops) <= 5
+        for t in tops:
+            f = exact[et][t.item]
+            assert t.lo <= f <= t.hi, (et, t.item, f, t.lo, t.hi)
+        # descending by lo with deterministic tie-break
+        los = [t.lo for t in tops]
+        assert los == sorted(los, reverse=True)
