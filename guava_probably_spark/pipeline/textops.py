@@ -187,6 +187,7 @@ def lm_quality_score(
     n: int = 2,
     epsilon: float = 1e-5,
     delta: float = 1e-3,
+    hashed: bool = True,
 ) -> DataFrame:
     """Sketch-LM quality score: rank documents by how typical their word
     ``n``-grams are of a reference corpus — the classic gibberish /
@@ -217,20 +218,40 @@ def lm_quality_score(
     from guava_probably_spark.operators import collect_sketch
     from guava_probably_spark.pipeline.contamination import _ngrams_df
 
+    from guava_probably_spark.sketches.base import FUNNEL_LONG
+
     spark = df.sparkSession
-    train_g = _ngrams_df(train, text_col, n).withColumnRenamed("ng", "g")
+
+    # hashed=True (default): grams counted by their JVM xxhash64 — 8 B/gram
+    # across Arrow instead of ~100 B strings; a collision merges two grams'
+    # counts (≤ |grams|²/2⁶⁵ mass), which only nudges scores UP — the same
+    # direction as the CMS's own one-sided error
+    def _keyed(ng_df):
+        if hashed:
+            return ng_df.withColumn(
+                "g", F.when(F.col("g").isNull(), None).otherwise(F.xxhash64("g"))
+            )
+        return ng_df
+
+    extra = {"funnel": FUNNEL_LONG} if hashed else {}
+    train_g = _keyed(_ngrams_df(train, text_col, n).withColumnRenamed("ng", "g"))
     cms, total, _ = collect_sketch(
-        train_g, "g", SketchSpec("cms", {"epsilon": epsilon, "delta": delta})
+        train_g, "g", SketchSpec("cms", {"epsilon": epsilon, "delta": delta, **extra})
     )
     freq = cms_freq_udf(spark, cms.to_bytes())
-    ev = _ngrams_df(
-        df.select(F.col(id_col).alias("id"), text_col),
-        text_col,
-        n,
-        keep=("id",),
-        outer=True,
-    ).withColumnRenamed("ng", "g")
-    lp = F.log((freq(F.col("g")) + F.lit(1.0)) / F.lit(float(total) + 1.0))
+    ev = _keyed(
+        _ngrams_df(
+            df.select(F.col(id_col).alias("id"), text_col),
+            text_col,
+            n,
+            keep=("id",),
+            outer=True,
+        ).withColumnRenamed("ng", "g")
+    )
+    # keep nulls out of the probed batch (pandas would float64 a nullable
+    # int64 gram column and corrupt full-range hashes — the UDF raises)
+    probe_in = F.coalesce(F.col("g"), F.lit(0)) if hashed else F.col("g")
+    lp = F.log((freq(probe_in) + F.lit(1.0)) / F.lit(float(total) + 1.0))
     return (
         ev.withColumn("lp", F.when(F.col("g").isNull(), None).otherwise(lp))
         .groupBy("id")

@@ -847,7 +847,9 @@ def test_lm_quality_score_matches_local_recompute(spark):
     n = 2
     got = {
         r.id: r
-        for r in lm_quality_score(train, ev, "doc_id", "text", n=n).collect()
+        for r in lm_quality_score(
+            train, ev, "doc_id", "text", n=n, hashed=False
+        ).collect()
     }
 
     # local recompute through the same deterministic blob
@@ -872,6 +874,19 @@ def test_lm_quality_score_matches_local_recompute(spark):
     # spark-side ngram expression agrees with the python reference
     sdf = ev.select(F.size(_ngram_col("text", n)).alias("c")).collect()
     assert [r.c for r in sdf] == [len(grams(t)) for _, t in ev_rows]
+    # the hashed scale path (grams as xxhash64 ints) gives the same scores
+    # on this corpus (CMS exact at this epsilon; no 64-bit collisions)
+    hashed = {
+        r.id: r for r in lm_quality_score(train, ev, "doc_id", "text", n=n).collect()
+    }
+    for eid, _ in ev_rows:
+        assert hashed[eid].ngrams == got[eid].ngrams
+        if got[eid].avg_logprob is None:
+            assert hashed[eid].avg_logprob is None
+        else:
+            assert hashed[eid].avg_logprob == pytest.approx(
+                got[eid].avg_logprob, abs=1e-12
+            )
 
 
 def test_ngrams_df_matches_expression_form(spark):
