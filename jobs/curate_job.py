@@ -9,7 +9,12 @@
     --op split     --fractions train=0.8,val=0.1,test=0.1
     --op pack      --tokens n_chars --budget 8192 [--order doc_id]
     --op redact
-    --op decontaminate --train /data/train (flags rows of --input)
+    --op decontaminate --train /data/train (flags rows of --input;
+                   --direction eval for the no-train-sized-state shape)
+    --op ngram-decontaminate --train /data/train [--n 13 --threshold 0.5]
+                   (GPT-3-style partial-leak detection, exact)
+    --op quality   [--train /data/reference --n 2] (CMS n-gram LM score)
+    --op histogram [--tokens n_chars --bins 20] (equi-depth profile)
 
 Each op reads parquet (sandbox) or Iceberg (--format iceberg), writes
 parquet, and emits one JSON status line.  Ops compose by chaining runs
@@ -39,7 +44,9 @@ def _read(spark, args, path):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
-                    choices=["dedup", "sample", "split", "pack", "redact", "decontaminate"])
+                    choices=["dedup", "sample", "split", "pack", "redact",
+                             "decontaminate", "ngram-decontaminate", "quality",
+                             "histogram"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     ap.add_argument("--id", default="doc_id")
@@ -59,8 +66,13 @@ def main() -> None:
     ap.add_argument("--order", default=None)
     # dedup
     ap.add_argument("--max-hamming", type=int, default=3)
-    # decontaminate
+    # decontaminate / ngram-decontaminate / quality
     ap.add_argument("--train", default=None)
+    ap.add_argument("--direction", default="train", choices=["train", "eval"])
+    ap.add_argument("--n", type=int, default=None)  # 13 for ngram-decontaminate, 2 for quality
+    ap.add_argument("--threshold", type=float, default=0.5)
+    # histogram
+    ap.add_argument("--bins", type=int, default=20)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -123,17 +135,47 @@ def main() -> None:
 
         red = redact_df(df, args.id, args.text).withColumnRenamed("id", args.id)
         out = df.drop(args.text).join(red, args.id)
-    else:  # decontaminate
+    elif args.op == "decontaminate":
         if not args.train:
             raise SystemExit("decontaminate requires --train")
         from guava_probably_spark.pipeline.contamination import flag_contaminated
 
         train = _read(spark, args, args.train)
-        flags = flag_contaminated(train, df, args.id, args.text).withColumnRenamed(
-            "id", args.id
-        )
+        flags = flag_contaminated(
+            train, df, args.id, args.text, direction=args.direction
+        ).withColumnRenamed("id", args.id)
         out = df.join(flags, args.id)
         status["leaked_rows"] = out.filter(F.col("leaked")).count()
+    elif args.op == "ngram-decontaminate":
+        if not args.train:
+            raise SystemExit("ngram-decontaminate requires --train")
+        from guava_probably_spark.pipeline.contamination import (
+            ngram_overlap_contamination,
+        )
+
+        train = _read(spark, args, args.train)
+        flags = ngram_overlap_contamination(
+            train, df, args.id, args.text, n=args.n or 13, threshold=args.threshold
+        ).withColumnRenamed("id", args.id)
+        out = df.join(flags, args.id)
+        status["contaminated_rows"] = out.filter(F.col("contaminated")).count()
+    elif args.op == "quality":
+        from guava_probably_spark.pipeline.textops import lm_quality_score
+
+        # --train: reference corpus for the n-gram LM (defaults to scoring
+        # the input against itself — in-corpus typicality)
+        train = _read(spark, args, args.train) if args.train else df
+        scores = lm_quality_score(
+            train, df, args.id, args.text, n=args.n or 2
+        ).withColumnRenamed("id", args.id)
+        out = df.join(scores, args.id)
+    else:  # histogram
+        from guava_probably_spark.operators.histogram import histogram_equidepth
+
+        token_col = args.tokens or "__len"
+        if args.tokens is None:
+            df = df.withColumn("__len", F.length(args.text).cast("double"))
+        out = histogram_equidepth(df, token_col, bins=args.bins)
 
     out.write.mode("overwrite").parquet(args.output)
     status["output_rows"] = spark.read.parquet(args.output).count()

@@ -30,3 +30,23 @@ def test_curate_job_split_and_sample(tmp_path):
 
     s = _run(tmp_path, "--op", "sample", "--k", "50")
     assert s["output_rows"] == 50
+
+
+def test_curate_job_histogram_and_quality(tmp_path):
+    s = _run(tmp_path, "--op", "histogram", "--bins", "8")
+    assert s["output_rows"] <= 8  # duplicate splits may collapse
+
+    s = _run(tmp_path, "--op", "quality")  # self-scored LM typicality
+    assert s["input_rows"] == s["output_rows"] == 500
+
+
+def test_curate_job_ngram_decontaminate(tmp_path):
+    # train == input → every doc with ≥ n tokens flags as contaminated
+    s = _run(
+        tmp_path,
+        "--op", "ngram-decontaminate",
+        "--train", "/root/testdata/sf0.001/documents.parquet",
+        "--n", "5", "--threshold", "0.9",
+    )
+    assert s["output_rows"] == 500
+    assert s["contaminated_rows"] >= 450  # only sub-5-token docs escape
