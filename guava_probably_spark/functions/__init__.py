@@ -27,16 +27,26 @@ from ..sketches import Sketch
 # worker-side cache: deserializing a blob per Arrow batch would dominate for
 # large filters; bytes hash is cached by CPython so the key is cheap.
 _SKETCH_CACHE: dict[tuple[int, int], Sketch] = {}
+_SKETCH_CACHE_BYTES = 0
+# per python worker; a 91 MB filter blob × 16 count-capped entries was a
+# potential 1.5 GB per worker × 32 workers — cap the BYTES, not the count
+_SKETCH_CACHE_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _cached_sketch(blob: bytes) -> Sketch:
+    global _SKETCH_CACHE_BYTES
     key = (len(blob), hash(blob))
     sk = _SKETCH_CACHE.get(key)
     if sk is None:
-        if len(_SKETCH_CACHE) > 16:
+        if (
+            len(_SKETCH_CACHE) > 16
+            or _SKETCH_CACHE_BYTES + len(blob) > _SKETCH_CACHE_MAX_BYTES
+        ):
             _SKETCH_CACHE.clear()
+            _SKETCH_CACHE_BYTES = 0
         sk = Sketch.from_bytes(blob)
         _SKETCH_CACHE[key] = sk
+        _SKETCH_CACHE_BYTES += len(blob)
     return sk
 
 

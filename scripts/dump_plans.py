@@ -179,6 +179,22 @@ def main() -> None:
         fmt(concat_group_texts(docs, "source", "doc_id", "text")),
     ))
 
+    from guava_probably_spark.pipeline.contamination import ngram_overlap_contamination
+
+    ev_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    sections.append((
+        "N-gram decontamination (eval-side filter)",
+        "The filter is built on the SMALL side (eval grams → KB-MB bloom); "
+        "the train corpus is scanned ONCE with the broadcast probe pruning "
+        "rows inside the scan stage (`ArrowEvalPython` directly over the "
+        "NGram projection, then a `Filter`), and only the surviving gram "
+        "set — matches + fpp·|train| — reaches the distinct + broadcast "
+        "join that erases the false positives. No train-sized state "
+        "anywhere in the plan: this shape survives 10^12 train grams, "
+        "where a train-side bloom is terabytes.",
+        fmt(ngram_overlap_contamination(docs, ev_docs, "doc_id", "text", n=5)),
+    ))
+
     from guava_probably_spark.operators import grouped_kll
 
     sections.append((
