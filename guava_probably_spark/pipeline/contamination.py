@@ -221,23 +221,26 @@ def ngram_overlap_contamination(
     miss.  The result is EXACT (modulo 64-bit gram-hash collisions when
     ``hashed=True``; ``hashed=False`` is string-exact).
 
-    The filter is built on the SMALL side.  A train-side gram filter is
-    the wrong shape at scale — 10^12 train grams is a terabytes-sized
+    The filter is ALWAYS built on the gram-smaller side.  A big-side gram
+    filter is the wrong shape at scale — 10^12 grams is a terabytes-sized
     bloom that nothing can broadcast (and 38M grams already measured a
-    91 MB blob / 52 s build).  Inverted:
+    91 MB blob / 52 s build).  Both usages stay cheap:
 
-    1. eval grams (the small side, 10^3-10^6 docs) → ONE tiny Bloom blob
-       (KB-MB) — tree-merged partials as everywhere else;
-    2. train is scanned ONCE, each gram probed against the broadcast blob
-       (Arrow-vectorized, rows drop inside the scan stage) — survivors are
-       ≈ |true matches| + fpp·|train grams|, NEVER the train side itself;
-    3. the surviving gram set (distinct, tiny) broadcast-joins back to the
-       eval grams: the join erases the filter's false positives, so
-       per-doc hits are exact — the sketch only PRUNES, it never decides.
+    - flag a small eval set against a huge train corpus (train big):
+      eval grams → tiny Bloom → train scanned ONCE, grams probed in-scan,
+      the surviving gram set (≈ matches + fpp·|train|) broadcast-joins
+      back to the eval grams;
+    - clean a huge corpus against a small benchmark (eval big, i.e.
+      ``eval_df`` IS the corpus and ``train`` is the benchmark): benchmark
+      grams → tiny Bloom → the corpus grams are probed in their own scan,
+      and only probe-hits join (broadcast) against the benchmark gram set.
 
-    Zero FN (a leaked gram always probes true and always joins back);
-    ``fpp`` only tunes how much of train survives pruning, not
-    correctness.
+    The direction is picked automatically from exact gram counts, each ONE
+    codegen arithmetic aggregate (``_gram_count`` — token-count math, not
+    a gram pass).  Either way the final join against the small side's
+    actual gram set ERASES the filter's false positives: per-doc hits are
+    exact, the sketch only PRUNES, and ``fpp`` only tunes pruning.  Zero
+    FN (a leaked gram always probes true and always joins back).
 
     Returns (id, ngrams, hits, overlap, contaminated); docs with fewer than
     n tokens have ngrams=0, overlap=0.0, contaminated=false.
@@ -267,19 +270,38 @@ def ngram_overlap_contamination(
             outer=True,
         )
     )
-    ev_keys = ev.filter(F.col("ng").isNotNull()).select("ng").distinct()
-    funnel = FUNNEL_LONG if hashed else None
-    # eval is the small side by contract: one count job over it is cheap
-    # (and counts total gram rows ≥ distinct grams — the bound direction)
-    cap = ev_keys.count()
-    sk = _train_filter(ev_keys, "ng", fpp, max(cap, 1), funnel=funnel)
-    probe = might_contain_udf(spark, sk.to_bytes())
     train_ng = _keyed(_ngrams_df(train, text_col, n))
-    leaked = (
-        train_ng.filter(probe(F.col("ng")))  # no nulls: plain explode
-        .select(F.col("ng").alias("_leaked_ng"))
-        .distinct()
-    )
+    funnel = FUNNEL_LONG if hashed else None
+    ev_grams = _gram_count(eval_df, text_col, n)
+    train_grams = _gram_count(train, text_col, n)
+    if ev_grams <= train_grams:
+        # filter on the eval side, prune the train scan
+        ev_keys = ev.filter(F.col("ng").isNotNull()).select("ng").distinct()
+        sk = _train_filter(ev_keys, "ng", fpp, max(ev_grams, 1), funnel=funnel)
+        probe = might_contain_udf(spark, sk.to_bytes())
+        leaked = (
+            train_ng.filter(probe(F.col("ng")))  # no nulls: plain explode
+            .select(F.col("ng").alias("_leaked_ng"))
+            .distinct()
+        )
+    else:
+        # filter on the train side (the benchmark in corpus-cleaning usage),
+        # prune the eval-corpus scan; the verify join is against the actual
+        # train gram set, so the result is equally exact
+        tr_keys = train_ng.select("ng").distinct()
+        sk = _train_filter(tr_keys, "ng", fpp, max(train_grams, 1), funnel=funnel)
+        probe = might_contain_udf(spark, sk.to_bytes())
+        candidates = (
+            ev.filter(F.col("ng").isNotNull())
+            .filter(
+                probe(F.coalesce(F.col("ng"), F.lit(0)) if hashed else F.col("ng"))
+            )
+            .select("ng")
+            .distinct()
+        )
+        leaked = candidates.join(
+            tr_keys.withColumnRenamed("ng", "_t"), F.col("ng") == F.col("_t"), "left_semi"
+        ).select(F.col("ng").alias("_leaked_ng"))
     joined = ev.join(
         F.broadcast(leaked), ev["ng"] == F.col("_leaked_ng"), "left"
     )
