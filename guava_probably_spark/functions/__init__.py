@@ -38,12 +38,17 @@ def _cached_sketch(blob: bytes) -> Sketch:
     key = (len(blob), hash(blob))
     sk = _SKETCH_CACHE.get(key)
     if sk is None:
-        if (
-            len(_SKETCH_CACHE) > 16
+        # evict OLDEST-FIRST only until this blob fits (dict preserves
+        # insertion order) — clearing everything would thrash when two
+        # large filters alternate in one worker: each miss would evict the
+        # other live filter and every batch would re-pay its full decode
+        while _SKETCH_CACHE and (
+            len(_SKETCH_CACHE) >= 16
             or _SKETCH_CACHE_BYTES + len(blob) > _SKETCH_CACHE_MAX_BYTES
         ):
-            _SKETCH_CACHE.clear()
-            _SKETCH_CACHE_BYTES = 0
+            old_key = next(iter(_SKETCH_CACHE))
+            _SKETCH_CACHE.pop(old_key)
+            _SKETCH_CACHE_BYTES -= old_key[0]
         sk = Sketch.from_bytes(blob)
         _SKETCH_CACHE[key] = sk
         _SKETCH_CACHE_BYTES += len(blob)

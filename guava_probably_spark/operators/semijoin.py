@@ -31,10 +31,27 @@ def sketch_prune(
     fpp: float = 0.01,
     capacity: int | None = None,
 ) -> DataFrame:
-    """Filter `fact` down to rows whose key might be in dim[dim_key]."""
+    """Filter `fact` down to rows whose key might be in dim[dim_key].
+
+    Null fact keys are dropped (a null never equals any dim key, matching
+    inner/semi-join semantics)."""
     sk = _dim_filter(dim, dim_key, kind, fpp, capacity)
     probe = might_contain_udf(spark, sk.to_bytes())
-    return fact.filter(probe(fact[fact_key]))
+    return fact.filter(_null_safe_probe(fact, fact_key, probe))
+
+
+def _null_safe_probe(fact: DataFrame, fact_key: str, probe):
+    """probe(key) that never lets a null into the probed batch: a null in
+    a nullable int64 batch surfaces to pandas as float64, corrupting keys
+    past 2^53 (the probe UDF raises on that) — probe coalesce(key, 0) and
+    mask the null rows to False (a null matches nothing)."""
+    from pyspark.sql.functions import coalesce, lit, when
+    from pyspark.sql.types import NumericType
+
+    key = fact[fact_key]
+    numeric = isinstance(fact.schema[fact_key].dataType, NumericType)
+    probed = probe(coalesce(key, lit(0)) if numeric else key)
+    return when(key.isNull(), lit(False)).otherwise(probed)
 
 
 def _dim_filter(dim: DataFrame, dim_key: str, kind: str, fpp: float, capacity: int | None):
@@ -111,22 +128,18 @@ def sketch_antijoin(
     sk = _dim_filter(dim, dim_key, kind, fpp, capacity)
     probe = might_contain_udf(spark, sk.to_bytes())
     # null fact keys never match any dim key: SQL anti-join keeps them, so
-    # they must land in definitely-new. Probe coalesce(key, 0) and mask the
-    # null rows to False explicitly — a null in the batch would otherwise
-    # surface the int64 key column to pandas as float64, corrupting
-    # full-range keys (the probe UDF raises on that now)
-    from pyspark.sql.functions import coalesce, lit, when
-    from pyspark.sql.types import NumericType
-
-    key = fact[fact_key]
-    numeric = isinstance(fact.schema[fact_key].dataType, NumericType)
-    probed = probe(coalesce(key, lit(0)) if numeric else key)
-    hit = when(key.isNull(), lit(False)).otherwise(probed)
+    # the null-safe probe's False puts them in definitely-new — correct
+    hit = _null_safe_probe(fact, fact_key, probe)
     definitely_new = fact.filter(~hit)
     if not exact:
         return definitely_new
+    from pyspark.sql.functions import broadcast
+
     candidates = fact.filter(hit)
-    dim_keys = dim.select(dim[dim_key].alias("__dim_key")).distinct()
+    # distinct shrinks the broadcast; the explicit hint keeps the rescue a
+    # BroadcastHashJoin even when autoBroadcastJoinThreshold is disabled
+    # (the documented plan shape — nothing here may shuffle the fact side)
+    dim_keys = broadcast(dim.select(dim[dim_key].alias("__dim_key")).distinct())
     rescued = candidates.join(
         dim_keys, candidates[fact_key] == dim_keys["__dim_key"], "left_anti"
     )

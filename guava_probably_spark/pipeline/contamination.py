@@ -231,16 +231,20 @@ def ngram_overlap_contamination(
       the surviving gram set (≈ matches + fpp·|train|) broadcast-joins
       back to the eval grams;
     - clean a huge corpus against a small benchmark (eval big, i.e.
-      ``eval_df`` IS the corpus and ``train`` is the benchmark): benchmark
-      grams → tiny Bloom → the corpus grams are probed in their own scan,
-      and only probe-hits join (broadcast) against the benchmark gram set.
+      ``eval_df`` IS the corpus and ``train`` is the benchmark): the
+      benchmark's distinct gram set broadcasts directly, so the corpus
+      pays ONE gram pass straight into the broadcast join — no filter
+      stage at all (the join IS the exact membership test; a bloom would
+      only add a second corpus-gram pass to prune a join that doesn't
+      need pruning).
 
     The direction is picked automatically from exact gram counts, each ONE
     codegen arithmetic aggregate (``_gram_count`` — token-count math, not
     a gram pass).  Either way the final join against the small side's
-    actual gram set ERASES the filter's false positives: per-doc hits are
-    exact, the sketch only PRUNES, and ``fpp`` only tunes pruning.  Zero
-    FN (a leaked gram always probes true and always joins back).
+    actual gram set decides membership exactly: per-doc hits are exact,
+    the sketch (eval-small direction) only PRUNES, and ``fpp`` only tunes
+    that pruning.  Zero FN (a leaked gram always probes true and always
+    joins back).
 
     Returns (id, ngrams, hits, overlap, contaminated); docs with fewer than
     n tokens have ngrams=0, overlap=0.0, contaminated=false.
@@ -285,23 +289,12 @@ def ngram_overlap_contamination(
             .distinct()
         )
     else:
-        # filter on the train side (the benchmark in corpus-cleaning usage),
-        # prune the eval-corpus scan; the verify join is against the actual
-        # train gram set, so the result is equally exact
-        tr_keys = train_ng.select("ng").distinct()
-        sk = _train_filter(tr_keys, "ng", fpp, max(train_grams, 1), funnel=funnel)
-        probe = might_contain_udf(spark, sk.to_bytes())
-        candidates = (
-            ev.filter(F.col("ng").isNotNull())
-            .filter(
-                probe(F.coalesce(F.col("ng"), F.lit(0)) if hashed else F.col("ng"))
-            )
-            .select("ng")
-            .distinct()
-        )
-        leaked = candidates.join(
-            tr_keys.withColumnRenamed("ng", "_t"), F.col("ng") == F.col("_t"), "left_semi"
-        ).select(F.col("ng").alias("_leaked_ng"))
+        # train is the gram-smaller side (the benchmark in corpus-cleaning
+        # usage): its distinct gram set broadcasts directly, so the corpus
+        # pays ONE gram pass straight into the broadcast join — a filter
+        # stage would only add a second corpus-gram pass for pruning the
+        # join never needed (the join IS the exact membership test)
+        leaked = train_ng.select(F.col("ng").alias("_leaked_ng")).distinct()
     joined = ev.join(
         F.broadcast(leaked), ev["ng"] == F.col("_leaked_ng"), "left"
     )

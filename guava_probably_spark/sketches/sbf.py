@@ -239,6 +239,13 @@ class ScalableBloomSketch(Sketch):
             off += 28
             if m <= 0 or m % 64 or k <= 0 or cap <= 0 or not (0.0 < p < 1.0):
                 raise ValueError("corrupt sbf stage geometry")
+            # plausibility bounds (same posture as the FD decoder): a
+            # hostile k would allocate an (n, k) index matrix at first
+            # probe — OOM, not the ValueError the heal path catches.
+            # bloom_geometry caps real k at round(m/cap·ln2) and real
+            # fpp ≥ 1e-15 gives k ≤ ~50; 4096 is far past any schedule.
+            if k > 4096 or m > (1 << 45):
+                raise ValueError("implausible sbf stage geometry")
             nbytes = m // 8
             if off + nbytes > len(payload):
                 raise ValueError("truncated sbf stage payload")
@@ -263,19 +270,23 @@ class ScalableBloomSketch(Sketch):
         if not len(h1):
             return 0
         fresh = ~self._contains_hashes(h1, h2)
-        h1, h2 = h1[fresh], h2[fresh]
+        self._route_fresh(h1[fresh], h2[fresh])
+        return 0
+
+    def _route_fresh(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        """Chunk already-probed-fresh hashes across the growth schedule."""
         pos = 0
         while pos < len(h1):
             st = self._active_stage()
             take = min(len(h1) - pos, max(st.capacity - st.n_est, 1))
             st.insert(h1[pos : pos + take], h2[pos : pos + take])
             pos += take
-        return 0
 
     def put_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        """Insert; True per element iff it was not already present."""
+        """Insert; True per element iff it was not already present.
+        One containment scan per batch — the routed subset is known fresh."""
         fresh = ~self._contains_hashes(h1, h2)
-        self.ingest_hashes(h1[fresh], h2[fresh])
+        self._route_fresh(h1[fresh], h2[fresh])
         return fresh
 
     def update(self, values) -> np.ndarray:
