@@ -300,8 +300,10 @@ def _sketch_fold_sql():
     """SQL fold to a coarser parameter: ``sketch_fold(sketch, param)`` —
     HLL blobs fold to precision ``param`` (byte-identical to a direct build,
     see HllSketch.fold_to), theta blobs to a smaller k (same exactness, see
-    ThetaSketch.fold_to). Kinds without fold_to raise AttributeError →
-    surfaced as a task error, never a silent wrong blob."""
+    ThetaSketch.fold_to), KLL to a smaller k and t-digest to a smaller δ
+    (bound-preserving, not byte-identical — their compaction is history-
+    dependent). Kinds without fold_to raise AttributeError → surfaced as a
+    task error, never a silent wrong blob."""
     from pyspark.sql.types import BinaryType
 
     @pandas_udf(BinaryType())

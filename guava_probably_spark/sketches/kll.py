@@ -106,6 +106,25 @@ class KllSketch(Sketch):
         self._compact()
         return self
 
+    def fold_to(self, k: int) -> "KllSketch":
+        """Fold to a coarser k₂ ≤ k: the weighted item multiset transfers
+        level-for-level (level h keeps weight 2^h) into a fresh k₂ sketch,
+        which then compacts under the smaller budget.  Every estimate of
+        the folded sketch carries the k₂ sketch's published rank bound —
+        enabling mixed-k sketch-table merges (fold the finer blobs first,
+        then merge), the same workflow as ``HllSketch.fold_to`` /
+        ``ThetaSketch.fold_to`` and the SQL ``sketch_fold``.  Unlike those
+        two this is NOT byte-identical to a direct k₂ build: KLL
+        compaction is randomized and history-dependent; the guarantee is
+        the bound, not the bytes."""
+        if not 8 <= k <= self.k:
+            raise ValueError(f"can only fold to 8 <= k <= {self.k}, got {k}")
+        out = KllSketch(k)
+        out.levels = [lv.copy() for lv in self.levels]
+        out.n = self.n
+        out._compact()
+        return out
+
     # -------------------------------------------------------------- queries
     def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
         items = []

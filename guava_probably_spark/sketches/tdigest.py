@@ -121,6 +121,27 @@ class TDigestSketch(Sketch):
         self._compress()
         return self
 
+    def fold_to(self, delta: float) -> "TDigestSketch":
+        """Fold to a coarser compression δ₂ ≤ δ: centroids re-compress
+        under the smaller k1 budget in a fresh δ₂ digest.  The folded
+        digest carries the δ₂ rank bound (centroid-merging is exactly how
+        a native δ₂ digest absorbs the same mass) — enabling mixed-δ
+        sketch-table merges via the SQL ``sketch_fold``, like the HLL /
+        theta / KLL folds.  Not byte-identical to a direct δ₂ build
+        (centroid boundaries are history-dependent); the guarantee is the
+        bound, not the bytes."""
+        if not 10 <= delta <= self.delta:
+            raise ValueError(f"can only fold to 10 <= delta <= {self.delta}, got {delta}")
+        self._compress()  # read-path canonicalization (no logical mutation)
+        out = TDigestSketch(float(delta))
+        out.means = self.means.copy()
+        out.weights = self.weights.copy()
+        out.n = self.n
+        out.vmin, out.vmax = self.vmin, self.vmax
+        out._compressed = False
+        out._compress()
+        return out
+
     # -------------------------------------------------------------- queries
     def quantile(self, q) -> np.ndarray | float:
         scalar = np.isscalar(q)

@@ -307,3 +307,54 @@ def test_fold_sketch_rows_threaded_decode_equals_sequential():
     assert acc_t.to_bytes() == acc_s.to_bytes()
     for vals in members:
         assert acc_t.might_contain_batch(vals).all()
+
+
+def test_kll_fold_to_smaller_k_keeps_bound_and_merges_mixed_k():
+    """fold_to(k2) transfers the weighted multiset and compacts under the
+    smaller budget: folded estimates satisfy the k2 rank bound, n is
+    preserved, and a fold→merge mixed-k workflow stays within bound."""
+    from guava_probably_spark.sketches import KllSketch
+
+    rng = np.random.default_rng(17)
+    a_data = rng.lognormal(0.0, 2.0, 60_000)
+    b_data = rng.normal(100.0, 5.0, 40_000)
+    fine = KllSketch(k=400)
+    fine.update(a_data)
+    folded = fine.fold_to(100)
+    assert folded.k == 100 and folded.n == fine.n == len(a_data)
+    srt = np.sort(a_data)
+    qs = np.array([0.01, 0.1, 0.5, 0.9, 0.99])
+    ranks = np.searchsorted(srt, folded.quantile(qs)) / len(srt)
+    assert (np.abs(ranks - qs) <= folded.rank_error_bound()).all()
+    # mixed-k merge: fold the finer side, then merge with a native k=100
+    native = KllSketch(k=100)
+    native.update(b_data)
+    merged = folded.merge(native)
+    both = np.sort(np.concatenate([a_data, b_data]))
+    ranks2 = np.searchsorted(both, merged.quantile(qs)) / len(both)
+    assert (np.abs(ranks2 - qs) <= merged.rank_error_bound()).all()
+    with pytest.raises(ValueError):
+        fine.fold_to(401)
+    with pytest.raises(ValueError):
+        fine.fold_to(4)
+
+
+def test_tdigest_fold_to_smaller_delta_keeps_bound():
+    from guava_probably_spark.sketches import TDigestSketch
+
+    rng = np.random.default_rng(23)
+    data = rng.exponential(3.0, 80_000)
+    fine = TDigestSketch(delta=400.0)
+    fine.update(data)
+    folded = fine.fold_to(100.0)
+    assert folded.delta == 100.0 and folded.n == len(data)
+    assert len(folded.means) <= len(fine.means)
+    srt = np.sort(data)
+    qs = np.array([0.01, 0.1, 0.5, 0.9, 0.99])
+    ranks = np.searchsorted(srt, folded.quantile(qs)) / len(srt)
+    assert (np.abs(ranks - qs) <= folded.rank_error_bound()).all()
+    # folding must not corrupt the source digest (read-path compress only)
+    ranks_fine = np.searchsorted(srt, fine.quantile(qs)) / len(srt)
+    assert (np.abs(ranks_fine - qs) <= fine.rank_error_bound()).all()
+    with pytest.raises(ValueError):
+        fine.fold_to(500.0)
