@@ -112,3 +112,34 @@ def test_theta_blob_equal_for_any_split_and_merge_order(xs, order):
     assert acc.to_bytes() == direct.to_bytes()
     if len(set(xs)) <= k:
         assert acc.estimate() == float(len(set(xs)))  # exact below saturation
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=400),
+    st.permutations([0, 1, 2]),
+)
+@settings(max_examples=25, deadline=None)
+def test_sbf_zero_fn_and_blob_equal_any_split_and_merge_order(xs, order):
+    """Scalable bloom under hypothesis: any 3-way split of any input,
+    merged in any order, yields (a) zero false negatives for every
+    inserted element and (b) a blob byte-equal to every other merge order
+    (canonical stage-set union)."""
+    from guava_probably_spark.sketches import ScalableBloomSketch
+
+    def build(chunk):
+        sk = ScalableBloomSketch(64, 0.05, funnel=FUNNEL_LONG)
+        if len(chunk):
+            sk.update(np.array(chunk, dtype=np.int64))
+        return sk
+
+    parts = [xs[0::3], xs[1::3], xs[2::3]]
+    sketches = [build(p) for p in parts]
+    acc = build([])
+    for i in order:
+        acc.merge(sketches[i])
+    baseline = build(parts[0]).merge(build(parts[1])).merge(build(parts[2]))
+    assert acc.to_bytes() == baseline.to_bytes()
+    assert acc.might_contain_batch(np.array(xs, dtype=np.int64)).all()
+    # occupancy-honest compound estimate never exceeds the union of the
+    # surviving stages' occupancy fpps by construction
+    assert 0.0 <= acc.expected_fpp() < 1.0
