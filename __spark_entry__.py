@@ -224,6 +224,9 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tdigest": SketchSpec("tdigest", {"delta": 200.0}),
         "mg": SketchSpec("mg", {"k": 32}),
         "theta": SketchSpec("theta", {"k": 256}),
+        # scalable bloom: canonical stage-SET union ⇒ blob byte-equality
+        # across bracketings (sketches/sbf.py), same class as bloom/hll/cms
+        "sbf": SketchSpec("sbf", {"initial_capacity": 1024, "fpp": 0.01}),
     }
     exact_users = {
         r.user_id: r.c
@@ -240,7 +243,7 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, c = (collect_sketch(s, col, spec)[0] for s in splits)
         left = a.copy().merge(b.copy()).merge(c.copy())
         right = a.copy().merge(b.copy().merge(c.copy()))
-        if kind in ("bloom", "hll", "cms", "theta"):
+        if kind in ("bloom", "hll", "cms", "theta", "sbf"):
             ok = left.to_bytes() == right.to_bytes()
         elif kind == "mg":
             # counters are merge-order-sensitive; the bracketing bound is not
@@ -1256,7 +1259,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "merge_associativity": (
             "SELECT kind, true AS ok FROM (VALUES ('bloom'), ('cuckoo'), ('hll'), "
-            "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta'), ('fd')) AS t(kind)"
+            "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta'), ('sbf'), ('fd')) "
+            "AS t(kind)"
         ),
         "grouped_hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
