@@ -83,3 +83,61 @@ def histogram_equidepth(
     return df.sparkSession.createDataFrame(
         rows, "bucket int, lo double, hi double, rows long"
     )
+
+
+def histogram_equidepth_grouped(
+    df: DataFrame,
+    key: str,
+    col: str,
+    bins: int = 10,
+    k: int = 200,
+) -> DataFrame:
+    """Per-key equi-depth histograms straight out of grouped KLL blobs —
+    the per-source profile ("length distribution by source") with ZERO
+    passes beyond the sketch build.
+
+    One ``grouped_kll`` build (skew-armored, mergeable) yields a KB blob
+    per key; each blob answers both the bins−1 split points AND the bucket
+    masses: rows(bucket) = n·(rank(hi) − rank(lo)).  Counts carry the KLL
+    rank error (± ε·n per bucket edge, ε from ``rank_error_bound``) —
+    approximate where the global :func:`histogram_equidepth` is exact,
+    because a per-key exact second pass would rescan the table per key
+    set; profiling tolerates ±ε, and the error column makes it explicit.
+
+    Returns (key, bucket, lo, hi, rows, rows_error_bound), ordered by
+    (key, bucket).  Keys are assumed low-cardinality (sources, splits,
+    languages — profiling dimensions); the blobs come to the driver, bins
+    × |keys| rows go back out.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    import numpy as np
+
+    from ..sketches import Sketch
+    from .grouped_kll import grouped_kll
+
+    vals = df.select(
+        F.col(key).alias("k"), F.col(col).cast("double").alias("v")
+    ).filter(F.col("v").isNotNull() & ~F.isnan("v"))
+    g = grouped_kll(vals, "k", "v", k=k)  # output schema: (key, sketch, n)
+    out = []
+    for r in g.collect():  # |keys| KB blobs — profiling dimensions only
+        sk = Sketch.from_bytes(r.sketch)
+        n = int(r.n)
+        qs = np.linspace(0.0, 1.0, bins + 1)
+        edges = np.atleast_1d(sk.quantile(qs)).astype(float)
+        err = int(np.ceil(sk.rank_error_bound() * n))
+        # duplicate splits (heavy mass on one value) collapse, like the
+        # global operator
+        uniq = [edges[0]]
+        for e in edges[1:]:
+            if e > uniq[-1]:
+                uniq.append(e)
+        ranks = np.atleast_1d(sk.rank(np.array(uniq))).astype(float)
+        ranks[-1] = 1.0  # rank() is strictly-below; the top edge closes the last bucket
+        for b in range(len(uniq) - 1):
+            rows = int(round((ranks[b + 1] - ranks[b]) * n))
+            out.append((str(r.key), b, float(uniq[b]), float(uniq[b + 1]), rows, err))
+    return df.sparkSession.createDataFrame(
+        out, f"{key} string, bucket int, lo double, hi double, rows long, rows_error_bound long"
+    ).orderBy(key, "bucket")

@@ -704,3 +704,41 @@ def test_grouped_mg_topk_brackets_exact_counts(spark, events):
         # descending by lo with deterministic tie-break
         los = [t.lo for t in tops]
         assert los == sorted(los, reverse=True)
+
+
+def test_histogram_equidepth_grouped_within_rank_bounds(spark):
+    """Per-key sketch-derived histograms: every bucket's approximate row
+    count is within 2 edge-errors of the exact count on the same edges,
+    buckets tile [min, max] per key, and per-key totals match n."""
+    from guava_probably_spark.operators.histogram import histogram_equidepth_grouped
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for src, (mu, sig, m) in {
+        "a": (10.0, 2.0, 30_000),
+        "b": (100.0, 25.0, 20_000),
+        "c": (0.0, 1.0, 5_000),
+    }.items():
+        rows.extend((src, float(v)) for v in rng.normal(mu, sig, m))
+    df = spark.createDataFrame(rows, "src string, v double")
+    bins = 8
+    hist = histogram_equidepth_grouped(df, "src", "v", bins=bins, k=256).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r.src, []).append(r)
+    exact = {}
+    for src, v in rows:
+        exact.setdefault(src, []).append(v)
+    assert set(by_key) == set(exact)
+    for src, hrows in by_key.items():
+        vals = np.sort(np.array(exact[src]))
+        n = len(vals)
+        assert sum(r.rows for r in hrows) == pytest.approx(n, abs=2 * hrows[0].rows_error_bound)
+        # contiguous edges
+        for a, b in zip(hrows, hrows[1:]):
+            assert a.hi == b.lo
+        for r in hrows:
+            exact_in = np.searchsorted(vals, r.hi) - np.searchsorted(vals, r.lo)
+            if r.bucket == len(hrows) - 1:
+                exact_in = n - np.searchsorted(vals, r.lo)
+            assert abs(r.rows - exact_in) <= 2 * r.rows_error_bound + 1, (src, r)
