@@ -27,5 +27,5 @@ from .grouped_kll import grouped_kll, grouped_tdigest  # noqa: F401
 from .grouped_theta import grouped_theta  # noqa: F401
 from .grouped_quantiles import grouped_quantiles  # noqa: F401
 from .grouped_mode import grouped_mode  # noqa: F401
-from .histogram import histogram_equidepth  # noqa: F401
+from .histogram import histogram_equidepth, histogram_equidepth_grouped  # noqa: F401
 from .rollup import cube_sketches, merge_level, rolling_merge, rollup_sketches  # noqa: F401
