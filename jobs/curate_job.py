@@ -14,7 +14,9 @@
     --op ngram-decontaminate --train /data/train [--n 13 --threshold 0.5]
                    (GPT-3-style partial-leak detection, exact)
     --op quality   [--train /data/reference --n 2] (CMS n-gram LM score)
-    --op histogram [--tokens n_chars --bins 20] (equi-depth profile)
+    --op histogram [--tokens n_chars --bins 20 --stratify source]
+                   (equi-depth profile; --stratify → per-key from
+                   grouped-KLL blobs with an explicit error column)
 
 Each op reads parquet (sandbox) or Iceberg (--format iceberg), writes
 parquet, and emits one JSON status line.  Ops compose by chaining runs
@@ -170,12 +172,21 @@ def main() -> None:
         ).withColumnRenamed("id", args.id)
         out = df.join(scores, args.id)
     else:  # histogram
-        from guava_probably_spark.operators.histogram import histogram_equidepth
+        from guava_probably_spark.operators.histogram import (
+            histogram_equidepth,
+            histogram_equidepth_grouped,
+        )
 
         token_col = args.tokens or "__len"
         if args.tokens is None:
             df = df.withColumn("__len", F.length(args.text).cast("double"))
-        out = histogram_equidepth(df, token_col, bins=args.bins)
+        if args.stratify:
+            # per-source profiles straight from grouped-KLL blobs
+            out = histogram_equidepth_grouped(
+                df, args.stratify, token_col, bins=args.bins
+            )
+        else:
+            out = histogram_equidepth(df, token_col, bins=args.bins)
 
     out.write.mode("overwrite").parquet(args.output)
     status["output_rows"] = spark.read.parquet(args.output).count()

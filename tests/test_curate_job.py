@@ -36,6 +36,9 @@ def test_curate_job_histogram_and_quality(tmp_path):
     s = _run(tmp_path, "--op", "histogram", "--bins", "8")
     assert s["output_rows"] <= 8  # duplicate splits may collapse
 
+    s = _run(tmp_path, "--op", "histogram", "--bins", "4", "--stratify", "source")
+    assert s["output_rows"] >= 4  # ≥ bins per source dimension
+
     s = _run(tmp_path, "--op", "quality")  # self-scored LM typicality
     assert s["input_rows"] == s["output_rows"] == 500
 
