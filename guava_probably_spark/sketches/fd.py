@@ -195,6 +195,33 @@ class FrequentDirectionsSketch(Sketch):
         self.shift += other.shift
         return self
 
+    def fold_to(self, ell: int) -> "FrequentDirectionsSketch":
+        """Fold to a smaller ℓ₂ ≤ ℓ: the retained rows feed through the
+        ℓ₂ sketch's own shrink (exactly how a native ℓ₂ sketch absorbs a
+        merge — Ghashami et al. mergeability), count/‖A‖²_F carry over
+        EXACTLY, and the spectral certificate stays per-instance exact:
+        the folded shift = this sketch's accumulated shift + the fold's
+        own shrink δ, and 0 ⪯ AᵀA − BᵀB ⪯ shift·I still holds.  Completes
+        the cross-parameter fold family (HLL/theta exact, KLL/t-digest
+        bound-preserving) — mixed-ℓ FD tables merge via SQL
+        ``sketch_fold(sketch, ell)``."""
+        if not 2 <= ell <= self.ell:
+            raise ValueError(f"can only fold to 2 <= ell <= {self.ell}, got {ell}")
+        out = FrequentDirectionsSketch(ell=ell, d=self.d)
+        if self._filled and self._buf is not None:
+            rows = self._buf[: self._filled]
+            out._ensure_buf(rows.shape[1])
+            if len(rows) > 2 * ell:
+                kept = out._shrunk(rows)  # fold δ accumulates into out.shift
+            else:
+                kept = rows.copy()
+            out._buf[: len(kept)] = kept
+            out._filled = len(kept)
+        out._count = self._count
+        out.frob = self.frob
+        out.shift += self.shift
+        return out
+
     # -- queries ----------------------------------------------------------------
     @property
     def size(self) -> int:

@@ -240,3 +240,38 @@ def test_fd_distributed_collect_sketch(spark):
     )
     assert n == len(A) and ov == 0
     _check_certificate(sk, A, 24)
+
+
+def test_fd_fold_to_smaller_ell_keeps_certificate():
+    """fold_to(ℓ₂): count/frob carry exactly, and the folded sketch's
+    per-instance spectral certificate holds against the ORIGINAL data with
+    the ℓ₂ worst-case bound — the mixed-ℓ merge workflow."""
+    from guava_probably_spark.sketches import FrequentDirectionsSketch
+
+    A = _matrix(n=3000, d=48, rank=10, seed=31, noise=0.3)
+    fine = FrequentDirectionsSketch(ell=64)
+    fine.update(A)
+    folded = fine.fold_to(16)
+    assert folded.ell == 16
+    assert folded._count == fine._count
+    assert folded.frob == fine.frob
+    assert folded.shift >= fine.shift  # fold shrink only adds
+    _check_certificate(folded, A, 16)
+    # source sketch untouched
+    _check_certificate(fine, A, 64)
+    # fold to the same ell is a copy-equivalent
+    same = fine.fold_to(64)
+    assert same.gram().shape == fine.gram().shape
+    _check_certificate(same, A, 64)
+    # mixed-ell merge: fold then merge with a native ell=16 over other rows
+    B = _matrix(n=2000, d=48, rank=6, seed=32, noise=0.2)
+    native = FrequentDirectionsSketch(ell=16)
+    native.update(B)
+    merged = folded.merge(native)
+    _check_certificate(merged, np.vstack([A, B]), 16)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fine.fold_to(65)
+    with _pytest.raises(ValueError):
+        fine.fold_to(1)
