@@ -696,6 +696,36 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     extras["lm_score_grams"] = warmed("q_lm_quality_docs", lm_score)
 
+    def antijoin_delta():
+        # corpus delta: which of 400k docs are NEW vs a 40k-doc "yesterday"
+        # corpus — broadcast-probe filter + left_anti rescue of the
+        # candidate slice only (exact)
+        from guava_probably_spark.operators import sketch_antijoin
+
+        dim = big_docs.filter(F.col("doc_id") % 10 == 0).select(
+            F.col("doc_id").alias("k")
+        )
+        out = sketch_antijoin(spark, big_docs, "doc_id", dim, "k", fpp=1e-3)
+        return out.count()
+
+    extras["antijoin_new_docs"] = warmed("q_antijoin_delta_docs", antijoin_delta)
+
+    def grouped_histogram():
+        # per-source length profiles straight from grouped-KLL blobs —
+        # one skew-armored build, zero extra passes
+        from guava_probably_spark.operators import histogram_equidepth_grouped
+
+        d = big_docs.withColumn("src", (F.col("doc_id") % 16).cast("string"))
+        rows = histogram_equidepth_grouped(
+            d.select("src", F.length("text").cast("double").alias("len")),
+            "src",
+            "len",
+            bins=12,
+        ).collect()
+        return sum(r.rows for r in rows)
+
+    extras["grouped_hist_rows"] = warmed("q_grouped_histogram_docs", grouped_histogram)
+
     # IVF scale path: codebook trained once (offline in production), search
     # prunes to nprobe/nlist of the corpus — the 10^9-vector answer
     from guava_probably_spark.pipeline.ivf import assign_lists, ivf_topk, train_codebook
