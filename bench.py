@@ -696,6 +696,24 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     extras["lm_score_grams"] = warmed("q_lm_quality_docs", lm_score)
 
+    def boilerplate():
+        # corpus-level line dedup: fixture text has no newlines, so break it
+        # into ~8-word lines first (codegen regexp, negligible next to the
+        # explode + two key shuffles being measured). The repeated-copy
+        # fixture plants real cross-doc duplicate lines.
+        from guava_probably_spark.pipeline.textops import remove_boilerplate_lines
+
+        lined = big_docs.withColumn(
+            "text", F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n")
+        )
+        out = remove_boilerplate_lines(lined, min_docs=3, min_chars=10)
+        row = out.agg(
+            F.sum("n_kept").alias("k"), F.sum("n_dropped").alias("d")
+        ).collect()[0]
+        return int(row.d)
+
+    extras["boilerplate_lines_dropped"] = warmed("q_boilerplate_lines_docs", boilerplate)
+
     def antijoin_delta():
         # corpus delta: which of 400k docs are NEW vs a 40k-doc "yesterday"
         # corpus — broadcast-probe filter + left_anti rescue of the
@@ -738,6 +756,25 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
         lambda: ivf_topk(assigned, cb, qvecs, k=10, nprobe=4).count(),
     )
     assigned.unpersist()
+
+    # SemDeDup semantic dedup: distributed spherical k-means fit on a
+    # deterministic 10% hash sample (the documented 100-TB posture — the
+    # Lloyd scans cost 10x less and blocking quality is statistically
+    # unchanged), then per-cluster exact pairwise cosine over the FULL
+    # table via applyInArrow. Gaussian fixture has no semantic dups, so
+    # pair count is 0 — the timing is the honest fit+blocking+scan cost.
+    from guava_probably_spark.pipeline.kmeans import kmeans_fit, semantic_dedup_pairs
+
+    fit_emb = emb.filter(F.xxhash64(F.col("vec_id").cast("string")) % 10 == 0)
+
+    def semdedup():
+        cb_sd, info = kmeans_fit(fit_emb, k=256, iters=3, seed=11)
+        extras["semdedup_mean_cos_dist"] = round(
+            info["history"][-1]["mean_cos_dist"], 4
+        )
+        return semantic_dedup_pairs(emb, cb_sd, threshold=0.999).count()
+
+    extras["semdedup_pairs"] = warmed("q_semdedup_500k", semdedup)
     return timings, extras
 
 

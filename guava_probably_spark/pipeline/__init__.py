@@ -57,6 +57,13 @@ from guava_probably_spark.pipeline.multimodal import (
     with_payload,
 )
 from guava_probably_spark.pipeline.ivf import assign_lists, ivf_topk, train_codebook
+from guava_probably_spark.pipeline.kmeans import (
+    assign_clusters,
+    kmeans_fit,
+    semantic_dedup,
+    semantic_dedup_pairs,
+    semantic_drop_stats,
+)
 from guava_probably_spark.pipeline.similarity import (
     cosine_drop_stats,
     cosine_neardup_pairs,
@@ -67,6 +74,7 @@ from guava_probably_spark.pipeline.textops import (
     langid_df,
     quality_df,
     redact_df,
+    remove_boilerplate_lines,
     rolling_fingerprint_df,
     token_counts_df,
     vocab_topk,
@@ -106,12 +114,18 @@ __all__ = [
     "assign_lists",
     "ivf_topk",
     "train_codebook",
+    "assign_clusters",
+    "kmeans_fit",
+    "semantic_dedup",
+    "semantic_dedup_pairs",
+    "semantic_drop_stats",
     "cosine_drop_stats",
     "cosine_neardup_pairs",
     "cosine_topk",
     "hyperplane_signatures",
     "langid_df",
     "quality_df",
+    "remove_boilerplate_lines",
     "rolling_fingerprint_df",
     "token_counts_df",
     "with_payload",

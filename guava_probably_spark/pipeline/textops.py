@@ -260,3 +260,67 @@ def lm_quality_score(
             F.avg("lp").alias("avg_logprob"),
         )
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    delim: str = "\n",
+    min_chars: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/RefinedWeb-style corpus-level line dedup: (id, text, n_kept,
+    n_dropped) with every line whose normalized form (lower + trim)
+    appears in ≥ ``min_docs`` DISTINCT documents removed from all of them
+    — navigation chrome, cookie banners, license headers. Substring-
+    granularity winnowing (``pipeline/winnow.py``) finds *pairs* sharing a
+    span; this op globally REMOVES corpus-frequent lines, the complement a
+    curation pipeline wants for boilerplate.
+
+    Exact, whole-stage-codegen throughout; no Python. Plan shape: one
+    posexplode'd line table feeds (a) the boilerplate key set — distinct
+    (line-hash, doc) pairs, then a count-distinct-docs filter — and (b) a
+    left_anti join against those keys (AQE broadcasts the key set when it
+    is small; at terabyte key scale it degrades to a shuffle join on the
+    8-byte hash, never on line text), then one collect_list + sort_array
+    re-assembly per doc (native GetArrayStructFields — no interpreted HOF
+    lambda in the hot path). Lines shorter than ``min_chars`` after trim
+    are exempt (list bullets and '}' lines are frequent but structural,
+    the C4 heuristic); docs whose every line was removed drop entirely.
+
+    ``delim`` is a literal (regex-quoted for the split, verbatim for the
+    re-join). Per-line bytes pass through untouched — only membership in
+    the output changes, preserving the BASELINE.json:15 byte invariant.
+    """
+    split_expr = F.split(F.col(text_col), "\\Q" + delim + "\\E")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.size(split_expr).cast("long").alias("n_total"),
+        F.posexplode(split_expr).alias("pos", "line"),
+    )
+    norm = F.lower(F.trim(F.col("line")))
+    keyed = lines.withColumn(
+        "k", F.when(F.length(norm) >= min_chars, F.xxhash64(norm))
+    )
+    boiler = (
+        keyed.filter(F.col("k").isNotNull())
+        .select("k", "id")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("k")
+    )
+    kept = keyed.join(boiler, "k", "left_anti")
+    pair = F.struct(F.col("pos").alias("o"), F.col("line").alias("t"))
+    ordered = F.sort_array(F.collect_list(pair))
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(ordered.getField("t"), delim).alias(text_col),
+            F.count("*").cast("long").alias("n_kept"),
+            (F.first("n_total") - F.count("*")).cast("long").alias("n_dropped"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
