@@ -117,6 +117,35 @@ _AUG_PII_SQL = (
 )
 
 
+_BOILER_LINE = "Subscribe to our newsletter for the latest updates."
+# break each 8-word run into its own line: Java-regex ∩ RE2 intersection
+# pattern, so Spark ($1) and DuckDB (\1, 'g' flag) inject IDENTICAL newlines
+_LINE_BREAK_RE = r"((?:\S+ ){7}\S+) "
+
+
+def _aug_boiler(docs: DataFrame) -> DataFrame:
+    """Line-structure the corpus (testdata text has no newlines) and plant a
+    boilerplate footer in 40% of docs — half verbatim, half upper-cased, so
+    the row exercises the lower+trim normalization of the line key."""
+    lined = F.regexp_replace(F.col("text"), _LINE_BREAK_RE, "$1\n")
+    footer = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(lined, F.lit("\n" + _BOILER_LINE)))
+        .when(F.col("doc_id") % 5 == 1, F.concat(lined, F.lit("\n" + _BOILER_LINE.upper())))
+        .otherwise(lined)
+    )
+    return docs.select("doc_id", footer.alias("text"))
+
+
+_AUG_BOILER_SQL = (
+    "SELECT doc_id, CASE "
+    f"WHEN doc_id % 5 = 0 THEN lined || chr(10) || '{_BOILER_LINE}' "
+    f"WHEN doc_id % 5 = 1 THEN lined || chr(10) || upper('{_BOILER_LINE}') "
+    "ELSE lined END AS text FROM (SELECT doc_id, "
+    f"regexp_replace(text, '{_LINE_BREAK_RE}', '\\1' || chr(10), 'g') AS lined "
+    "FROM documents)"
+)
+
+
 def _aug_embeddings(emb: DataFrame) -> DataFrame:
     copies = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
@@ -199,8 +228,25 @@ def _q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs + SemDeDup k-means-blocked pairs in
+    one grid — shared (op, a, b) shape, one brute-force cosine oracle for
+    both branches. The planted dups are EXACT vector copies: they share a
+    hyperplane signature (lsh recall 1.0) and a nearest centroid (semdedup
+    recall 1.0 — identical input rows cannot straddle a Voronoi boundary),
+    and every emitted pair is verified by exact float64 cosine, so both
+    branches must equal the brute-force set."""
+    from guava_probably_spark.pipeline.kmeans import kmeans_fit, semantic_dedup_pairs
+
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(_aug_embeddings(emb), threshold=0.95)
+    aug = _aug_embeddings(emb)
+    lsh = cosine_neardup_pairs(aug, threshold=0.95).select(
+        F.lit("lsh").alias("op"), "a", "b"
+    )
+    cb, _ = kmeans_fit(aug, k=16, iters=4, seed=7)
+    sem = semantic_dedup_pairs(aug, cb, threshold=0.95).select(
+        F.lit("semdedup").alias("op"), "a", "b"
+    )
+    return lsh.unionByName(sem)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,10 +579,21 @@ def _q_concat_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from guava_probably_spark.pipeline.textops import redact_df
+    """PII redaction + corpus-level boilerplate line removal in one grid —
+    shared (op, id, text) shape. Both are exact full-text transforms the
+    DuckDB oracle recomputes byte-identically; `boiler` additionally drops
+    whole docs whose every ≥min_chars line was corpus-frequent."""
+    from guava_probably_spark.pipeline.textops import redact_df, remove_boilerplate_lines
 
     docs = _t(spark, sf_dir, "documents")
-    return redact_df(_aug_pii(docs), "doc_id", "text")
+    red = redact_df(_aug_pii(docs), "doc_id", "text").select(
+        F.lit("redact").alias("op"), "id", "text"
+    )
+    boiled = remove_boilerplate_lines(_aug_boiler(docs), min_docs=3, min_chars=10)
+    boil = boiled.select(
+        F.lit("boiler").alias("op"), F.col("doc_id").alias("id"), "text"
+    )
+    return red.unionByName(boil)
 
 
 def _q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,8 +774,24 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY source"
         ),
         "redact_documents": (
-            f"WITH aug AS ({_AUG_PII_SQL}) SELECT doc_id AS id, "
-            f"{textexpr.redact_expr('text', 'duck')} AS text FROM aug"
+            f"WITH aug AS ({_AUG_PII_SQL}), "
+            f"baug AS ({_AUG_BOILER_SQL}), "
+            "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, "
+            "unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos "
+            "FROM baug), "
+            "k AS (SELECT doc_id, pos, line, CASE WHEN "
+            "length(trim(lower(line))) >= 10 THEN trim(lower(line)) END AS nk "
+            "FROM l), "
+            "b AS (SELECT nk FROM (SELECT DISTINCT nk, doc_id FROM k "
+            "WHERE nk IS NOT NULL) t GROUP BY nk HAVING count(*) >= 3), "
+            "kept AS (SELECT doc_id, pos, line FROM k WHERE nk IS NULL "
+            "OR nk NOT IN (SELECT nk FROM b)) "
+            "SELECT 'redact' AS op, doc_id AS id, "
+            f"{textexpr.redact_expr('text', 'duck')} AS text FROM aug "
+            "UNION ALL "
+            "SELECT 'boiler' AS op, doc_id AS id, "
+            "string_agg(line, chr(10) ORDER BY pos) AS text "
+            "FROM kept GROUP BY doc_id"
         ),
         "word_repetition_documents": (
             f"WITH w AS (SELECT doc_id AS id, "
@@ -766,11 +839,13 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id)"
         ),
         "embedding_neardup_pairs": (
-            f"WITH aug AS ({_AUG_EMB_SQL}) "
-            "SELECT x.vec_id AS a, y.vec_id AS b FROM aug x "
+            f"WITH aug AS ({_AUG_EMB_SQL}), "
+            "p AS (SELECT x.vec_id AS a, y.vec_id AS b FROM aug x "
             "JOIN aug y ON x.vec_id < y.vec_id "
             "WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), "
-            "CAST(y.embedding AS DOUBLE[])) >= 0.95"
+            "CAST(y.embedding AS DOUBLE[])) >= 0.95) "
+            "SELECT 'lsh' AS op, a, b FROM p "
+            "UNION ALL SELECT 'semdedup' AS op, a, b FROM p"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
