@@ -1155,17 +1155,56 @@ def _q_rollup_cube_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.unionByName(ro).unionByName(cu)
 
 
+def _q_overlap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix (operators/overlap.py): ONE corpus
+    scan builds per-source theta sketches, then every |A∩B| / |A∪B| /
+    |A\\B| across all 190 source pairs is computed from blobs alone via a
+    broadcast pair join (no corpus self-join). Cross-source duplicate
+    texts are planted (fixture sources are disjoint); per-source distinct
+    counts sit far below k=4096, so every estimate is EXACT and the oracle
+    compares pairwise COUNT-DISTINCT set algebra directly. `within`
+    asserts the exactness regime Spark-side (integral estimates)."""
+    from guava_probably_spark.operators import source_overlap_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    shifted = F.concat(
+        F.lit("src"),
+        ((F.substring("source", 4, 10).cast("int") + 1) % 20).cast("string"),
+    )
+    copies = docs.filter(F.col("doc_id") % 4 == 0).select(
+        shifted.alias("source"), "text"
+    )
+    aug = docs.select("source", "text").unionByName(copies)
+    m = source_overlap_matrix(aug, "source", "text", k=4096)
+    pair = F.concat_ws("|", "a", "b")
+
+    def branch(op: str, col):
+        return m.select(
+            F.lit("overlap").alias("kind"),
+            F.concat(pair, F.lit("|" + op)).alias("op"),
+            F.round(col).cast("long").alias("exact"),
+            (F.abs(col - F.round(col)) < F.lit(1e-9)).alias("within"),
+        )
+
+    return (
+        branch("intersect", F.col("est_inter"))
+        .unionByName(branch("union", F.col("est_union")))
+        .unionByName(branch("diff_a_minus_b", F.col("est_diff")))
+    )
+
+
 def _q_setops_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation estimates across two event splits: HLL (union by
     register max, intersection by inclusion–exclusion, compounded-error
-    slack) vs theta/KMV (direct sample estimates, EXACT below saturation)."""
+    slack) vs theta/KMV (direct sample estimates, EXACT below saturation),
+    plus the all-pairs source-overlap matrix from per-source theta blobs."""
     h = _q_hll_setops(spark, sf_dir).select(
         F.lit("hll").alias("kind"), "op", "exact", "within"
     )
     t = _q_theta_setops(spark, sf_dir).select(
         F.lit("theta").alias("kind"), "op", F.col("estimate").alias("exact"), "within"
     )
-    return h.unionByName(t)
+    return h.unionByName(t).unionByName(_q_overlap_setops(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1321,7 +1360,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "setops_grid": (
             "WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0), "
-            "b AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1) "
+            "b AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1), "
+            "aug AS (SELECT source, text FROM documents UNION ALL "
+            "SELECT 'src' || CAST((CAST(substr(source, 4) AS INT) + 1) % 20 "
+            "AS VARCHAR), text FROM documents WHERE doc_id % 4 = 0), "
+            "s AS (SELECT DISTINCT source, text FROM aug), "
+            "n AS (SELECT source, count(*) AS n FROM s GROUP BY source), "
+            "ixn AS (SELECT x.source AS a, y.source AS b, count(*) AS i "
+            "FROM s x JOIN s y ON x.text = y.text AND x.source < y.source "
+            "GROUP BY 1, 2), "
+            "pr AS (SELECT na.source AS a, nb.source AS b, na.n AS n_a, "
+            "nb.n AS n_b, coalesce(ixn.i, 0) AS i FROM n na "
+            "JOIN n nb ON na.source < nb.source "
+            "LEFT JOIN ixn ON ixn.a = na.source AND ixn.b = nb.source) "
             "SELECT 'hll' AS kind, 'intersect' AS op, (SELECT count(*) FROM "
             "(SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS exact, "
             "true AS within "
@@ -1332,7 +1383,13 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'theta', 'intersect', (SELECT count(*) FROM "
             "(SELECT user_id FROM a INTERSECT SELECT user_id FROM b)), true "
             "UNION ALL SELECT 'theta', 'union', (SELECT count(*) FROM "
-            "(SELECT user_id FROM a UNION SELECT user_id FROM b)), true"
+            "(SELECT user_id FROM a UNION SELECT user_id FROM b)), true "
+            "UNION ALL SELECT 'overlap', a || '|' || b || '|intersect', "
+            "CAST(i AS BIGINT), true FROM pr "
+            "UNION ALL SELECT 'overlap', a || '|' || b || '|union', "
+            "CAST(n_a + n_b - i AS BIGINT), true FROM pr "
+            "UNION ALL SELECT 'overlap', a || '|' || b || '|diff_a_minus_b', "
+            "CAST(n_a - i AS BIGINT), true FROM pr"
         ),
         "grouped_mode_user_event_type": (
             "WITH c AS (SELECT user_id, event_type, count(*) AS cnt "

@@ -744,6 +744,21 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     extras["grouped_hist_rows"] = warmed("q_grouped_histogram_docs", grouped_histogram)
 
+    def source_overlap():
+        # all-pairs source overlap audit: ONE scan builds 16 per-source
+        # theta sketches, then 120 pairwise intersect/union/diff estimates
+        # from blobs alone (broadcast pair join — no corpus self-join)
+        from guava_probably_spark.operators import source_overlap_matrix
+
+        d = big_docs.withColumn("src", (F.col("doc_id") % 16).cast("string"))
+        m = source_overlap_matrix(d, "src", "text", k=4096)
+        row = m.agg(
+            F.count("*").alias("pairs"), F.sum("est_union").alias("u")
+        ).collect()[0]
+        return int(row.pairs)
+
+    extras["overlap_pairs"] = warmed("q_source_overlap_docs", source_overlap)
+
     # IVF scale path: codebook trained once (offline in production), search
     # prunes to nprobe/nlist of the corpus — the 10^9-vector answer
     from guava_probably_spark.pipeline.ivf import assign_lists, ivf_topk, train_codebook

@@ -29,3 +29,4 @@ from .grouped_quantiles import grouped_quantiles  # noqa: F401
 from .grouped_mode import grouped_mode  # noqa: F401
 from .histogram import histogram_equidepth, histogram_equidepth_grouped  # noqa: F401
 from .rollup import cube_sketches, merge_level, rolling_merge, rollup_sketches  # noqa: F401
+from .overlap import source_overlap_matrix  # noqa: F401
