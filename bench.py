@@ -724,7 +724,10 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
             F.col("doc_id").alias("k")
         )
         out = sketch_antijoin(spark, big_docs, "doc_id", dim, "k", fpp=1e-3)
-        return out.count()
+        # aggregate over the text payload — a bare count() lets Catalyst
+        # prune the delta's text column and under-report the real
+        # materialization cost (bench discipline rule)
+        return out.agg(F.sum(F.length("text"))).collect()[0][0]
 
     extras["antijoin_new_docs"] = warmed("q_antijoin_delta_docs", antijoin_delta)
 

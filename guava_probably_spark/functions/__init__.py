@@ -308,9 +308,16 @@ def _sketch_fold_sql():
 
     @pandas_udf(BinaryType())
     def f(blobs: pd.Series, ps: pd.Series) -> pd.Series:
+        # t-digest deltas are floats; int() would silently coarsen 150.5 →
+        # 150. Keep fractional params as float (t-digest fold_to accepts
+        # them); integral ones become int for the int-parameter kinds.
+        def _p(p):
+            p = float(p)
+            return int(p) if p.is_integer() else p
+
         return pd.Series(
             [
-                Sketch.from_bytes(b).fold_to(int(p)).to_bytes()
+                Sketch.from_bytes(b).fold_to(_p(p)).to_bytes()
                 for b, p in zip(blobs, ps)
             ]
         )

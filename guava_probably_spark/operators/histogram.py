@@ -116,6 +116,14 @@ def histogram_equidepth_grouped(
     from ..sketches import Sketch
     from .grouped_kll import grouped_kll
 
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     vals = df.select(
         F.col(key).alias("k"), F.col(col).cast("double").alias("v")
     ).filter(F.col("v").isNotNull() & ~F.isnan("v"))
@@ -133,11 +141,26 @@ def histogram_equidepth_grouped(
         for e in edges[1:]:
             if e > uniq[-1]:
                 uniq.append(e)
+        if len(uniq) == 1:
+            # every quantile landed on one value (constant-valued or
+            # single-row key): the key still owns its n rows — emit the
+            # degenerate [v, v] bucket rather than dropping the key, the
+            # same posture as the global operator under full collapse
+            out.append((r.key, 0, float(uniq[0]), float(uniq[0]), n, err))
+            continue
         ranks = np.atleast_1d(sk.rank(np.array(uniq))).astype(float)
         ranks[-1] = 1.0  # rank() is strictly-below; the top edge closes the last bucket
         for b in range(len(uniq) - 1):
             rows = int(round((ranks[b + 1] - ranks[b]) * n))
-            out.append((str(r.key), b, float(uniq[b]), float(uniq[b + 1]), rows, err))
-    return df.sparkSession.createDataFrame(
-        out, f"{key} string, bucket int, lo double, hi double, rows long, rows_error_bound long"
-    ).orderBy(key, "bucket")
+            out.append((r.key, b, float(uniq[b]), float(uniq[b + 1]), rows, err))
+    schema = StructType(
+        [
+            StructField(key, df.schema[key].dataType),  # preserve key type
+            StructField("bucket", IntegerType()),
+            StructField("lo", DoubleType()),
+            StructField("hi", DoubleType()),
+            StructField("rows", LongType()),
+            StructField("rows_error_bound", LongType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema).orderBy(key, "bucket")

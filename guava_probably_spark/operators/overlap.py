@@ -47,9 +47,20 @@ def _pair_stage():
             sk_a = batch.column("sk_a").to_pylist()
             sk_b = batch.column("sk_b").to_pylist()
             est_a, est_b, inter, union, diff, bound = [], [], [], [], [], []
+            # each source's blob appears in S-1 pairs of the matrix —
+            # memoize decode per distinct blob so the batch does O(S)
+            # from_bytes parses, not O(S^2)
+            decoded: dict[bytes, Sketch] = {}
+
+            def _dec(blob):
+                sk = decoded.get(blob)
+                if sk is None:
+                    sk = decoded[blob] = Sketch.from_bytes(blob)
+                return sk
+
             for blob_a, blob_b in zip(sk_a, sk_b):
-                sa = Sketch.from_bytes(blob_a)
-                sb = Sketch.from_bytes(blob_b)
+                sa = _dec(blob_a)
+                sb = _dec(blob_b)
                 est_a.append(sa.estimate())
                 est_b.append(sb.estimate())
                 inter.append(sa.intersect_estimate(sb))

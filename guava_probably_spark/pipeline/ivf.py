@@ -30,6 +30,43 @@ from pyspark.sql import DataFrame, Window, functions as F
 from guava_probably_spark.pipeline.similarity import _mat
 
 
+def hash_ordered_sample(
+    emb: DataFrame, n: int, id_col: str, vec_col: str, seed: int
+) -> np.ndarray:
+    """Deterministic driver-side sample: the top-``n`` rows by
+    ``xxhash64(id, seed)`` — seeded pseudo-random but order-stable —
+    returned as a unit-norm float64 matrix. The single home for the
+    sampler :func:`train_codebook` and ``kmeans.kmeans_fit`` share, so
+    the two can't silently drift (seed mixing, normalization epsilon)."""
+    rows = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id").cast("string"), F.lit(seed)))
+        .limit(n)
+        .collect()
+    )
+    if not rows:
+        return np.zeros((0, 0), dtype=np.float64)
+    m = np.asarray([r.v for r in rows], dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    return m
+
+
+def lloyd_rounds(m: np.ndarray, centroids: np.ndarray, iters: int) -> np.ndarray:
+    """Sample-side spherical Lloyd: assign → mean → renormalize, in place
+    on ``centroids``. Empty clusters keep their previous centroid
+    (standard Lloyd, deterministic)."""
+    for _ in range(iters):
+        assign = (m @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = m[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
+        )
+    return centroids
+
+
 def train_codebook(
     emb: DataFrame,
     nlist: int = 64,
@@ -43,25 +80,10 @@ def train_codebook(
     The sample is tiny (50·nlist rows) and the loop is numpy — the only
     driver-side compute in the IVF pipeline, identical on every run.
     """
-    n_sample = 50 * nlist
-    frac_df = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    sample = frac_df.orderBy(F.xxhash64(F.col("id").cast("string"), F.lit(seed))).limit(
-        n_sample
-    )
-    rows = sample.collect()
-    m = np.asarray([r.v for r in rows], dtype=np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    m = hash_ordered_sample(emb, 50 * nlist, id_col, vec_col, seed)
     rng = np.random.default_rng(seed)
     centroids = m[rng.choice(len(m), size=min(nlist, len(m)), replace=False)]
-    for _ in range(iters):
-        sims = m @ centroids.T
-        assign = sims.argmax(axis=1)
-        for c in range(len(centroids)):
-            members = m[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
-    return centroids
+    return lloyd_rounds(m, centroids, iters)
 
 
 def assign_lists(

@@ -196,24 +196,14 @@ def kmeans_fit(
     mean spherical SSE (mean 1−cos to the assigned centroid — monotone
     non-increasing up to float noise) and max centroid movement.
     """
-    n_sample = 50 * k
-    sample = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("id").cast("string"), F.lit(seed)))
-        .limit(n_sample)
-        .collect()
-    )
-    if not sample:
+    from .ivf import hash_ordered_sample, lloyd_rounds
+
+    m = hash_ordered_sample(emb, 50 * k, id_col, vec_col, seed)
+    if not len(m):
         raise ValueError("kmeans_fit: input has no rows")
-    m = _normalize_rows(np.asarray([r.v for r in sample], dtype=np.float64))
     cb = _kmeanspp_init(m, k, seed)
-    for _ in range(2):  # sample-side polish before paying full scans
-        a = (m @ cb.T).argmax(axis=1)
-        for c in range(len(cb)):
-            members = m[a == c]
-            if len(members):
-                cb[c] = members.mean(axis=0)
-        cb = _normalize_rows(cb)
+    # sample-side polish before paying full scans
+    cb = lloyd_rounds(m, cb, 2)
     if len(cb) < k:  # tiny input: pad by repeating rows so geometry is stable
         cb = cb[np.arange(k) % len(cb)]
     vec_only = emb.select(vec_col)
@@ -253,7 +243,9 @@ def assign_clusters(
     )
 
 
-def _cluster_pair_stage(threshold: float, max_cluster: int, vec_col: str):
+def _cluster_pair_stage(
+    threshold: float, max_cluster: int, vec_col: str, block: int = 1024
+):
     def fn(table: pa.Table) -> pa.Table:
         ids = table.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
         empty = pa.table(
@@ -266,17 +258,33 @@ def _cluster_pair_stage(threshold: float, max_cluster: int, vec_col: str):
         if len(ids) < 2 or len(ids) > max_cluster:
             return empty
         mn = _normalize_rows(_mat(table.column(vec_col)))
-        sim = mn @ mn.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = sim[iu, ju] >= threshold
-        if not hit.any():
+        n = len(ids)
+        # row-blockwise upper triangle: peak memory is O(block·n) — a
+        # near-cap cluster (n = 20k) costs ~160 MB per block instead of
+        # the ~8 GB an n×n sim + triu_indices materialization would take
+        blk = max(1, min(n, block))
+        a_parts, b_parts, c_parts = [], [], []
+        for i0 in range(0, n - 1, blk):
+            i1 = min(i0 + blk, n)
+            sim = mn[i0:i1] @ mn.T  # (i1-i0, n)
+            hit_r, hit_c = np.nonzero(sim >= threshold)
+            gr = hit_r + i0
+            keep = hit_c > gr  # strict upper triangle in global indices
+            if not keep.any():
+                continue
+            a = ids[gr[keep]]
+            b = ids[hit_c[keep]]
+            a_parts.append(np.minimum(a, b))
+            b_parts.append(np.maximum(a, b))
+            c_parts.append(sim[hit_r[keep], hit_c[keep]])
+        if not a_parts:
             return empty
-        a = ids[iu[hit]]
-        b = ids[ju[hit]]
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
         return pa.table(
-            {"a": pa.array(lo), "b": pa.array(hi), "cos": pa.array(sim[iu, ju][hit])}
+            {
+                "a": pa.array(np.concatenate(a_parts)),
+                "b": pa.array(np.concatenate(b_parts)),
+                "cos": pa.array(np.concatenate(c_parts)),
+            }
         )
 
     return fn

@@ -292,7 +292,17 @@ def remove_boilerplate_lines(
     ``delim`` is a literal (regex-quoted for the split, verbatim for the
     re-join). Per-line bytes pass through untouched — only membership in
     the output changes, preserving the BASELINE.json:15 byte invariant.
+    NULL-text docs pass through unchanged (split(NULL) explodes to zero
+    rows, which would silently drop the doc from the groupBy otherwise —
+    a *line*-removal op must not delete whole rows it never touched).
     """
+    null_docs = df.filter(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.lit(0).cast("long").alias("n_kept"),
+        F.lit(0).cast("long").alias("n_dropped"),
+    )
+    df = df.filter(F.col(text_col).isNotNull())
     split_expr = F.split(F.col(text_col), "\\Q" + delim + "\\E")
     lines = df.select(
         F.col(id_col).alias("id"),
@@ -323,4 +333,5 @@ def remove_boilerplate_lines(
             (F.first("n_total") - F.count("*")).cast("long").alias("n_dropped"),
         )
         .withColumnRenamed("id", id_col)
+        .unionByName(null_docs)
     )

@@ -103,3 +103,24 @@ def test_line_bytes_untouched(spark):
     )
     r = {x.doc_id: x.text for x in remove_boilerplate_lines(df, min_docs=2).collect()}
     assert r[1].split("\n")[0] == weird
+
+
+def test_null_text_passes_through(spark):
+    """A NULL-text doc has no lines — a line-removal op must hand it back
+    unchanged, never silently delete the row (split(NULL) explodes to
+    zero rows and would drop the doc from the groupBy otherwise)."""
+    df = spark.createDataFrame(
+        [
+            (1, "shared boilerplate line\nunique one"),
+            (2, "shared boilerplate line\nunique two"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(df, min_docs=2, min_chars=5).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[3].text is None and out[3].n_kept == 0 and out[3].n_dropped == 0
+    assert "shared boilerplate line" not in out[1].text

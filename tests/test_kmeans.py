@@ -210,3 +210,27 @@ def test_kmeans_more_centroids_than_rows(spark):
     cb, info = kmeans_fit(emb, k=8, iters=3, seed=11)
     assert cb.shape == (8, DIM) and np.isfinite(cb).all()
     assert info["n"] == 5
+
+
+def test_pair_stage_blockwise_matches_bruteforce():
+    """The row-blockwise pair kernel (bounded O(block·n) memory) emits
+    exactly the brute-force upper-triangle pair set at every block size,
+    including blocks that split the matrix mid-cluster."""
+    import pyarrow as pa
+
+    from guava_probably_spark.pipeline.kmeans import _cluster_pair_stage
+
+    ids, vecs, _, _ = _corpus()
+    threshold = 0.995
+    want = _brute_pairs(vecs, threshold)
+    table = pa.table(
+        {
+            "id": pa.array(ids),
+            "embedding": pa.array([[float(x) for x in v] for v in vecs]),
+        }
+    )
+    for block in (1, 3, 17, len(ids), 10_000):
+        out = _cluster_pair_stage(threshold, 10**6, "embedding", block=block)(table)
+        got = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+        assert got == want, block
+        assert all(c >= threshold for c in out.column("cos").to_pylist())

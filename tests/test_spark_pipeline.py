@@ -742,3 +742,46 @@ def test_histogram_equidepth_grouped_within_rank_bounds(spark):
             if r.bucket == len(hrows) - 1:
                 exact_in = n - np.searchsorted(vals, r.lo)
             assert abs(r.rows - exact_in) <= 2 * r.rows_error_bound + 1, (src, r)
+
+
+def test_histogram_equidepth_grouped_degenerate_keys(spark):
+    """Constant-valued and single-row keys still own their rows — they
+    emit one degenerate [v, v] bucket instead of vanishing from the
+    profile — and a non-string key column keeps its input type."""
+    from guava_probably_spark.operators.histogram import histogram_equidepth_grouped
+
+    rows = (
+        [(1, 5.0)] * 1_000 + [(2, 42.0)] + [(3, float(i)) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "src int, v double")
+    out = histogram_equidepth_grouped(df, "src", "v", bins=4)
+    assert dict(out.dtypes)["src"] == "int"  # key type preserved
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault(r.src, []).append(r)
+    assert set(by_key) == {1, 2, 3}  # no key vanishes
+    (b1,) = by_key[1]
+    assert b1.lo == b1.hi == 5.0 and b1.rows == 1_000
+    (b2,) = by_key[2]
+    assert b2.lo == b2.hi == 42.0 and b2.rows == 1
+    assert sum(r.rows for r in by_key[3]) == pytest.approx(
+        100, abs=2 * by_key[3][0].rows_error_bound
+    )
+
+
+def test_sketch_fold_sql_fractional_tdigest_delta(spark):
+    """sketch_fold must not truncate a fractional t-digest δ: folding to
+    80.5 yields a δ=80.5 digest, not a silently coarser δ=80 one."""
+    from guava_probably_spark.sketches.tdigest import TDigestSketch
+
+    register_sql(spark)
+    sk = TDigestSketch(200.0)
+    sk.update(np.arange(10_000, dtype=np.float64))
+    df = spark.createDataFrame([(sk.to_bytes(),)], "sketch binary")
+    df.createOrReplaceTempView("td_fold_v")
+    blob = spark.sql(
+        "SELECT sketch_fold(sketch, 80.5) AS s FROM td_fold_v"
+    ).collect()[0].s
+    folded = Sketch.from_bytes(blob)
+    assert folded.delta == 80.5
+    assert folded.n == sk.n
