@@ -13,6 +13,7 @@ hashes values after sorting columns by name).
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -227,6 +228,9 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scalable bloom: canonical stage-SET union ⇒ blob byte-equality
         # across bracketings (sketches/sbf.py), same class as bloom/hll/cms
         "sbf": SketchSpec("sbf", {"initial_capacity": 1024, "fpp": 0.01}),
+        # ddsketch: bucket-count addition is exact ⇒ byte-equality while no
+        # collapse fires (max_bins default spans >10^17 dynamic range)
+        "dd": SketchSpec("dd", {"alpha": 0.01}),
     }
     exact_users = {
         r.user_id: r.c
@@ -234,7 +238,7 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     rows = []
     for kind, spec in specs.items():
-        if kind in ("kll", "tdigest"):
+        if kind in ("kll", "tdigest", "dd"):
             col = "value"
         elif kind == "cuckoo":
             col = "event_id"  # unique keys: >2b duplicate fingerprints overflow
@@ -243,7 +247,7 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, c = (collect_sketch(s, col, spec)[0] for s in splits)
         left = a.copy().merge(b.copy()).merge(c.copy())
         right = a.copy().merge(b.copy().merge(c.copy()))
-        if kind in ("bloom", "hll", "cms", "theta", "sbf"):
+        if kind in ("bloom", "hll", "cms", "theta", "sbf", "dd"):
             ok = left.to_bytes() == right.to_bytes()
         elif kind == "mg":
             # counters are merge-order-sensitive; the bracketing bound is not
@@ -1055,9 +1059,11 @@ def _grouped_cms_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_quantile_rank_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile sketches both directions: KLL + t-digest quantile()
-    estimates rank-checked against exact, and KLL rank() probes — all
-    within the published rank-error bound."""
+    """Quantile sketches in all three guarantee flavors: KLL + t-digest
+    quantile() estimates rank-checked against exact, KLL rank() probes,
+    and DDSketch quantile() estimates VALUE-checked within the published
+    relative-error α (Masson et al. VLDB 2019 — the heavy-tail guarantee
+    the rank-error sketches can't give; sketches/dd.py)."""
     k = _quantiles("kll", "lineitem", "l_extendedprice", "kll")(spark, sf_dir).select(
         F.lit("kll_lineitem_price").alias("name"), "q_label", "within"
     )
@@ -1069,7 +1075,42 @@ def _q_quantile_rank_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("probe").alias("q_label"),
         "within",
     )
-    return k.unionByName(t).unionByName(r)
+    d = _q_dd_relative(spark, sf_dir).select(
+        F.lit("dd_lineitem_price").alias("name"), "q_label", "within"
+    )
+    return k.unionByName(t).unionByName(r).unionByName(d)
+
+
+def _q_dd_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch value-relative accuracy: each quantile estimate is within
+    α·|true value| of the exact quantile (computed distributed via Spark's
+    exact percentile aggregate — no sort collect)."""
+    alpha = 0.01
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    labels = ["p10", "p25", "p50", "p75", "p90", "p99"]
+    df = _t(spark, sf_dir, "lineitem")
+    sk, n, _ = collect_sketch(df, "l_extendedprice", SketchSpec("dd", {"alpha": alpha}))
+    ests = [float(v) for v in sk.quantile(qs)]
+    # the guarantee is vs an ACTUAL value at rank ⌊q·(n−1)⌋ — Spark's
+    # percentile() interpolates, but percentile at k/(n−1) lands on the
+    # exact k-th order statistic, so deinterpolate the probe points
+    qf = [math.floor(q * (n - 1)) / (n - 1) for q in qs]
+    exact = df.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(" + ",".join(map(repr, qf)) + "))"
+        ).alias("p")
+    ).collect()[0].p
+    rows = [
+        Row(
+            q_label=lab,
+            within=bool(
+                sk.collapses == 0
+                and abs(est - float(ex)) <= alpha * abs(float(ex)) * 1.001
+            ),
+        )
+        for lab, est, ex in zip(labels, ests, exact)
+    ]
+    return spark.createDataFrame(rows)
 
 
 def _q_heavy_hitters_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1290,7 +1331,11 @@ def oracle_sql() -> dict[str, str]:
             "('tdigest_events_value', 'p50'), ('tdigest_events_value', 'p75'), "
             "('tdigest_events_value', 'p90'), "
             "('kll_rank_lineitem', 'q20'), ('kll_rank_lineitem', 'q50'), "
-            "('kll_rank_lineitem', 'q80')) AS t(name, q_label)"
+            "('kll_rank_lineitem', 'q80'), "
+            "('dd_lineitem_price', 'p10'), ('dd_lineitem_price', 'p25'), "
+            "('dd_lineitem_price', 'p50'), ('dd_lineitem_price', 'p75'), "
+            "('dd_lineitem_price', 'p90'), ('dd_lineitem_price', 'p99')"
+            ") AS t(name, q_label)"
         ),
         "bloom_semijoin_lineitem_part": (
             "SELECT 'bloom_semijoin' AS name, count(*) AS join_cnt "
@@ -1298,7 +1343,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "merge_associativity": (
             "SELECT kind, true AS ok FROM (VALUES ('bloom'), ('cuckoo'), ('hll'), "
-            "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta'), ('sbf'), ('fd')) "
+            "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta'), ('sbf'), ('dd'), ('fd')) "
             "AS t(kind)"
         ),
         "grouped_hll_users_by_type": (

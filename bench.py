@@ -308,6 +308,10 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
         lambda: collect_sketch(events, "value", SketchSpec("tdigest", {"delta": 200.0})),
     )
     timed(
+        "q_dd_events_value",
+        lambda: collect_sketch(events, "value", SketchSpec("dd", {"alpha": 0.01})),
+    )
+    timed(
         "q_grouped_hll_returnflag",
         lambda: build_grouped(
             lineitem, "l_returnflag", "l_orderkey", SketchSpec("hll", {"p": 12}), salt=8
@@ -726,8 +730,13 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
         out = sketch_antijoin(spark, big_docs, "doc_id", dim, "k", fpp=1e-3)
         # aggregate over the text payload — a bare count() lets Catalyst
         # prune the delta's text column and under-report the real
-        # materialization cost (bench discipline rule)
-        return out.agg(F.sum(F.length("text"))).collect()[0][0]
+        # materialization cost (bench discipline rule); report the doc
+        # count, which the same agg computes for free
+        r = out.agg(
+            F.count("*").alias("c"), F.sum(F.length("text")).alias("b")
+        ).collect()[0]
+        extras["antijoin_new_doc_chars"] = int(r.b)
+        return int(r.c)
 
     extras["antijoin_new_docs"] = warmed("q_antijoin_delta_docs", antijoin_delta)
 
@@ -823,6 +832,7 @@ def run_accuracy(spark, t_path: str) -> dict:
         ("mg", "conv_id", SketchSpec("mg", {"k": mg_k})),
         ("kll", "turn_idx", SketchSpec("kll", {"k": kll_k})),
         ("tdigest", "turn_idx", SketchSpec("tdigest", {"delta": td_delta})),
+        ("dd", "turn_idx", SketchSpec("dd", {"alpha": 0.01})),
     ]
     built = collect_sketches_files(spark, t_path, targets)
     sks = {name: t[0] for name, t in built.items()}
@@ -905,6 +915,22 @@ def run_accuracy(spark, t_path: str) -> dict:
         bound = sks[name].rank_error_bound()
         out[name] = {"max_rank_err": round(float(max(errs)), 6),
                      "bound_3sigma": round(float(bound), 6), "ok": bool(max(errs) <= bound)}
+
+    # -- ddsketch: VALUE-relative error at the deciles vs the exact
+    #    discrete quantile (turn_idx is low-cardinality: exact per-value
+    #    counts + a driver cumsum give v_q with no full sort). -------------
+    tc_rows = df.groupBy("turn_idx").count().orderBy("turn_idx").collect()
+    tv = np.array([r.turn_idx for r in tc_rows], dtype=np.float64)
+    cum = np.cumsum(np.array([r["count"] for r in tc_rows], dtype=np.int64))
+    v_true = tv[np.searchsorted(cum, np.floor(qs * (cum[-1] - 1)), side="right")]
+    dd_est = np.atleast_1d(sks["dd"].quantile(qs))
+    rel = np.abs(dd_est - v_true) / np.maximum(np.abs(v_true), 1e-12)
+    out["dd"] = {
+        "max_rel_err": round(float(rel.max()), 6),
+        "bound_alpha": 0.01,
+        "collapses": sks["dd"].collapses,
+        "ok": bool(rel.max() <= 0.01 and sks["dd"].collapses == 0),
+    }
     return out
 
 
@@ -936,6 +962,9 @@ def main() -> None:
                 o, b = f"max over {v['max_over']}", f"ε·N = {v['bound_epsN']}"
             elif "max_under" in v:
                 o, b = f"max under {v['max_under']}", f"N/k = {v['bound_N_over_k']}"
+            elif "max_rel_err" in v:
+                o = f"max rel err {v['max_rel_err']} (collapses {v['collapses']})"
+                b = f"α = {v['bound_alpha']}"
             else:
                 o, b = f"max rank err {v['max_rank_err']}", f"{v['bound_3sigma']} (3σ)"
             md_rows.append(f"| {k} | {o} | {b} | {'✓' if v['ok'] else '✗'} |")

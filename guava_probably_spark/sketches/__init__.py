@@ -19,6 +19,7 @@ from .base import (
 from .bloom import BloomSketch, bloom_geometry
 from .cms import CmsSketch, cms_geometry
 from .cuckoo import CuckooSketch, cuckoo_geometry
+from .dd import DDSketch
 from .hll import HllSketch
 from .kll import KllSketch
 from .mg import MisraGriesSketch
@@ -38,6 +39,7 @@ _KINDS = {
     "theta": ThetaSketch,
     "fd": FrequentDirectionsSketch,
     "sbf": ScalableBloomSketch,
+    "dd": DDSketch,
 }
 
 
@@ -81,6 +83,7 @@ __all__ = [
     "MisraGriesSketch",
     "ThetaSketch",
     "TDigestSketch",
+    "DDSketch",
     "IncompatibleSketchError",
     "bloom_geometry",
     "cuckoo_geometry",

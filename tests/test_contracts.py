@@ -21,6 +21,7 @@ SPECS = [
     SketchSpec("kll", {"k": 200}),
     SketchSpec("tdigest", {"delta": 100.0}),
     SketchSpec("sbf", {"initial_capacity": 512, "fpp": 0.01, "funnel": FUNNEL_LONG}),
+    SketchSpec("dd", {"alpha": 0.01}),
 ]
 IDS = [s.kind for s in SPECS]
 
@@ -32,6 +33,7 @@ INCOMPATIBLE_TWINS = {
     "kll": SketchSpec("kll", {"k": 256}),
     "tdigest": SketchSpec("tdigest", {"delta": 50.0}),
     "sbf": SketchSpec("sbf", {"initial_capacity": 511, "fpp": 0.01, "funnel": FUNNEL_LONG}),
+    "dd": SketchSpec("dd", {"alpha": 0.02}),
 }
 
 
@@ -91,7 +93,7 @@ def test_merge_equals_whole_build_or_within_bound(spec):
     right_inner = build(parts[1]).merge(build(parts[2]))
     right = build(parts[0]).merge(right_inner)
 
-    if spec.kind in ("bloom", "hll", "cms"):
+    if spec.kind in ("bloom", "hll", "cms", "dd"):
         whole = build(data)
         assert left.to_bytes() == right.to_bytes() == whole.to_bytes()
     elif spec.kind == "sbf":
@@ -136,7 +138,7 @@ def test_merge_commutativity(spec):
 
     ab = build(a_data).merge(build(b_data))
     ba = build(b_data).merge(build(a_data))
-    if spec.kind in ("bloom", "hll", "cms", "sbf"):
+    if spec.kind in ("bloom", "hll", "cms", "sbf", "dd"):
         assert ab.to_bytes() == ba.to_bytes()
     elif spec.kind == "cuckoo":
         uniq = np.unique(data)
@@ -162,6 +164,7 @@ def test_from_bytes_corruption_always_raises_valueerror():
         SketchSpec("mg", {"k": 64, "funnel": FUNNEL_UTF8}),
         SketchSpec("theta", {"k": 256}),
         SketchSpec("fd", {"ell": 16}),
+        SketchSpec("dd", {"alpha": 0.01, "max_bins": 256}),
         SketchSpec("sbf", {"initial_capacity": 128, "fpp": 0.02, "funnel": FUNNEL_LONG}),
     ]
     vals = _data(2000)
