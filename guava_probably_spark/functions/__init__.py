@@ -302,8 +302,10 @@ def _sketch_fold_sql():
     see HllSketch.fold_to), theta blobs to a smaller k (same exactness, see
     ThetaSketch.fold_to), KLL to a smaller k and t-digest to a smaller δ
     (bound-preserving, not byte-identical — their compaction is history-
-    dependent). Kinds without fold_to raise AttributeError → surfaced as a
-    task error, never a silent wrong blob."""
+    dependent), DD by an integer grid multiplier m (γ→γᵐ — exact integer
+    regrid that commutes with merge byte-for-byte). Kinds without fold_to
+    raise AttributeError → surfaced as a task error, never a silent wrong
+    blob."""
     from pyspark.sql.types import BinaryType
 
     @pandas_udf(BinaryType())

@@ -215,6 +215,46 @@ class DDSketch(Sketch):
         self.collapses += other.collapses
         return self
 
+    def fold_to(self, m: int) -> "DDSketch":
+        """Fold to a coarser grid γ₂ = γᵐ (``m`` an integer ≥ 1): bucket
+        index j = ⌈i/m⌉ — PURE integer math, since ⌈⌈y·m⌉/m⌉ = ⌈y⌉ makes
+        the γᵐ grid exactly nest the γ grid. The folded sketch is a
+        bona-fide DDSketch at α₂ = (γᵐ−1)/(γᵐ+1) and the fold COMMUTES
+        with merge exactly: fold(A).merge(fold(B)) is byte-identical to
+        fold(A.merge(B)) (regrid is a linear map on counts), enabling
+        mixed-α sketch-table merges via SQL ``sketch_fold`` like the
+        HLL/theta/KLL/t-digest folds. Unlike those, the fold parameter is
+        the grid MULTIPLIER m, not the target α — α₂ is derived."""
+        if not (isinstance(m, (int, np.integer)) and m >= 1):
+            raise ValueError(f"fold multiplier must be an integer >= 1, got {m}")
+        if m == 1:
+            return self.copy()  # identity fold keeps α bit-exact (merge-compat)
+        g2 = self.gamma**int(m)
+        alpha2 = (g2 - 1.0) / (g2 + 1.0)
+        if not alpha2 < 1.0:
+            raise ValueError(f"folded alpha would reach 1.0 (gamma^{m} overflow)")
+        out = DDSketch(alpha2, self.max_bins)
+        out.collapses = self.collapses  # before _collapse can add fold-time ones
+        for which in ("pos", "neg"):
+            counts = getattr(self, which)
+            if len(counts) == 0:
+                continue
+            offset = self.pos_offset if which == "pos" else self.neg_offset
+            idx = np.arange(offset, offset + len(counts))
+            # ceil division for signed ints: -(-i // m)
+            j = -(-idx // int(m))
+            lo = int(j.min())
+            folded = np.zeros(int(j.max()) - lo + 1, dtype=np.int64)
+            np.add.at(folded, j - lo, counts)
+            folded, lo = out._collapse(folded, lo)
+            if which == "pos":
+                out.pos, out.pos_offset = folded, lo
+            else:
+                out.neg, out.neg_offset = folded, lo
+        out.zero_count = self.zero_count
+        out.n = self.n
+        return out
+
     # -------------------------------------------------------------- queries
     def _rep(self, idx: np.ndarray) -> np.ndarray:
         """Bucket representative 2γ^i/(γ+1) — within α of every member."""

@@ -173,3 +173,58 @@ def test_spec_create_and_repr():
     assert isinstance(sk, DDSketch)
     assert sk.alpha == 0.03 and sk.max_bins == 777
     assert "DDSketch" in repr(sk)
+
+
+def test_fold_commutes_with_merge_byte_exact():
+    """γ→γᵐ regrid is a linear map on counts, so fold(A)∪fold(B) must be
+    byte-identical to fold(A∪B) — the property that makes mixed-α
+    sketch-table merges (SQL sketch_fold) exact."""
+    rng = np.random.default_rng(41)
+    vals = np.exp(rng.normal(0, 2, 40_000))
+    a, b = DDSketch(0.005), DDSketch(0.005)
+    a.update(vals[:20_000])
+    b.update(vals[20_000:])
+    for m in (2, 3, 7):
+        left = a.fold_to(m).merge(b.fold_to(m))
+        whole = a.copy().merge(b).fold_to(m)
+        assert left.to_bytes() == whole.to_bytes(), m
+        # and the folded sketch honors ITS OWN α₂ bound
+        alpha2 = left.alpha
+        srt = np.sort(vals)
+        for q in (0.1, 0.5, 0.9, 0.99):
+            est = left.quantile(q)
+            true = srt[int(q * (len(srt) - 1))]
+            assert abs(est - true) <= alpha2 * abs(true) * (1 + 1e-9), (m, q)
+
+
+def test_fold_identity_and_errors():
+    sk = DDSketch(0.01)
+    sk.update(np.exp(np.random.default_rng(5).normal(0, 1, 5_000)))
+    same = sk.fold_to(1)
+    assert same.to_bytes() == sk.to_bytes() and same is not sk
+    with pytest.raises(ValueError):
+        sk.fold_to(0)
+    with pytest.raises(ValueError):
+        sk.fold_to(2.5)
+    # n / zero / sign mass preserved through a real fold
+    mixed = DDSketch(0.02)
+    mixed.update(np.array([-3.0, -1.0, 0.0, 0.0, 2.0, 8.0]))
+    f = mixed.fold_to(4)
+    assert f.n == 6 and f.zero_count == 2
+    assert int(f.pos.sum()) == 2 and int(f.neg.sum()) == 2
+
+
+def test_fold_via_sql_sketch_fold(spark):
+    """The generic SQL fold surface reaches dd: param = grid multiplier."""
+    from guava_probably_spark.functions import register_sql
+    from guava_probably_spark.sketches import Sketch
+
+    register_sql(spark)
+    sk = DDSketch(0.005)
+    sk.update(np.exp(np.random.default_rng(6).normal(1, 2, 20_000)))
+    df = spark.createDataFrame([(sk.to_bytes(),)], "sketch binary")
+    df.createOrReplaceTempView("dd_fold_v")
+    blob = spark.sql("SELECT sketch_fold(sketch, 3) AS s FROM dd_fold_v").collect()[0].s
+    folded = Sketch.from_bytes(blob)
+    assert folded.to_bytes() == sk.fold_to(3).to_bytes()
+    assert folded.n == sk.n
