@@ -735,7 +735,7 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
         r = out.agg(
             F.count("*").alias("c"), F.sum(F.length("text")).alias("b")
         ).collect()[0]
-        extras["antijoin_new_doc_chars"] = int(r.b)
+        extras["antijoin_new_doc_chars"] = int(r.b or 0)  # sum() is NULL on 0 rows
         return int(r.c)
 
     extras["antijoin_new_docs"] = warmed("q_antijoin_delta_docs", antijoin_delta)

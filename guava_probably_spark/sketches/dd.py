@@ -85,9 +85,14 @@ class DDSketch(Sketch):
         self.max_bins = int(max_bins)
         self.gamma = (1.0 + self.alpha) / (1.0 - self.alpha)
         self._lg = math.log(self.gamma)
-        # |x| below this would need a bucket index < INT32_MIN — treat as 0
-        # (the paper's "values smaller than the smallest representable" case)
-        self._min_value = math.exp(-(2**30) * self._lg) if self._lg * (2**30) < 700 else 0.0
+        if not self._lg > 0.0:
+            # alpha below ~1e-16 makes gamma round to exactly 1.0 — bucket
+            # math would divide by zero and every estimate would be garbage
+            raise ValueError(f"alpha={alpha} is too small to resolve in float64")
+        # only exact zeros go to the zero counter: any positive float64 has
+        # |log x| <= 745, so its index fits int64 for every resolvable alpha
+        # (the pre-densify clamp + collapses counter handle extreme spans)
+        self._min_value = 0.0
         # contiguous stores: counts[j] is bucket index (offset + j)
         self.pos = np.zeros(0, dtype=np.int64)
         self.pos_offset = 0
@@ -257,8 +262,13 @@ class DDSketch(Sketch):
 
     # -------------------------------------------------------------- queries
     def _rep(self, idx: np.ndarray) -> np.ndarray:
-        """Bucket representative 2γ^i/(γ+1) — within α of every member."""
-        return 2.0 * np.exp(idx.astype(np.float64) * self._lg) / (self.gamma + 1.0)
+        """Bucket representative 2γ^i/(γ+1) = γ^i·(1−α), within α of every
+        member — computed in log space (γ^i alone overflows for buckets
+        near DBL_MAX) and clamped to the largest finite double: the
+        top-most representable bucket's clamped rep is within 2α of its
+        members, every other bucket keeps the exact-α rep."""
+        e = idx.astype(np.float64) * self._lg + math.log1p(-self.alpha)
+        return np.exp(np.minimum(e, math.log(np.finfo(np.float64).max)))
 
     def quantile(self, q) -> np.ndarray | float:
         """Value(s) at quantile(s) q ∈ [0, 1], each within relative error

@@ -228,3 +228,28 @@ def test_fold_via_sql_sketch_fold(spark):
     folded = Sketch.from_bytes(blob)
     assert folded.to_bytes() == sk.fold_to(3).to_bytes()
     assert folded.n == sk.n
+
+
+def test_parameter_edges_resolvable_alpha_and_dbl_max():
+    """Review-found edges: unresolvable α raises instead of silently
+    dividing by zero; tiny-but-resolvable α never mislabels small values
+    as zeros; reps near DBL_MAX stay finite."""
+    with pytest.raises(ValueError):
+        DDSketch(1e-17)  # gamma rounds to exactly 1.0
+    # α=1e-9 resolves; 0.05 is NOT a zero and a single bucket is exact-α
+    sk = DDSketch(1e-9)
+    sk.update(np.array([0.05]))
+    assert sk.zero_count == 0 and sk.collapses == 0
+    assert abs(sk.quantile(0.5) - 0.05) <= 2e-9 * 0.05
+    # near-DBL_MAX values: finite rep within 2α (top-bucket clamp)
+    big = np.finfo(np.float64).max
+    hi = DDSketch(0.01)
+    hi.update(np.array([big, big / 2.0]))
+    q = hi.quantile(1.0)
+    assert np.isfinite(q)
+    assert abs(q - big) <= 2 * 0.01 * big
+    assert abs(hi.quantile(0.0) - big / 2) <= 0.01 * big / 2
+    # mirrored store: near -DBL_MAX stays finite too
+    lo = DDSketch(0.01)
+    lo.update(np.array([-big, 1.0]))
+    assert np.isfinite(lo.quantile(0.0))
