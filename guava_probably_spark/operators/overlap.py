@@ -108,7 +108,12 @@ def source_overlap_matrix(
         if sketches is not None
         else grouped_theta(
             df, key, col, k=k, pre_reduce=pre_reduce, partitions=partitions
-        )
+        # the self-join below references g on BOTH sides and Spark does not
+        # reuse the exchange across the two MapInArrow subtrees — without
+        # materialization the corpus would be scanned twice. The blob table
+        # is metadata-scale (S profiling keys × ≤k·8 B), so an eager
+        # localCheckpoint pins it once on the executors.
+        ).localCheckpoint(eager=True)
     )
     kt = g.schema[key].dataType.simpleString()
     left = g.select(F.col(key).alias("a"), F.col("sketch").alias("sk_a"))

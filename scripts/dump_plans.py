@@ -217,6 +217,35 @@ def main() -> None:
         fmt(grouped_hll(events, "event_type", "user_id", p=12, prehash=True)),
     ))
 
+    from guava_probably_spark.operators import source_overlap_matrix
+    from guava_probably_spark.pipeline.textops import remove_boilerplate_lines
+
+    sections.append((
+        "Source-overlap matrix (all-pairs set algebra from blobs)",
+        "ONE corpus scan (the grouped-theta build, map-side KMV pre-reduce) "
+        "produces a ≤k·8-byte blob per source, pinned once via eager "
+        "`localCheckpoint` (both `Scan ExistingRDD` nodes below read that "
+        "materialized blob table — without it the self-join re-derived the "
+        "corpus scan on each side); the O(S²) pair stage is a **broadcast "
+        "nested-loop join between two blob relations** + one `MapInArrow` — "
+        "the corpus is never self-joined and everything above the scan is "
+        "metadata-scale.",
+        fmt(source_overlap_matrix(docs.withColumn("src",
+            (F.col("doc_id") % 4).cast("string")), "src", "text", k=256)),
+    ))
+    sections.append((
+        "Corpus-level boilerplate line removal",
+        "All codegen, no Python: one `posexplode` line relation feeds (a) "
+        "the boilerplate key set (distinct (hash, doc) pairs → "
+        "count-distinct-docs filter) and (b) a `LEFT ANTI` join on the "
+        "8-byte line hash (AQE broadcasts the key set when small; at TB "
+        "key scale it degrades to a hash join on the hash, never on line "
+        "text), then one `ObjectHashAggregate` re-assembles each doc with "
+        "`sort_array` — map-side partials, one exchange of (id, line) "
+        "pairs.",
+        fmt(remove_boilerplate_lines(docs, min_docs=3)),
+    ))
+
     out = [
         "# Physical plans of the core operators",
         "",
