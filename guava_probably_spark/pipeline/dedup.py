@@ -462,10 +462,28 @@ def exact_jaccard_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
     inter via a shuffle join on the shingle key restricted to candidates;
     uni = |A| + |B| − inter. Integer outputs only (the oracle contract
     avoids float columns).
+
+    The shingle relation appears on four plan branches (sizes ×2, a-side,
+    b-side) and ``pairs`` on three, and Spark does not reuse the exchange
+    across them — naively each shingle branch re-derives the CORPUS-scale
+    explode and each pairs branch re-runs the whole candidate pipeline
+    (minhash signatures + banding). Both are pinned once with eager
+    localCheckpoints: the pair table is id-pairs only (16 B/row, bounded
+    by the banding skew caps) and the shingle set is semi-reduced to the
+    candidate doc ids first (|candidate docs| × shingles/doc — the verify
+    stage's own working set). One corpus-scale derivation + one candidate
+    derivation instead of four + three.
     """
-    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sa = shingles.select(F.col("id").alias("a"), "shingle")
-    sb = shingles.select(F.col("id").alias("b"), "shingle")
+    pairs = pairs.localCheckpoint(eager=True)
+    ids = (
+        pairs.select(F.col("a").alias("id"))
+        .union(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    sh_c = shingles.join(ids, "id").localCheckpoint(eager=True)
+    sizes = sh_c.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sa = sh_c.select(F.col("id").alias("a"), "shingle")
+    sb = sh_c.select(F.col("id").alias("b"), "shingle")
     inter = (
         pairs.join(sa, "a")
         .join(sb, ["b", "shingle"])
