@@ -502,6 +502,19 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     extras["minhash_candidate_pairs"] = warmed("q_minhash_lsh_docs", minhash_lsh)
 
+    def minhash_verified():
+        # the FULL near-dup pipeline incl. exact trigram-Jaccard verify —
+        # q_minhash_lsh_docs above times candidate generation only
+        from guava_probably_spark.pipeline.dedup import neardup_pairs_minhash
+
+        return neardup_pairs_minhash(
+            big_docs, "doc_id", "text", threshold=0.5
+        ).count()
+
+    extras["minhash_verified_pairs"] = warmed(
+        "q_minhash_verified_docs", minhash_verified
+    )
+
     def simhash_bulk():
         import pyarrow as pa
 
