@@ -17,6 +17,10 @@
     --op histogram [--tokens n_chars --bins 20 --stratify source]
                    (equi-depth profile; --stratify → per-key from
                    grouped-KLL blobs with an explicit error column)
+    --op boilerplate [--min-docs 3] (drop lines appearing in >= min-docs
+                   distinct docs — C4-style corpus-frequent line removal)
+    --op overlap   --stratify source [--sketch-k 4096] (all-pairs
+                   source-overlap matrix from per-key theta blobs)
 
 Each op reads parquet (sandbox) or Iceberg (--format iceberg), writes
 parquet, and emits one JSON status line.  Ops compose by chaining runs
@@ -48,7 +52,7 @@ def main() -> None:
     ap.add_argument("--op", required=True,
                     choices=["dedup", "sample", "split", "pack", "redact",
                              "decontaminate", "ngram-decontaminate", "quality",
-                             "histogram"])
+                             "histogram", "boilerplate", "overlap"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     ap.add_argument("--id", default="doc_id")
@@ -75,6 +79,10 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.5)
     # histogram
     ap.add_argument("--bins", type=int, default=20)
+    # boilerplate
+    ap.add_argument("--min-docs", type=int, default=3)
+    # overlap
+    ap.add_argument("--sketch-k", type=int, default=4096)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -171,6 +179,18 @@ def main() -> None:
             train, df, args.id, args.text, n=args.n or 2
         ).withColumnRenamed("id", args.id)
         out = df.join(scores, args.id)
+    elif args.op == "boilerplate":
+        from guava_probably_spark.pipeline.textops import remove_boilerplate_lines
+
+        out = remove_boilerplate_lines(
+            df, min_docs=args.min_docs, id_col=args.id, text_col=args.text
+        )
+    elif args.op == "overlap":
+        from guava_probably_spark.operators import source_overlap_matrix
+
+        if not args.stratify:
+            raise SystemExit("--op overlap requires --stratify <key column>")
+        out = source_overlap_matrix(df, args.stratify, args.text, k=args.sketch_k)
     else:  # histogram
         from guava_probably_spark.operators.histogram import (
             histogram_equidepth,

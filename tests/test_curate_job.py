@@ -53,3 +53,13 @@ def test_curate_job_ngram_decontaminate(tmp_path):
     )
     assert s["output_rows"] == 500
     assert s["contaminated_rows"] >= 450  # only sub-5-token docs escape
+
+
+def test_curate_job_boilerplate_and_overlap(tmp_path):
+    s = _run(tmp_path, "--op", "boilerplate", "--min-docs", "2")
+    # line removal never adds docs; NULL-text docs pass through
+    assert 0 < s["output_rows"] <= s["input_rows"] == 500
+
+    s = _run(tmp_path, "--op", "overlap", "--stratify", "source", "--sketch-k", "256")
+    # sf0.001 documents has a small source dimension: C(n_sources, 2) pairs
+    assert s["output_rows"] >= 1
