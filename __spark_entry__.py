@@ -514,12 +514,16 @@ def _q_cube_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_grouped_kll_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group KLL medians via the vectorized grouped_kll operator
+    """Per-group medians from BOTH grouped quantile-sketch families
     (operators/grouped_kll: one stable sort per partition + segment-loop
-    updates — no applyInPandas) + quantile UDF; self-check: exact rank of
-    each group's estimated median within bound."""
+    updates — no applyInPandas): 'kll' rows rank-check the estimate
+    against the published rank-error bound; 'dd' rows (grouped_dd —
+    relative-error DDSketch per key) check the VALUE guarantee: some
+    actual value within α of the estimate must have a rank interval
+    containing 0.5, i.e. rank(est/(1+α)) ≤ 0.5 ≤ rank≤(est/(1−α)) —
+    both checks fully distributed (conditional aggregates, no sort)."""
     from guava_probably_spark.functions import quantile_udf
-    from guava_probably_spark.operators import grouped_kll
+    from guava_probably_spark.operators import grouped_dd, grouped_kll
 
     events = _t(spark, sf_dir, "events")
     g = grouped_kll(events, "event_type", "value", k=200).withColumnRenamed(
@@ -527,7 +531,7 @@ def _q_grouped_kll_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     med = g.select("event_type", quantile_udf(0.5)("sketch").alias("med"))
     bound = 3 * 1.33 / 200
-    ranks = (
+    kll_rows = (
         events.join(med, "event_type")
         .groupBy("event_type")
         .agg(
@@ -536,11 +540,38 @@ def _q_grouped_kll_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*")
             ).alias("rank_of_med")
         )
+        .select(
+            "event_type",
+            F.lit("kll").alias("kind"),
+            (F.abs(F.col("rank_of_med") - F.lit(0.5)) <= F.lit(bound)).alias("within"),
+        )
     )
-    return ranks.select(
-        "event_type",
-        (F.abs(F.col("rank_of_med") - F.lit(0.5)) <= F.lit(bound)).alias("within"),
+    alpha = 0.01
+    gd = grouped_dd(events, "event_type", "value", alpha=alpha).withColumnRenamed(
+        "key", "event_type"
     )
+    dmed = gd.select("event_type", quantile_udf(0.5)("sketch").alias("med"))
+    # window endpoints in value space; min/max handles negative estimates
+    lo = F.least(F.col("med") / (1 + alpha), F.col("med") / (1 - alpha))
+    hi = F.greatest(F.col("med") / (1 + alpha), F.col("med") / (1 - alpha))
+    dd_rows = (
+        events.join(dmed, "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.sum(F.when(F.col("value") < lo, 1).otherwise(0)) / F.count("*")).alias("r_lo"),
+            (F.sum(F.when(F.col("value") <= hi, 1).otherwise(0)) / F.count("*")).alias("r_hi"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.lit("dd").alias("kind"),
+            (
+                (F.col("r_lo") <= 0.5 + 1.5 / F.col("n"))
+                & (F.col("r_hi") >= 0.5 - 1.5 / F.col("n"))
+            ).alias("within"),
+        )
+    )
+    return kll_rows.unionByName(dd_rows)
 
 
 def _q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1380,7 +1411,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem"
         ),
         "grouped_kll_median_by_type": (
-            "SELECT event_type, true AS within FROM events GROUP BY event_type"
+            "SELECT event_type, kind, true AS within FROM "
+            "(SELECT DISTINCT event_type FROM events) "
+            "CROSS JOIN (VALUES ('kll'), ('dd')) AS t(kind)"
         ),
         "running_distinct_user_types": (
             "SELECT user_id, event_id, "

@@ -385,6 +385,19 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
     grouped_kll_conv()
     timed("q_grouped_kll_conv_highcard", grouped_kll_conv)
 
+    def grouped_dd_conv():
+        # per-conv relative-error quantiles (DDSketch per key) — same
+        # narrow-shuffle kernel as grouped_kll, order-insensitive blobs
+        from guava_probably_spark.operators import grouped_dd
+
+        df = spark.read.parquet(t_path)
+        return grouped_dd(
+            df, "conv_id", "turn_idx", alpha=0.01, partitions=128
+        ).count()
+
+    grouped_dd_conv()
+    timed("q_grouped_dd_conv_highcard", grouped_dd_conv)
+
     def grouped_cms_conv():
         from guava_probably_spark.operators import grouped_cms
 

@@ -415,3 +415,36 @@ def grouped_tdigest(
         pre_reduce,
         max(int(16 * delta), 1024) if hot_threshold is None else hot_threshold,
     )
+
+
+def grouped_dd(
+    df: DataFrame,
+    key: str,
+    col: str,
+    alpha: float = 0.01,
+    max_bins: int = 2048,
+    partitions: int | None = None,
+    assume_colocated: bool = False,
+    pre_reduce: bool | str = "auto",
+    hot_threshold: int | None = None,
+) -> DataFrame:
+    """Per-key DDSketch at high key cardinality → (key, sketch, n): the
+    "per-conversation p99 within α percent" query — VALUE-relative
+    quantile bounds per key on arbitrary tails (sketches/dd.py), through
+    the same narrow shuffle + segment-loop + sampled-probe skew armor as
+    ``grouped_kll``. Unlike KLL/t-digest, DD ingest and merge are
+    order-INsensitive exact bucket addition, so per-key blobs are
+    byte-identical to local builds under ANY partitioning or pre_reduce
+    path — the grouped-HLL/CMS determinism class, with the quantile
+    semantics of the grouped-KLL family."""
+
+    def make():
+        from ..sketches.dd import DDSketch
+
+        return DDSketch(alpha, max_bins)
+
+    return _grouped_value_sketch(
+        df, key, col, make, partitions, assume_colocated,
+        pre_reduce,
+        4096 if hot_threshold is None else hot_threshold,
+    )

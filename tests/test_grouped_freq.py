@@ -428,3 +428,75 @@ def test_skew_probe_memoization(spark):
     # a different threshold is a different cache entry
     gk._skew_probe(narrow, 128)
     assert len(gk._PROBE_CACHE) == 2
+
+
+def test_grouped_dd_byte_identical_under_any_partitioning(spark):
+    """grouped_dd (per-key relative-error quantiles): DD ingest/merge are
+    order-insensitive exact bucket addition, so per-key blobs must be
+    byte-identical to a local build under ANY partitioning AND both
+    pre_reduce paths — the grouped-HLL/CMS determinism class, which
+    grouped_kll/tdigest (order-sensitive) cannot give."""
+    from guava_probably_spark.operators import grouped_dd
+    from guava_probably_spark.sketches.dd import DDSketch
+
+    rng = np.random.default_rng(13)
+    n = 30_000
+    pdf = pd.DataFrame(
+        {"g": [f"c{i % 6}" for i in range(n)], "x": np.exp(rng.normal(0, 2, n))}
+    )
+    local = {}
+    for g, sub in pdf.groupby("g"):
+        sk = DDSketch(0.01)
+        sk.update(np.asarray(sub.x, dtype=float))
+        local[g] = sk.to_bytes()
+    for parts, flag in ((1, False), (7, False), (16, True), (16, "auto")):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        rows = {
+            r.key: (r.sketch, r.n)
+            for r in grouped_dd(df, "g", "x", alpha=0.01, pre_reduce=flag).collect()
+        }
+        assert set(rows) == set(local)
+        for g, (blob, cnt) in rows.items():
+            assert cnt == (pdf.g == g).sum()
+            assert blob == local[g], (parts, flag, g)
+
+
+def test_grouped_dd_hotkey_prereduce_value_bound(spark):
+    """Skew armor carries over: a planted hot key ships ≤ one partial blob
+    per input partition, and every quantile of the merged sketch is within
+    α of the exact value (heavy-tailed data — the DD guarantee)."""
+    from guava_probably_spark.operators import grouped_dd
+    from guava_probably_spark.operators.grouped_kll import _prereduce_stage
+    from guava_probably_spark.sketches.dd import DDSketch
+
+    rng = np.random.default_rng(19)
+    hot = np.exp(rng.normal(0, 3, 50_000))
+    cold = rng.uniform(1, 2, 800)
+    pdf = pd.DataFrame(
+        {
+            "g": ["hot"] * len(hot) + [f"c{i % 100}" for i in range(len(cold))],
+            "x": np.concatenate([hot, cold]),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    narrow = df.select(F.col("g").alias("k"), F.col("x").cast("double").alias("v"))
+    mixed = narrow.mapInArrow(
+        _prereduce_stage(lambda: DDSketch(0.01), 4096),
+        "k string, v double, s binary, c bigint",
+    )
+    hot_rows = mixed.where(F.col("k") == "hot").collect()
+    assert len(hot_rows) <= 8 and all(r.s is not None for r in hot_rows)
+    assert sum(r.c for r in hot_rows) == len(hot)
+
+    srt = np.sort(hot)
+    for flag in (True, False):
+        rows = {
+            r.key: (Sketch.from_bytes(r.sketch), r.n)
+            for r in grouped_dd(df, "g", "x", alpha=0.01, pre_reduce=flag).collect()
+        }
+        sk, cnt = rows["hot"]
+        assert cnt == len(hot) and sk.collapses == 0
+        for q in (0.1, 0.5, 0.9, 0.99, 0.999):
+            est = sk.quantile(q)
+            true = srt[int(q * (len(srt) - 1))]
+            assert abs(est - true) <= 0.01 * abs(true) * (1 + 1e-9), (flag, q)
