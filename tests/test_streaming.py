@@ -387,3 +387,60 @@ def test_windowed_stream_generic_over_sketch_kinds(spark, stream_dir, tmp_path):
                 else:
                     # MG bracketing: c - n/(k+1) <= counter <= c
                     assert c - n / 33 - 1 <= est <= c
+
+
+def test_windowed_dd_stream_value_bound(spark, stream_dir, tmp_path):
+    """The streaming window operator is sketch-generic: a DDSketch spec
+    yields per-window RELATIVE-error quantiles, and each window's final
+    emission is byte-identical to a batch DD build over that window's rows
+    (DD merge/ingest are order-insensitive, so incremental micro-batch
+    state == one-shot build)."""
+    import numpy as np
+
+    from guava_probably_spark.sketches.dd import DDSketch
+
+    incoming, files = stream_dir
+    shutil.copy(files[0], incoming)
+    stream = spark.readStream.schema(TRANSCRIPT_DDL).parquet(incoming)
+    out = windowed_sketch_stream(
+        stream, "ts", "turn_idx", SketchSpec("dd", {"alpha": 0.01}),
+        window="1 day", watermark="3650 days",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_dd")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        shutil.copy(files[1], incoming)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM win_dd").collect()
+    finally:
+        q.stop()
+    assert rows
+    latest = {}
+    for r in rows:
+        latest[r.window_start] = r
+    full = spark.read.parquet(incoming)
+    for w, r in latest.items():
+        vals = np.array(
+            [
+                x.turn_idx
+                for x in full.filter(
+                    F.window("ts", "1 day").getField("start") == w
+                ).collect()
+            ],
+            dtype=np.float64,
+        )
+        ref = DDSketch(0.01)
+        ref.update(vals)
+        assert r.sketch == ref.to_bytes() and r.n == len(vals)
+        sk = Sketch.from_bytes(r.sketch)
+        srt = np.sort(vals)
+        for qq in (0.5, 0.99):
+            est = sk.quantile(qq)
+            true = srt[int(qq * (len(srt) - 1))]
+            assert abs(est - true) <= 0.01 * abs(true) * (1 + 1e-9)
