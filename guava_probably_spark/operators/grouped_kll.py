@@ -433,10 +433,19 @@ def grouped_dd(
     quantile bounds per key on arbitrary tails (sketches/dd.py), through
     the same narrow shuffle + segment-loop + sampled-probe skew armor as
     ``grouped_kll``. Unlike KLL/t-digest, DD ingest and merge are
-    order-INsensitive exact bucket addition, so per-key blobs are
-    byte-identical to local builds under ANY partitioning or pre_reduce
-    path — the grouped-HLL/CMS determinism class, with the quantile
-    semantics of the grouped-KLL family."""
+    order-INsensitive exact bucket addition, so WHILE NO COLLAPSE FIRES
+    (``collapses == 0`` — the default 2048-bin store spans >10^17 of
+    dynamic range) per-key blobs are byte-identical to local builds under
+    ANY partitioning or pre_reduce path — the grouped-HLL/CMS determinism
+    class, with the quantile semantics of the grouped-KLL family. Once a
+    store collapses, both the counter and the low-tail bucket layout
+    become path-dependent (mass and the high-quantile bound still hold).
+
+    ±inf values RAISE (every DD surface refuses unrepresentable values
+    rather than silently mis-bin them — filter with ``isfinite`` upstream
+    if inf artifacts are expected); KLL/t-digest on the same kernel ingest
+    ±inf as orderable extremes instead. NaN/null are dropped by all three.
+    """
 
     def make():
         from ..sketches.dd import DDSketch
@@ -446,5 +455,8 @@ def grouped_dd(
     return _grouped_value_sketch(
         df, key, col, make, partitions, assume_colocated,
         pre_reduce,
-        4096 if hot_threshold is None else hot_threshold,
+        # scale to the blob size like 16·k / 16·δ on the siblings: a
+        # partial only compresses when the raw rows outweigh the ~max_bins
+        # int64 store it ships
+        max(2 * max_bins, 1024) if hot_threshold is None else hot_threshold,
     )
