@@ -444,3 +444,54 @@ def test_windowed_dd_stream_value_bound(spark, stream_dir, tmp_path):
             est = sk.quantile(qq)
             true = srt[int(qq * (len(srt) - 1))]
             assert abs(est - true) <= 0.01 * abs(true) * (1 + 1e-9)
+
+
+def test_windowed_mg_stream_heavy_hitters(spark, stream_dir, tmp_path):
+    """Streaming heavy hitters: an MG spec through the same windowed
+    operator yields per-window top items whose [c, c+e] brackets contain
+    the exact per-window counts (the Misra–Gries guarantee survives the
+    incremental micro-batch state because MG merge is the mergeable-
+    summaries fold)."""
+    incoming, files = stream_dir
+    shutil.copy(files[0], incoming)
+    stream = spark.readStream.schema(TRANSCRIPT_DDL).parquet(incoming)
+    out = windowed_sketch_stream(
+        stream, "ts", "tool", SketchSpec("mg", {"k": 64}),
+        window="1 day", watermark="3650 days",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_mg")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_mg"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        shutil.copy(files[1], incoming)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM win_mg").collect()
+    finally:
+        q.stop()
+    assert rows
+    latest = {}
+    for r in rows:
+        latest[r.window_start] = r
+    full = spark.read.parquet(incoming)
+    for w, r in latest.items():
+        sk = Sketch.from_bytes(r.sketch)
+        exact = {
+            x.tool: x.c
+            for x in full.filter(
+                F.window("ts", "1 day").getField("start") == w
+            )
+            .filter(F.col("tool").isNotNull())
+            .groupBy("tool")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        n = sum(exact.values())
+        assert r.n == n
+        assert sk.e <= n // (64 + 1) + 1
+        for item, c in sk.counters.items():
+            assert c <= exact[item] <= c + sk.e, (w, item)
