@@ -63,3 +63,27 @@ def test_curate_job_boilerplate_and_overlap(tmp_path):
     s = _run(tmp_path, "--op", "overlap", "--stratify", "source", "--sketch-k", "256")
     # sf0.001 documents has a small source dimension: C(n_sources, 2) pairs
     assert s["output_rows"] >= 1
+
+
+def test_sketchlib_zip_ships_every_module():
+    """The committed --py-files artifact must contain every current
+    package module — a stale zip means spark-submit ImportErrors for
+    operators that pass every local test (bit round 3: dd/kmeans/overlap
+    were missing until scripts/package.py was re-run). Name parity only
+    (byte equality would nag on every edit before repackaging)."""
+    import zipfile
+
+    zipped = {
+        n for n in zipfile.ZipFile(os.path.join(REPO, "sketchlib.zip")).namelist()
+        if n.endswith(".py")
+    }
+    on_disk = set()
+    pkg_root = os.path.join(REPO, "guava_probably_spark")
+    for root, _, names in os.walk(pkg_root):
+        for name in names:
+            if name.endswith(".py"):
+                on_disk.add(
+                    os.path.relpath(os.path.join(root, name), REPO).replace(os.sep, "/")
+                )
+    missing = on_disk - zipped
+    assert not missing, f"re-run scripts/package.py — zip is missing {sorted(missing)}"
