@@ -120,3 +120,23 @@ def test_duplicate_checkpoint_rows_do_not_double_count(spark, tmp_path):
     assert st2.recomputed == 0
     assert again.to_bytes() == first.to_bytes()
     assert st2.rows == st1.rows == 10_000
+
+
+def test_checkpoint_resume_dd_value_sketch(spark, multi_file_input, tmp_path_factory):
+    """Resumability holds for the value-sketch tier too: a killed DD build
+    resumes from per-file partials and the final blob is byte-identical to
+    the one-shot distributed build (DD merge is order-insensitive, so even
+    the partial/recomputed mix can't perturb the bytes)."""
+    ck = str(tmp_path_factory.mktemp("ck") / "partials_dd")
+    spec = SketchSpec("dd", {"alpha": 0.01})
+    sk_partial, st1 = build_with_checkpoint(
+        spark, multi_file_input, "turn_idx", spec, ck, files_limit=5
+    )
+    assert st1.recomputed == 5 and st1.reused == 0
+    sk_full, st2 = build_with_checkpoint(spark, multi_file_input, "turn_idx", spec, ck)
+    assert st2.reused == 5 and st2.recomputed == 3
+    direct, n, _ = collect_sketch(
+        spark.read.parquet(multi_file_input), "turn_idx", spec
+    )
+    assert sk_full.to_bytes() == direct.to_bytes()
+    assert st2.rows == n and sk_full.n == n
