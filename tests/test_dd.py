@@ -253,3 +253,22 @@ def test_parameter_edges_resolvable_alpha_and_dbl_max():
     lo = DDSketch(0.01)
     lo.update(np.array([-big, 1.0]))
     assert np.isfinite(lo.quantile(0.0))
+
+
+def test_rank_mixed_signs_matches_exact():
+    """rank() over the three-store layout (negative store searched in
+    reversed/ascending-value order, zero mass, positive store): estimates
+    track the exact strictly-below fraction across both signs and zero."""
+    rng = np.random.default_rng(77)
+    vals = np.concatenate(
+        [-np.exp(rng.normal(0, 2, 30_000)), np.zeros(3_000), np.exp(rng.normal(0, 2, 27_000))]
+    )
+    sk = DDSketch(0.01)
+    sk.update(vals)
+    srt = np.sort(vals)
+    for x in (-50.0, -1.0, -0.001, 0.0, 1e-9, 0.5, 1.0, 3.0, 100.0):
+        est = sk.rank(x)
+        true = np.searchsorted(srt, x, side="left") / len(srt)
+        assert abs(est - true) < 0.01, x
+    xs = np.array([-2.0, 0.0, 2.0])
+    assert np.allclose(sk.rank(xs), [sk.rank(float(x)) for x in xs])
