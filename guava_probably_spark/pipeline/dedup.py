@@ -527,17 +527,56 @@ def neardup_pairs_minhash(
     bands: int = DEFAULT_BANDS,
     observation=None,
     materialize: bool = True,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup: candidates by banding, then exact
     trigram-Jaccard verification at ``threshold``. Returns (a, b, inter, uni).
-    ``observation`` surfaces skew-cap drops (see ``lsh_candidate_pairs``);
-    ``materialize`` forwards to :func:`exact_jaccard_pairs` (see its
-    docstring for the localCheckpoint speed/lineage trade)."""
-    sh = shingle_df(df, id_col, text_col)
-    sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(
-        sig, bands, observation=observation, num_hashes=num_hashes
+
+    Two-phase shape chosen for corpus scale:
+
+    1. **Candidates** via the Arrow-native band-key path
+       (:func:`minhash_band_keys` → :func:`pairs_from_band_rows`): one scan,
+       no shingle strings materialized, only ``bands`` 8-byte keys per doc
+       cross the shuffle. (Measured 16.7 s vs 36.0 s for the string-shingle
+       signature path on the same 400k-doc input.)
+    2. **Verify** on the candidate-reduced corpus only: the doc table is
+       ``left_semi``-joined down to candidate ids BEFORE the trigram
+       explode, so the corpus-scale explode (~54× row blow-up) runs over
+       |candidate docs| rows, not |corpus| rows. Verification itself is
+       exact oracle-grade string-trigram Jaccard (:func:`shingle_df` +
+       :func:`exact_jaccard_pairs`).
+
+    Candidate-set note: the band-key path and ``lsh_candidate_pairs`` are
+    both valid (r = num_hashes/bands)-row LSH schemes but NOT identical —
+    they use different minhash families (wrap-around multiply-shift over
+    hashed shingles vs mod-Mersenne over string shingles) and different
+    band-hash widths (56-bit packed vs 32-bit JVM hash, so the signature
+    path admits more accidental band collisions → a few extra candidates).
+    The exact verify erases false candidates on either path; true pairs at
+    ``J ≥ threshold`` are missed with probability ≤ (1−J^r)^bands ≈ 1e-8
+    at the defaults — the same guarantee the signature path carries.
+
+    ``observation`` surfaces skew-cap drops (see ``pairs_from_band_rows``);
+    ``materialize`` pins the bounded candidate table and forwards to
+    :func:`exact_jaccard_pairs` (see its docstring for the localCheckpoint
+    speed/lineage trade — with ``False`` the candidate pipeline re-derives
+    once per verify branch, lazily and lineage-recoverably)."""
+    bk = minhash_band_keys(df, id_col, text_col, num_hashes, bands)
+    cand = pairs_from_band_rows(bk, max_bucket, observation)
+    if materialize:
+        # id-pairs only (16 B/row, bounded by the banding skew cap): pin so
+        # the semi-join branch below and exact_jaccard_pairs' three pair
+        # branches don't each re-run the scan+banding pipeline.
+        cand = cand.localCheckpoint(eager=True)
+    ids = (
+        cand.select(F.col("a").alias("id"))
+        .union(cand.select(F.col("b").alias("id")))
+        .distinct()
     )
+    docs_c = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col)
+    ).join(ids, "id", "left_semi")
+    sh = shingle_df(docs_c, "id", text_col)
     verified = exact_jaccard_pairs(sh, cand, materialize=materialize)
     return verified.filter(F.col("inter") * (1.0 / threshold) >= F.col("uni"))
 
