@@ -1134,13 +1134,14 @@ def _q_dd_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         Row(
             q_label=lab,
-            within=bool(
-                sk.collapses == 0
-                and abs(est - float(ex)) <= alpha * abs(float(ex)) * 1.001
-            ),
+            within=bool(abs(est - float(ex)) <= alpha * abs(float(ex)) * 1.001),
         )
         for lab, est, ex in zip(labels, ests, exact)
     ]
+    # collapses as its OWN row (ADVICE r3): a max_bins collapse voids the
+    # α bound for the clamped low tail — reporting it separately makes a
+    # collapse failure distinguishable from a bound violation in triage
+    rows.append(Row(q_label="collapses_zero", within=bool(sk.collapses == 0)))
     return spark.createDataFrame(rows)
 
 
@@ -1365,7 +1366,8 @@ def oracle_sql() -> dict[str, str]:
             "('kll_rank_lineitem', 'q80'), "
             "('dd_lineitem_price', 'p10'), ('dd_lineitem_price', 'p25'), "
             "('dd_lineitem_price', 'p50'), ('dd_lineitem_price', 'p75'), "
-            "('dd_lineitem_price', 'p90'), ('dd_lineitem_price', 'p99')"
+            "('dd_lineitem_price', 'p90'), ('dd_lineitem_price', 'p99'), "
+            "('dd_lineitem_price', 'collapses_zero')"
             ") AS t(name, q_label)"
         ),
         "bloom_semijoin_lineitem_part": (

@@ -303,7 +303,9 @@ def _sketch_fold_sql():
     ThetaSketch.fold_to), KLL to a smaller k and t-digest to a smaller δ
     (bound-preserving, not byte-identical — their compaction is history-
     dependent), DD by an integer grid multiplier m (γ→γᵐ — exact integer
-    regrid that commutes with merge byte-for-byte). Kinds without fold_to
+    regrid that commutes with merge byte-for-byte while ``collapses == 0``;
+    after a max_bins collapse the clamped low tail is order-dependent, see
+    DDSketch.fold_to). Kinds without fold_to
     raise AttributeError → surfaced as a task error, never a silent wrong
     blob."""
     from pyspark.sql.types import BinaryType

@@ -91,7 +91,7 @@ def source_overlap_matrix(
     pre_reduce: bool = True,
     partitions: int | None = None,
     sketches: DataFrame | None = None,
-    materialize: bool = True,
+    materialize: bool | None = None,
 ) -> DataFrame:
     """(a, b, est_a, est_b, est_inter, est_union, est_diff, rel_err_bound)
     for every unordered key pair a < b: distinct-value overlap estimates of
@@ -112,8 +112,12 @@ def source_overlap_matrix(
     (S profiling keys × ≤k·8 B); the trade is truncated lineage (a lost
     executor fails the job instead of recomputing) and an eager build
     job at construction. ``materialize=False`` restores the lazy
-    two-scan plan.
+    two-scan plan; ``None`` (default) takes ``config.PIN_INTERMEDIATES``
+    — flip that once at startup on preemptible/spot executors.
     """
+    from guava_probably_spark.config import pin_default
+
+    materialize = pin_default(materialize)
     g = sketches
     if g is None:
         g = grouped_theta(

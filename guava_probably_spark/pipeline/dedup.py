@@ -457,7 +457,7 @@ def pairs_from_band_rows(
 
 
 def exact_jaccard_pairs(
-    shingles: DataFrame, pairs: DataFrame, materialize: bool = True
+    shingles: DataFrame, pairs: DataFrame, materialize: bool | None = None
 ) -> DataFrame:
     """Exact (a, b, inter, uni) word-trigram Jaccard for candidate pairs.
 
@@ -483,8 +483,12 @@ def exact_jaccard_pairs(
     jobs eagerly. ``materialize=False`` restores the fully lazy,
     lineage-recoverable plan at the multi-derivation cost — prefer it
     only when executors are preemptible and the candidate pipeline is
-    cheap.
+    cheap. Default ``None`` resolves to ``config.PIN_INTERMEDIATES``
+    (the deploy-time switch; see guava_probably_spark/config.py).
     """
+    from guava_probably_spark.config import pin_default
+
+    materialize = pin_default(materialize)
     if materialize:
         pairs = pairs.localCheckpoint(eager=True)
     ids = (
@@ -526,7 +530,7 @@ def neardup_pairs_minhash(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     observation=None,
-    materialize: bool = True,
+    materialize: bool | None = None,
     max_bucket: int = 1000,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup: candidates by banding, then exact
@@ -560,7 +564,11 @@ def neardup_pairs_minhash(
     ``materialize`` pins the bounded candidate table and forwards to
     :func:`exact_jaccard_pairs` (see its docstring for the localCheckpoint
     speed/lineage trade — with ``False`` the candidate pipeline re-derives
-    once per verify branch, lazily and lineage-recoverably)."""
+    once per verify branch, lazily and lineage-recoverably; ``None`` takes
+    the ``config.PIN_INTERMEDIATES`` deploy-time default)."""
+    from guava_probably_spark.config import pin_default
+
+    materialize = pin_default(materialize)
     bk = minhash_band_keys(df, id_col, text_col, num_hashes, bands)
     cand = pairs_from_band_rows(bk, max_bucket, observation)
     if materialize:

@@ -27,8 +27,12 @@ LOWEST-index buckets collapse into the lowest kept one, exactly Datadog's
 CollapsingLowestDense store.  Collapse sacrifices the α guarantee for the
 collapsed (smallest-magnitude) tail only — high quantiles stay exact-α,
 which is the tail that matters — and is counted in ``self.collapses`` so a
-caller can see the bound no longer covers the low tail.  At α=0.01,
-γ^2048 spans > 10^17 dynamic range, so collapse never fires on real data.
+caller can see the bound no longer covers the low tail.  Treat the counter
+as a FLAG (``== 0`` vs ``> 0``), not an event count: a single ingest batch
+can bump it up to three times (pre-clamp, ``_clamp_low`` spill,
+``_collapse`` spill) and merge order redistributes where clamps fire, so
+its magnitude is path-dependent.  At α=0.01, γ^2048 spans > 10^17 dynamic
+range, so collapse never fires on real data.
 
 Distributed posture: same as KLL/t-digest — per-partition partial sketches
 built vectorized over Arrow batches, tree-merged as KB blobs; grouped
@@ -224,11 +228,16 @@ class DDSketch(Sketch):
         """Fold to a coarser grid γ₂ = γᵐ (``m`` an integer ≥ 1): bucket
         index j = ⌈i/m⌉ — PURE integer math, since ⌈⌈y·m⌉/m⌉ = ⌈y⌉ makes
         the γᵐ grid exactly nest the γ grid. The folded sketch is a
-        bona-fide DDSketch at α₂ = (γᵐ−1)/(γᵐ+1) and the fold COMMUTES
-        with merge exactly: fold(A).merge(fold(B)) is byte-identical to
-        fold(A.merge(B)) (regrid is a linear map on counts), enabling
-        mixed-α sketch-table merges via SQL ``sketch_fold`` like the
-        HLL/theta/KLL/t-digest folds. Unlike those, the fold parameter is
+        bona-fide DDSketch at α₂ = (γᵐ−1)/(γᵐ+1) and — while
+        ``collapses == 0`` — the fold COMMUTES with merge exactly:
+        fold(A).merge(fold(B)) is byte-identical to fold(A.merge(B))
+        (regrid is a linear map on counts), enabling mixed-α sketch-table
+        merges via SQL ``sketch_fold`` like the HLL/theta/KLL/t-digest
+        folds. Once a collapse has fired (``max_bins`` bound), WHICH mass
+        was clamped depends on operation order, so the two bracketings can
+        differ in the collapsed low tail (the same carve-out merge
+        determinism carries); rank estimates stay within the collapsed-tail
+        caveat either way. Unlike the other folds, the fold parameter is
         the grid MULTIPLIER m, not the target α — α₂ is derived."""
         if not (isinstance(m, (int, np.integer)) and m >= 1):
             raise ValueError(f"fold multiplier must be an integer >= 1, got {m}")

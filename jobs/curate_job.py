@@ -16,7 +16,10 @@
     --op quality   [--train /data/reference --n 2] (CMS n-gram LM score)
     --op histogram [--tokens n_chars --bins 20 --stratify source]
                    (equi-depth profile; --stratify → per-key from
-                   grouped-KLL blobs with an explicit error column)
+                   grouped-KLL blobs with an explicit error column.
+                   SCHEMA CHANGE in r3: the stratify key column keeps
+                   the INPUT type — it was stringified before; cast
+                   downstream readers that assumed string keys)
     --op boilerplate [--min-docs 3] (drop lines appearing in >= min-docs
                    distinct docs — C4-style corpus-frequent line removal)
     --op overlap   --stratify source [--sketch-k 4096] (all-pairs

@@ -919,3 +919,36 @@ def test_ngrams_df_matches_expression_form(spark):
         for rid, _ in rows:
             want = expr.get(rid) or []
             assert ml[rid] == list(want), (n, rid, want, ml[rid])
+
+
+# ---------------------------------------------------------------------------
+# config.PIN_INTERMEDIATES (deploy-time materialize default)
+# ---------------------------------------------------------------------------
+
+def test_pin_intermediates_default_resolution(monkeypatch):
+    from guava_probably_spark import config
+
+    assert config.pin_default(None) == config.PIN_INTERMEDIATES
+    assert config.pin_default(True) is True
+    assert config.pin_default(False) is False
+    monkeypatch.setattr(config, "PIN_INTERMEDIATES", False)
+    assert config.pin_default(None) is False
+    assert config.pin_default(True) is True  # per-call still wins
+
+
+def test_minhash_neardup_lazy_path_same_pairs(spark, sf_dir, monkeypatch):
+    """PIN_INTERMEDIATES=False (spot-executor posture) must change only the
+    plan shape (no eager localCheckpoints), never the verified pairs."""
+    from guava_probably_spark import config
+
+    aug = _augmented_neardup(spark, sf_dir)
+    pinned = {
+        (r.a, r.b, r.inter, r.uni)
+        for r in neardup_pairs_minhash(aug, "doc_id", "text", threshold=0.5).collect()
+    }
+    monkeypatch.setattr(config, "PIN_INTERMEDIATES", False)
+    lazy = {
+        (r.a, r.b, r.inter, r.uni)
+        for r in neardup_pairs_minhash(aug, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pinned == lazy and pinned
