@@ -198,11 +198,26 @@ def _quantiles(kind: str, table: str, col: str, name: str):
 
 
 def _q_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-pruned joins both ways: semi (bloom prune, FPs removed by the
+    real join) and anti (corpus delta via operators/semijoin.sketch_antijoin
+    — kind='sbf' so the dim filter builds ONE-PASS with no capacity, the
+    100-TB incremental-ingest shape; exact mode rescues FPs, so the count
+    equals the plain ANTI JOIN oracle)."""
+    from guava_probably_spark.operators import sketch_antijoin
+
     lineitem = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     dim = part.filter(F.col("p_size") < 15)
     cnt = sketch_semijoin(spark, lineitem, "l_partkey", dim, "p_partkey", fpp=0.01).count()
-    return spark.createDataFrame([Row(name="bloom_semijoin", join_cnt=int(cnt))])
+    anti = sketch_antijoin(
+        spark, lineitem, "l_partkey", dim, "p_partkey", kind="sbf", fpp=0.01
+    ).count()
+    return spark.createDataFrame(
+        [
+            Row(name="bloom_semijoin", join_cnt=int(cnt)),
+            Row(name="sketch_antijoin", join_cnt=int(anti)),
+        ]
+    )
 
 
 def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,6 +309,41 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol = 1e-6 * max(frob, 1.0)
         ok = ok and float(eig[0]) >= -tol and float(eig[-1]) <= sk.shift + tol
     rows.append(Row(kind="fd", ok=bool(ok)))
+    # fold: cross-parameter folds through the SQL sketch_fold surface
+    # (functions.register_sql) — the mixed-parameter sketch-table merge
+    # story. Byte-identity classes checked end-to-end: HLL p14→p10 and
+    # theta k512→k64 folded IN SQL equal direct builds at the coarse
+    # parameter; DD fold(m=2) commutes with merge byte-for-byte (no
+    # collapse on this data — the collapses counter is asserted 0).
+    from guava_probably_spark.functions import register_sql
+
+    register_sql(spark)
+    hll14, _, _ = collect_sketch(events, "user_id", SketchSpec("hll", {"p": 14}))
+    hll10, _, _ = collect_sketch(events, "user_id", SketchSpec("hll", {"p": 10}))
+    th512, _, _ = collect_sketch(events, "user_id", SketchSpec("theta", {"k": 512}))
+    th64, _, _ = collect_sketch(events, "user_id", SketchSpec("theta", {"k": 64}))
+    spark.createDataFrame(
+        [
+            Row(fkind="hll", sketch=hll14.to_bytes(), param=10),
+            Row(fkind="theta", sketch=th512.to_bytes(), param=64),
+        ]
+    ).createOrReplaceTempView("fold_assoc_v")
+    folded = {
+        r.fkind: bytes(r.f)
+        for r in spark.sql(
+            "SELECT fkind, sketch_fold(sketch, param) AS f FROM fold_assoc_v"
+        ).collect()
+    }
+    dd_a, dd_b = (collect_sketch(s, "value", specs["dd"])[0] for s in splits[:2])
+    dd_whole = dd_a.copy().merge(dd_b.copy()).fold_to(2)
+    dd_parts = dd_a.fold_to(2).merge(dd_b.fold_to(2))
+    fold_ok = (
+        folded["hll"] == hll10.to_bytes()
+        and folded["theta"] == th64.to_bytes()
+        and dd_whole.collapses == 0
+        and dd_whole.to_bytes() == dd_parts.to_bytes()
+    )
+    rows.append(Row(kind="fold", ok=bool(fold_ok)))
     return spark.createDataFrame(rows)
 
 
@@ -993,10 +1043,13 @@ def _q_hll_distinct_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_membership_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter membership across kinds and funnels: bloom(events), cuckoo
-    (events), cuckoo over long UTF-8 document texts — zero false negatives
-    everywhere, FP rate within bound where probed."""
+    (events), scalable bloom (events — the unknown-capacity one-pass build,
+    distributed partial merge = canonical stage-set union), cuckoo over
+    long UTF-8 document texts — zero false negatives everywhere, FP rate
+    within bound where probed."""
     a = _membership("bloom", "bloom_events_membership")(spark, sf_dir)
     b = _membership("cuckoo", "cuckoo_events_membership")(spark, sf_dir)
+    s = _sbf_membership_row(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()
     sk, _, ovf = collect_sketch(
@@ -1014,7 +1067,40 @@ def _q_membership_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    return a.unionByName(b).unionByName(c)
+    return a.unionByName(b).unionByName(s).unionByName(c)
+
+
+def _sbf_membership_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable-bloom membership (sketches/sbf.py, Almeida et al. 2007):
+    build one-pass with NO capacity hint over events.event_id (initial
+    stage deliberately tiny so the growth schedule actually fires), merge
+    distributed partials (stage-set union), probe every member (zero FN is
+    the SBF contract) and 5k guaranteed non-members against the compound
+    stage bound Σ stage_fpp."""
+    events = _t(spark, sf_dir, "events")
+    n_rows = events.count()
+    sk, n, _ = collect_sketch(
+        events, "event_id", SketchSpec("sbf", {"initial_capacity": 512, "fpp": 0.02})
+    )
+    sk = sk.compact()
+    probe = might_contain_udf(spark, sk.to_bytes())
+    fn_count = events.filter(~probe(F.col("event_id"))).count()
+    max_id = events.select(F.max("event_id").alias("m")).collect()[0].m
+    max_id = 0 if max_id is None else max_id
+    non = spark.range(max_id + 1, max_id + 1 + 5000).withColumnRenamed("id", "event_id")
+    fp_rate = non.filter(probe(F.col("event_id"))).count() / 5000.0
+    bound = sum(st.fpp for st in sk.stages) if sk.stages else 0.02
+    sigma = (bound * (1.0 - bound) / 5000.0) ** 0.5
+    return spark.createDataFrame(
+        [
+            Row(
+                name="sbf_events_membership",
+                n_members=int(n_rows),
+                false_negatives=int(fn_count),
+                fp_within=bool(fp_rate <= bound + 3 * sigma),
+            )
+        ]
+    )
 
 
 def _q_frequency_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1336,6 +1422,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0 AS BIGINT) AS false_negatives, true AS fp_within FROM events "
             "UNION ALL SELECT 'cuckoo_events_membership', count(*), "
             "CAST(0 AS BIGINT), true FROM events "
+            "UNION ALL SELECT 'sbf_events_membership', count(*), "
+            "CAST(0 AS BIGINT), true FROM events "
             "UNION ALL SELECT 'documents_text_membership', count(*), "
             "CAST(0 AS BIGINT), true FROM documents"
         ),
@@ -1372,12 +1460,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bloom_semijoin_lineitem_part": (
             "SELECT 'bloom_semijoin' AS name, count(*) AS join_cnt "
-            "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size < 15"
+            "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size < 15 "
+            "UNION ALL SELECT 'sketch_antijoin', count(*) FROM lineitem "
+            "ANTI JOIN (SELECT p_partkey FROM part WHERE p_size < 15) d "
+            "ON l_partkey = d.p_partkey"
         ),
         "merge_associativity": (
             "SELECT kind, true AS ok FROM (VALUES ('bloom'), ('cuckoo'), ('hll'), "
-            "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta'), ('sbf'), ('dd'), ('fd')) "
-            "AS t(kind)"
+            "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta'), ('sbf'), ('dd'), "
+            "('fd'), ('fold')) AS t(kind)"
         ),
         "grouped_hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "

@@ -537,10 +537,24 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval-set decontamination: every 4th doc leaked (case-mangled copy),
-    the rest suffixed novel. Bloom prune (zero FN) + exact verify ⇒ the
-    output is exact."""
-    from guava_probably_spark.pipeline.contamination import flag_contaminated
+    """Decontamination both ways, disambiguated by `kind`:
+
+    - 'whole' — whole-document fingerprints: every 4th doc leaked
+      (case-mangled copy), the rest suffixed novel. Bloom prune (zero FN)
+      + exact verify ⇒ exact.
+    - 'ngram' — the GPT-3-appendix word-13-gram recipe
+      (pipeline/contamination.ngram_overlap_contamination): every 3rd doc
+      is a PARTIAL leak (a 40-word window of a train doc embedded in novel
+      filler — the case whole-doc fingerprints MISS), the rest fully
+      novel. The eval side is gram-smaller so the query drives the
+      eval-side-filter scale shape (train scanned once, in-scan probe,
+      broadcast FP-erase); the oracle recomputes gram overlap exactly in
+      SQL, so the driver hash pins per-doc (ngrams, hits, contaminated).
+    """
+    from guava_probably_spark.pipeline.contamination import (
+        flag_contaminated,
+        ngram_overlap_contamination,
+    )
 
     train = _t(spark, sf_dir, "documents").select("doc_id", "text")
     ev = train.select(
@@ -549,7 +563,31 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.col("text"), F.lit(" zzz novel suffix")))
         .alias("text"),
     )
-    return flag_contaminated(train, ev, "doc_id", "text")
+    whole = flag_contaminated(train, ev, "doc_id", "text").select(
+        F.lit("whole").alias("kind"),
+        "id",
+        F.lit(0).cast("long").alias("ngrams"),
+        F.lit(0).cast("long").alias("hits"),
+        "leaked",
+    )
+    w = F.split(F.col("text"), " ")
+    filler10 = F.expr("repeat(concat('zq', CAST(doc_id AS STRING), ' '), 10)")
+    filler30 = F.expr("repeat(concat('zq', CAST(doc_id AS STRING), ' '), 30)")
+    leak = F.concat(F.concat_ws(" ", F.slice(w, 1, 40)), F.lit(" "), filler10)
+    ev2 = train.select(
+        (F.col("doc_id") + 600_000).alias("id"),
+        F.when(F.col("doc_id") % 3 == 0, leak).otherwise(filler30).alias("text"),
+    )
+    ng = ngram_overlap_contamination(
+        train, ev2, "id", "text", n=13, threshold=0.5
+    ).select(
+        F.lit("ngram").alias("kind"),
+        "id",
+        F.col("ngrams").cast("long").alias("ngrams"),
+        F.col("hits").cast("long").alias("hits"),
+        F.col("contaminated").alias("leaked"),
+    )
+    return whole.unionByName(ng)
 
 
 def _q_packed_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,9 +794,38 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 4 = 0 THEN upper(text) "
             "ELSE text || ' zzz novel suffix' END AS text FROM documents), "
             f"tf AS (SELECT DISTINCT {textexpr.md5_fingerprint_expr('text', 'duck')} "
-            "AS fp FROM documents) "
-            f"SELECT id, ({textexpr.md5_fingerprint_expr('text', 'duck')} "
-            "IN (SELECT fp FROM tf)) AS leaked FROM ev"
+            "AS fp FROM documents), "
+            # ngram branch: exact word-13-gram overlap recompute (the same
+            # normalization as pipeline/contamination._ngrams_df)
+            "ev2 AS (SELECT doc_id + 600000 AS id, "
+            "CASE WHEN doc_id % 3 = 0 THEN "
+            "array_to_string((string_split(text, ' '))[1:40], ' ') || ' ' || "
+            "repeat('zq' || CAST(doc_id AS VARCHAR) || ' ', 10) "
+            "ELSE repeat('zq' || CAST(doc_id AS VARCHAR) || ' ', 30) END AS text "
+            "FROM documents), "
+            + "".join(
+                f"{cte} AS (SELECT {sel} string_split(trim(regexp_replace("
+                "regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]+', ' ', 'g'), "
+                f"'\\s+', ' ', 'g')), ' ') AS w FROM {src}), "
+                for cte, sel, src in (
+                    ("nrm", "id,", "ev2"),
+                    ("tn", "", "documents"),
+                )
+            )
+            + "evg AS (SELECT id, array_to_string(w[i:i+12], ' ') AS g FROM "
+            "(SELECT id, w, unnest(range(1, greatest(len(w) - 11, 1))) AS i FROM nrm)), "
+            "tg AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g FROM "
+            "(SELECT w, unnest(range(1, greatest(len(w) - 11, 1))) AS i FROM tn)), "
+            "cnt AS (SELECT e.id, count(*) AS ngrams, count(t.g) AS hits "
+            "FROM evg e LEFT JOIN tg t ON e.g = t.g GROUP BY e.id) "
+            f"SELECT 'whole' AS kind, id, CAST(0 AS BIGINT) AS ngrams, "
+            f"CAST(0 AS BIGINT) AS hits, ({textexpr.md5_fingerprint_expr('text', 'duck')} "
+            "IN (SELECT fp FROM tf)) AS leaked FROM ev "
+            "UNION ALL SELECT 'ngram', v.id, CAST(coalesce(c.ngrams, 0) AS BIGINT), "
+            "CAST(coalesce(c.hits, 0) AS BIGINT), "
+            "(coalesce(c.ngrams, 0) > 0 AND CAST(coalesce(c.hits, 0) AS DOUBLE) "
+            "/ greatest(coalesce(c.ngrams, 0), 1) >= 0.5) "
+            "FROM ev2 v LEFT JOIN cnt c ON v.id = c.id"
         ),
         "packed_sequences_text_documents": (
             f"WITH o AS (SELECT doc_id, text, n_chars, "
