@@ -1195,7 +1195,89 @@ def _q_quantile_rank_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _q_dd_relative(spark, sf_dir).select(
         F.lit("dd_lineitem_price").alias("name"), "q_label", "within"
     )
-    return k.unionByName(t).unionByName(r).unionByName(d)
+    h = _histogram_rows(spark, sf_dir)
+    return k.unionByName(t).unionByName(r).unionByName(d).unionByName(h)
+
+
+def _histogram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram contracts (operators/histogram.py), global and
+    grouped:
+
+    - global over lineitem.l_extendedprice: bucket counts are EXACT for
+      the sketch-chosen splits (independent one-pass conditional-agg
+      recount), sum to n, and each bucket's depth is n/bins within the
+      published KLL rank error per edge (2·ε·n + 1);
+    - grouped over documents (source, n_chars), straight from grouped-KLL
+      blobs: every key appears, per-key totals and per-bucket counts land
+      within the operator's OWN rows_error_bound (the explicit error
+      column the curate_job profile ships).
+    """
+    import numpy as np
+
+    from guava_probably_spark.operators.histogram import (
+        histogram_equidepth,
+        histogram_equidepth_grouped,
+    )
+
+    bins = 8
+    li = _t(spark, sf_dir, "lineitem")
+    hist = histogram_equidepth(li, "l_extendedprice", bins=bins).collect()
+    vals = li.select(F.col("l_extendedprice").cast("double").alias("v")).filter(
+        F.col("v").isNotNull() & ~F.isnan("v")
+    )
+    n = vals.count()
+    splits = [r.lo for r in hist[1:]]
+    conds = []
+    for b in range(len(hist)):
+        c = F.lit(True)
+        if b > 0:
+            c = c & (F.col("v") >= splits[b - 1])
+        if b < len(splits):
+            c = c & (F.col("v") < splits[b])
+        conds.append(F.sum(c.cast("long")).alias(f"c{b}"))
+    recount = vals.agg(*conds).collect()[0]
+    counts_exact = all(int(recount[f"c{b}"]) == hist[b].rows for b in range(len(hist)))
+    total_exact = sum(r.rows for r in hist) == n
+    # eps from a same-spec local build (rank_error_bound needs the built
+    # sketch; n values at sf0.01 are a sub-MB collect — gate-only code)
+    sk = SketchSpec("kll", {"k": 200}).create()
+    sk.update(np.array([r.v for r in vals.collect()], dtype=np.float64))
+    eps = sk.rank_error_bound()
+    depth_within = all(abs(r.rows - n / bins) <= 2 * eps * n + 1 for r in hist)
+
+    docs = _t(spark, sf_dir, "documents")
+    ghist = histogram_equidepth_grouped(docs, "source", "n_chars", bins=4).collect()
+    by_key: dict = {}
+    for r in ghist:
+        by_key.setdefault(r.source, []).append(r)
+    exact: dict = {}
+    for r in docs.select("source", F.col("n_chars").cast("double").alias("v")).collect():
+        exact.setdefault(r.source, []).append(r.v)
+    keys_complete = set(by_key) == set(exact)
+    buckets_within = True
+    totals_within = True
+    for src, hrows in by_key.items():
+        va = np.sort(np.array(exact[src], dtype=np.float64))
+        nk = len(va)
+        err = hrows[0].rows_error_bound
+        totals_within = totals_within and abs(sum(r.rows for r in hrows) - nk) <= 2 * err
+        for r in hrows:
+            exact_in = int(np.searchsorted(va, r.hi) - np.searchsorted(va, r.lo))
+            if r.bucket == len(hrows) - 1:
+                exact_in = int(nk - np.searchsorted(va, r.lo))
+            buckets_within = buckets_within and abs(r.rows - exact_in) <= 2 * r.rows_error_bound + 1
+    pca = _pca_project_rows(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            *pca,
+            Row(name="histogram_lineitem_price", q_label="counts_exact", within=bool(counts_exact)),
+            Row(name="histogram_lineitem_price", q_label="total_exact", within=bool(total_exact)),
+            Row(name="histogram_lineitem_price", q_label="depth_within", within=bool(depth_within)),
+            Row(name="histogram_docs_by_source", q_label="keys_complete", within=bool(keys_complete)),
+            Row(name="histogram_docs_by_source", q_label="buckets_within", within=bool(buckets_within)),
+            Row(name="histogram_docs_by_source", q_label="totals_within", within=bool(totals_within)),
+        ]
+    )
 
 
 def _q_dd_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1231,10 +1313,63 @@ def _q_dd_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def _pca_project_rows(spark: SparkSession, sf_dir: str) -> list:
+    """FD → top_directions → pca_project (pipeline/similarity.py), the
+    dimensionality-reduction front of the ANN stack, on the real embeddings
+    table:
+
+    - 'distributed_matches_local': the mapInArrow blocked matmul equals the
+      local numpy projection on every vector (the distributed path is the
+      thing under test; numpy is ground truth);
+    - 'variance_within': captured variance along FD's k directions —
+      computed DISTRIBUTED as Σ‖proj‖² over the projected table — is at
+      least the exact top-k eigen mass of AᵀA minus the sketch's CERTIFIED
+      spectral bound per direction (u'(AᵀA−BᵀB)u ≤ shift and Weyl give
+      captured ≥ Σσᵢ − 2k·shift).
+    """
+    import numpy as np
+
+    from guava_probably_spark.pipeline.similarity import pca_project
+
+    k = 8
+    emb = _t(spark, sf_dir, "embeddings")
+    sk, n, _ = collect_sketch(emb, "embedding", SketchSpec("fd", {"ell": 24}))
+    dirs = sk.top_directions(k)
+    proj = pca_project(emb, dirs)
+    got = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in proj.collect()}
+    A = np.asarray(
+        [
+            (r.vec_id, r.embedding)
+            for r in emb.select("vec_id", "embedding").collect()
+        ],
+        dtype=object,
+    )
+    ids = np.array([int(x[0]) for x in A])
+    X = np.asarray([x[1] for x in A], dtype=np.float64)
+    exp = (X @ dirs.T).astype(np.float32).astype(np.float64)
+    match = len(got) == n and all(
+        np.allclose(got[i], exp[j], rtol=1e-5, atol=1e-5) for j, i in enumerate(ids)
+    )
+    captured = proj.select(
+        F.expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").alias("s")
+    ).agg(F.sum("s").alias("t")).collect()[0].t
+    eig = np.linalg.eigvalsh(X.T @ X)[::-1]
+    topk_mass = float(eig[:k].sum())
+    tol = 1e-6 * max(float((X * X).sum()), 1.0)
+    var_ok = captured >= topk_mass - 2 * k * sk.shift - tol
+    return [
+        Row(name="pca_project_embeddings", q_label="distributed_matches_local", within=bool(match)),
+        Row(name="pca_project_embeddings", q_label="variance_within", within=bool(var_ok)),
+    ]
+
+
 def _q_heavy_hitters_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters both ways: CMS (estimate over an exact candidate set)
-    and Misra–Gries (candidates INSIDE the summary, bracketing bound,
-    plus a >k-cardinality decrement stress pass) — φ = 0.1."""
+    """Heavy hitters three ways: CMS (estimate over an exact candidate set),
+    Misra–Gries (candidates INSIDE the summary, bracketing bound, plus a
+    >k-cardinality decrement stress pass) — φ = 0.1 — and per-key top-k
+    extraction (functions.mg_topk over a grouped MG build: every returned
+    item's [lo, hi] must bracket its exact per-group frequency, ordered
+    descending; exact_cnt pins the true per-type max user frequency)."""
     events = _t(spark, sf_dir, "events")
     exact = {
         r.event_type: r.c
@@ -1281,6 +1416,38 @@ def _q_heavy_hitters_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                     and mg.estimate_count(t) <= c <= mg.estimate_count(t) + mg.e
                     and stress_ok
                 ),
+            )
+        )
+    # mg_topk: grouped MG build + SQL-surface per-key top-5 extraction.
+    # within = every returned item's [lo, hi] brackets its exact per-group
+    # user frequency AND the list is lo-descending; exact_cnt = the true
+    # max per-user count of the group (oracle-recomputable, so the hash
+    # pins real frequencies, not just labels).
+    from guava_probably_spark.functions import mg_topk
+
+    g = build_grouped(events, "event_type", "user_id", SketchSpec("mg", {"k": 64}), salt=4)
+    tops = {
+        r.event_type: r.top
+        for r in g.select("event_type", mg_topk(5)("sketch").alias("top")).collect()
+    }
+    exact_tu: dict = {}
+    for r in events.groupBy("event_type", "user_id").agg(F.count("*").alias("c")).collect():
+        exact_tu.setdefault(r.event_type, {})[str(r.user_id)] = r.c
+    for t in sorted(exact_tu):
+        per_user = exact_tu[t]
+        items = tops.get(t, [])
+        ok = 1 <= len(items) <= 5
+        for it in items:
+            f_exact = per_user.get(it.item)
+            ok = ok and f_exact is not None and it.lo <= f_exact <= it.hi
+        los = [it.lo for it in items]
+        ok = ok and los == sorted(los, reverse=True)
+        rows.append(
+            Row(
+                method="mg_topk",
+                event_type=t,
+                exact_cnt=int(max(per_user.values())),
+                within=bool(ok),
             )
         )
     return spark.createDataFrame(rows)
@@ -1455,7 +1622,15 @@ def oracle_sql() -> dict[str, str]:
             "('dd_lineitem_price', 'p10'), ('dd_lineitem_price', 'p25'), "
             "('dd_lineitem_price', 'p50'), ('dd_lineitem_price', 'p75'), "
             "('dd_lineitem_price', 'p90'), ('dd_lineitem_price', 'p99'), "
-            "('dd_lineitem_price', 'collapses_zero')"
+            "('dd_lineitem_price', 'collapses_zero'), "
+            "('histogram_lineitem_price', 'counts_exact'), "
+            "('histogram_lineitem_price', 'total_exact'), "
+            "('histogram_lineitem_price', 'depth_within'), "
+            "('histogram_docs_by_source', 'keys_complete'), "
+            "('histogram_docs_by_source', 'buckets_within'), "
+            "('histogram_docs_by_source', 'totals_within'), "
+            "('pca_project_embeddings', 'distributed_matches_local'), "
+            "('pca_project_embeddings', 'variance_within')"
             ") AS t(name, q_label)"
         ),
         "bloom_semijoin_lineitem_part": (
@@ -1479,7 +1654,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY event_type "
             "HAVING count(*) >= 0.1 * (SELECT count(*) FROM events)) "
             "SELECT 'cms' AS method, event_type, exact_cnt, true AS within FROM hh "
-            "UNION ALL SELECT 'mg', event_type, exact_cnt, true FROM hh"
+            "UNION ALL SELECT 'mg', event_type, exact_cnt, true FROM hh "
+            "UNION ALL SELECT 'mg_topk', event_type, max(cnt), true FROM "
+            "(SELECT event_type, user_id, count(*) AS cnt FROM events "
+            "GROUP BY 1, 2) GROUP BY event_type"
         ),
         "rollup_cube_grid": (
             "SELECT 'rollup_merge_events' AS op, coalesce(event_type, 'ALL') AS k1, "
