@@ -409,6 +409,37 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
     grouped_cms_conv()
     timed("q_grouped_cms_conv_highcard", grouped_cms_conv)
 
+    # prehash pairs on a WIDE value column (~230-byte text): murmur3 ships
+    # the text into Python to hash; prehash=True hashes JVM-side (xxhash64)
+    # so only 8 B/row + key cross the boundary (same bounds, tagged funnel)
+    def grouped_cms_text(prehash):
+        from guava_probably_spark.operators import grouped_cms
+
+        df = spark.read.parquet(t_path)
+        return grouped_cms(
+            df, "conv_id", "text", 0.02, 0.1, partitions=128, prehash=prehash
+        ).count()
+
+    grouped_cms_text(False)
+    timed("q_grouped_cms_conv_text", lambda: grouped_cms_text(False))
+    grouped_cms_text(True)
+    timed("q_grouped_cms_conv_prehash", lambda: grouped_cms_text(True))
+
+    def grouped_theta_text(prehash):
+        from guava_probably_spark.operators import grouped_theta
+
+        df = spark.read.parquet(t_path).withColumn(
+            "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        )
+        return grouped_theta(
+            df, "day", "text", k=4096, partitions=64, prehash=prehash
+        ).count()
+
+    grouped_theta_text(False)
+    timed("q_grouped_theta_day_text", lambda: grouped_theta_text(False))
+    grouped_theta_text(True)
+    timed("q_grouped_theta_day_prehash", lambda: grouped_theta_text(True))
+
     def sessionize_convs():
         from guava_probably_spark.operators import sessionize
 

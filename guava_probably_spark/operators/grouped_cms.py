@@ -145,7 +145,10 @@ def _pack_cms_rows(
     )
 
 
-def _build_stage(epsilon: float, delta: float, funnel: int, max_matrix_bytes: int):
+def _build_stage(
+    epsilon: float, delta: float, funnel: int, max_matrix_bytes: int,
+    prehashed: bool = False,
+):
     w, d = cms_geometry(epsilon, delta)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -153,14 +156,25 @@ def _build_stage(epsilon: float, delta: float, funnel: int, max_matrix_bytes: in
         for batch in batches:
             keys_parts.append(batch.column(0))
             h1_parts.append(batch.column(1).to_numpy(zero_copy_only=False))
-            h2_parts.append(batch.column(2).to_numpy(zero_copy_only=False))
-            c_parts.append(batch.column(3).to_numpy(zero_copy_only=False))
+            if not prehashed:
+                h2_parts.append(batch.column(2).to_numpy(zero_copy_only=False))
+                c_parts.append(batch.column(3).to_numpy(zero_copy_only=False))
         if not keys_parts:
             return
         keys = pa.chunked_array(keys_parts).combine_chunks()
         h1 = np.concatenate(h1_parts).view(np.uint64)
-        h2 = np.concatenate(h2_parts).view(np.uint64)
-        c = np.concatenate(c_parts).astype(np.int64)
+        if prehashed:
+            # input is (k, h1=xxhash64) only: the depth rows need a second
+            # independent hash — derive it from h1 (uniform 64-bit) with the
+            # shared salt+fmix rule so local CmsSketch(funnel=PREHASHED)
+            # builds/probes land in the SAME buckets (blob byte-identity)
+            from ..sketches.cms import prehash_pair
+
+            h1, h2 = prehash_pair(h1)
+            c = np.ones(len(h1), dtype=np.int64)
+        else:
+            h2 = np.concatenate(h2_parts).view(np.uint64)
+            c = np.concatenate(c_parts).astype(np.int64)
         from ._arrow_common import encode_keys
 
         uniq, codes = encode_keys(keys)
@@ -203,29 +217,60 @@ def grouped_cms(
     epsilon: float = 0.005,
     delta: float = 0.01,
     partitions: int | None = None,
-    pre_reduce: bool = True,
+    pre_reduce: bool | None = None,
     max_matrix_bytes: int = 1 << 31,
     assume_colocated: bool = False,
+    prehash: bool = False,
 ) -> DataFrame:
     """Per-key CmsSketch at high key cardinality → (key, sketch, n) with
     blobs byte-identical to a local ``CmsSketch`` build of the same group.
 
-    ``pre_reduce`` (default) collapses duplicate (key, value) rows map-side
-    into weighted updates, so the shuffle is bounded by the per-partition
-    DISTINCT values of each key rather than its row count.
-    ``assume_colocated=True`` skips the repartition — correct when the
-    input is already partitioned by ``key`` (bucketed read, upstream
-    repartition); the grouped build then has ZERO shuffle."""
+    ``pre_reduce`` (default when ``prehash`` is off) collapses duplicate
+    (key, value) rows map-side into weighted updates, so the shuffle is
+    bounded by the per-partition DISTINCT values of each key rather than
+    its row count. ``assume_colocated=True`` skips the repartition —
+    correct when the input is already partitioned by ``key`` (bucketed
+    read, upstream repartition); the grouped build then has ZERO shuffle.
 
+    ``prehash=True`` hashes the value column JVM-SIDE with ``xxhash64`` —
+    no Python stage before the shuffle, and a wide value column never
+    crosses the JVM↔Python boundary (8 B/row + key do). The depth hashes
+    derive as (h1, fmix64(h1 ^ salt)): CMS needs only pairwise-uniform
+    bucket rows, which any uniform 64-bit h1 provides, so the ε/δ bound
+    is unchanged. Blobs carry FUNNEL_PREHASHED and refuse to merge with
+    murmur3-funnel blobs (different bucket domains); probe them with
+    hashes, e.g. ``sk.estimate(xxhash64-values)`` or SQL
+    ``cms_freq(sketch, xxhash64(item))``. Nulls are dropped JVM-side.
+    Mutually exclusive with ``pre_reduce=True``."""
 
     dt = df.schema[col].dataType
     from ._arrow_common import funnel_for_spark_type
 
-    funnel = funnel_for_spark_type(dt)
+    if prehash and pre_reduce:
+        raise ValueError("prehash and pre_reduce are mutually exclusive")
+    if pre_reduce is None:
+        pre_reduce = not prehash
     key_type = df.schema[key].dataType.simpleString()
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    if prehash:
+        from pyspark.sql import functions as F
+
+        from ..sketches.base import FUNNEL_PREHASHED
+
+        hashed = (
+            df.where(F.col(col).isNotNull())
+            .select(F.col(key).alias("k"), F.xxhash64(col).alias("h1"))
+        )
+        colocated = hashed if assume_colocated else hashed.repartition(parts, "k")
+        return colocated.mapInArrow(
+            _build_stage(
+                epsilon, delta, FUNNEL_PREHASHED, max_matrix_bytes, prehashed=True
+            ),
+            f"key {key_type}, sketch binary, n bigint",
+        )
+    funnel = funnel_for_spark_type(dt)
     stage = _hash2_prereduce_stage(1) if pre_reduce else _hash2_stage(1)
     hashed = df.select(key, col).mapInArrow(stage, f"k {key_type}, {_HASH2_SCHEMA_SUFFIX}")
-    parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
     colocated = hashed if assume_colocated else hashed.repartition(parts, "k")
     return colocated.mapInArrow(
         _build_stage(epsilon, delta, funnel, max_matrix_bytes),

@@ -174,8 +174,9 @@ def grouped_theta(
     col: str,
     k: int = 4096,
     partitions: int | None = None,
-    pre_reduce: bool = True,
+    pre_reduce: bool | None = None,
     assume_colocated: bool = False,
+    prehash: bool = False,
 ) -> DataFrame:
     """Per-key ThetaSketch at high key cardinality → (key, sketch, n) with
     blobs byte-identical to a local ThetaSketch build of the same group.
@@ -187,19 +188,49 @@ def grouped_theta(
     one row) — the shuffle is bounded by parts × keys × k rows no matter
     how hot a key is, and duplicate (key, value) rows collapse before the
     exchange. The retained-set union is associative, so the output blobs
-    are byte-identical either way (tested)."""
+    are byte-identical either way (tested). Default ``None`` resolves to
+    True unless ``prehash`` is set.
+
+    ``prehash=True`` hashes the value column JVM-SIDE with ``xxhash64`` and
+    feeds the 64-bit hashes straight into the KMV retention — no Python
+    stage runs before the shuffle and a wide value column never crosses
+    the JVM↔Python boundary (8 B/row + key do). KMV only consumes the
+    hash ORDER, so the estimator and its bound are unchanged under any
+    uniform 64-bit hash; blobs carry FUNNEL_PREHASHED and refuse to merge
+    with murmur3-funnel blobs of the same column (the retained domains
+    differ). Null values are dropped JVM-side (xxhash64(NULL) = seed
+    would count nulls as one distinct). Mutually exclusive with
+    ``pre_reduce=True`` (whose map-side KMV combine hashes in Python) —
+    the prehash trade is shuffle rows = input rows instead of the
+    ≤ parts × keys × k cap; prefer pre_reduce when keys are hot and
+    values narrow, prehash when the value column is wide text."""
 
     dt = df.schema[col].dataType
     from ._arrow_common import funnel_for_spark_type
 
-    funnel = funnel_for_spark_type(dt)
+    if prehash and pre_reduce:
+        raise ValueError("prehash and pre_reduce are mutually exclusive")
+    if pre_reduce is None:
+        pre_reduce = not prehash
     key_type = df.schema[key].dataType.simpleString()
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-    if pre_reduce:
+    if prehash:
+        from pyspark.sql import functions as F
+
+        from ..sketches.base import FUNNEL_PREHASHED
+
+        funnel = FUNNEL_PREHASHED
+        hashed = (
+            df.where(F.col(col).isNotNull())
+            .select(F.col(key).alias("k"), F.xxhash64(col).alias("h"))
+        )
+    elif pre_reduce:
+        funnel = funnel_for_spark_type(dt)
         hashed = df.select(key, col).mapInArrow(
             _prereduce_stage(1, k), f"k {key_type}, h bigint, c bigint"
         )
     else:
+        funnel = funnel_for_spark_type(dt)
         hashed = df.select(key, col).mapInArrow(_hash_stage(1), f"k {key_type}, h bigint")
     colocated = hashed if assume_colocated else hashed.repartition(parts, "k")
     return colocated.mapInArrow(

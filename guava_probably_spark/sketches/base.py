@@ -242,6 +242,30 @@ def column_to_hash_input(values) -> tuple[int, tuple]:
     raise TypeError(f"unhashable column type for sketch funnel: {t}")
 
 
+def prehashed_hashes(values) -> np.ndarray:
+    """Values for a FUNNEL_PREHASHED sketch ARE the 64-bit hashes (Spark's
+    ``xxhash64``, signed int64) — validate integer input and reinterpret as
+    uint64. A string/float batch against a prehashed sketch is a pipeline
+    bug (raw values were never hashed JVM-side), so it raises rather than
+    silently hashing the wrong domain."""
+    pa = _import_pa()
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        if not pa.types.is_integer(values.type):
+            raise IncompatibleSketchError(
+                f"prehashed sketch expects int64 hash values, got {values.type}"
+            )
+        arr = values.drop_null().to_numpy(zero_copy_only=False)
+        return arr.astype(np.int64).view(np.uint64)
+    arr = np.asarray(values)
+    if arr.dtype == object or not np.issubdtype(arr.dtype, np.integer):
+        raise IncompatibleSketchError(
+            f"prehashed sketch expects int64 hash values, got dtype {arr.dtype}"
+        )
+    return arr.astype(np.int64).view(np.uint64)
+
+
 def hash_column(values, expected_funnel: int | None = None):
     """Hash a column batch with murmur3_x64_128 → (funnel, h1, h2)."""
     from .hashing import hash128_bytes, hash128_u64

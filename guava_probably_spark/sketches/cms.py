@@ -20,9 +20,33 @@ import struct
 
 import numpy as np
 
-from .base import FUNNEL_UTF8, KIND_CMS, Sketch, element_to_hash, hash_column, register_kind
+from .base import (
+    FUNNEL_PREHASHED,
+    FUNNEL_UTF8,
+    KIND_CMS,
+    Sketch,
+    element_to_hash,
+    hash_column,
+    prehashed_hashes,
+    register_kind,
+)
 
 _SIGN_MASK = np.uint64(0x7FFFFFFFFFFFFFFF)
+
+# FUNNEL_PREHASHED depth-hash derivation: the JVM ships ONE xxhash64 per
+# value; the Kirsch–Mitzenmacher rows need a second independent hash, so
+# h2 = fmix64(h1 ^ salt). Shared by the grouped build stage and the local
+# sketch so blobs/probes land in identical buckets (byte-identity).
+_PREHASH_H2_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def prehash_pair(h1: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) for prehashed values — h1 passes through, h2 derived."""
+    from .hashing import _fmix64
+
+    h1 = np.asarray(h1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return h1, _fmix64(h1 ^ _PREHASH_H2_SALT)
 
 
 def cms_geometry(epsilon: float, delta: float) -> tuple[int, int]:
@@ -89,6 +113,10 @@ class CmsSketch(Sketch):
         return 0
 
     def update(self, values, weights=None) -> None:
+        if self.funnel == FUNNEL_PREHASHED:
+            h1, h2 = prehash_pair(prehashed_hashes(values))
+            self.update_hashes(h1, h2, weights)
+            return
         _, h1, h2 = hash_column(values, self.funnel)
         self.update_hashes(h1, h2, weights)
 
@@ -107,7 +135,12 @@ class CmsSketch(Sketch):
         return ests.min(axis=0)
 
     def estimate(self, values) -> np.ndarray:
-        """Vectorized point-frequency query for a batch of items."""
+        """Vectorized point-frequency query for a batch of items. For a
+        FUNNEL_PREHASHED sketch, ``values`` are the xxhash64 hashes of the
+        items (probe with ``F.xxhash64(item)`` computed JVM-side)."""
+        if self.funnel == FUNNEL_PREHASHED:
+            h1, h2 = prehash_pair(prehashed_hashes(values))
+            return self.estimate_hashes(h1, h2)
         _, h1, h2 = hash_column(values, self.funnel)
         return self.estimate_hashes(h1, h2)
 

@@ -30,7 +30,16 @@ import struct
 
 import numpy as np
 
-from .base import FUNNEL_UTF8, KIND_THETA, Sketch, element_to_hash, hash_column, register_kind
+from .base import (
+    FUNNEL_PREHASHED,
+    FUNNEL_UTF8,
+    KIND_THETA,
+    Sketch,
+    element_to_hash,
+    hash_column,
+    prehashed_hashes,
+    register_kind,
+)
 
 _FULL = float(1 << 64)
 
@@ -104,6 +113,10 @@ class ThetaSketch(Sketch):
         return 0
 
     def update(self, values) -> None:
+        if self.funnel == FUNNEL_PREHASHED:
+            # values ARE the JVM-side xxhash64 hashes (grouped prehash path)
+            self.update_hashes(prehashed_hashes(values))
+            return
         _, h1, _ = hash_column(values, self.funnel)
         self.update_hashes(h1)
 

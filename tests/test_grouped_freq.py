@@ -500,3 +500,108 @@ def test_grouped_dd_hotkey_prereduce_value_bound(spark):
             est = sk.quantile(q)
             true = srt[int(q * (len(srt) - 1))]
             assert abs(est - true) <= 0.01 * abs(true) * (1 + 1e-9), (flag, q)
+
+
+def test_grouped_cms_prehash_blob_identity_probe_and_isolation(spark):
+    """prehash=True (JVM xxhash64, text never crosses the boundary): the
+    grouped blob is BYTE-IDENTICAL to a local CmsSketch(FUNNEL_PREHASHED)
+    fed the same Spark-computed hashes; estimates bracket exact counts
+    through the hash probe; murmur3-funnel merges refuse; pre_reduce
+    combo raises; nulls are dropped."""
+    from guava_probably_spark.operators import grouped_cms
+    from guava_probably_spark.sketches.base import (
+        FUNNEL_PREHASHED,
+        IncompatibleSketchError,
+    )
+
+    pdf = _docs(n=8_000, keys=4, vals=250)
+    df = spark.createDataFrame(pdf).repartition(5)
+    eps, delta = 0.01, 0.01
+    rows = {
+        r.key: (Sketch.from_bytes(r.sketch), r.n)
+        for r in grouped_cms(df, "g", "v", eps, delta, prehash=True).collect()
+    }
+    hashes = {
+        g: [r.h for r in sub.collect()]
+        for g, sub in (
+            (g, df.where(F.col("g") == g).select(F.xxhash64("v").alias("h")))
+            for g in pdf.g.unique()
+        )
+    }
+    assert set(rows) == set(pdf.g.unique())
+    for g, sub in pdf.groupby("g"):
+        sk, n = rows[g]
+        assert sk.funnel == FUNNEL_PREHASHED and n == len(sub)
+        local = CmsSketch(eps, delta, funnel=FUNNEL_PREHASHED)
+        local.update(np.array(hashes[g], dtype=np.int64))
+        assert sk.to_bytes() == local.to_bytes()  # byte-identity
+        # probe through the hash: exact <= est <= exact + eps*N
+        counts = sub.v.value_counts()
+        probe_vals = list(counts.index[:20])
+        ph = {
+            r.v: r.h
+            for r in spark.createDataFrame(pd.DataFrame({"v": probe_vals}))
+            .select("v", F.xxhash64("v").alias("h"))
+            .collect()
+        }
+        ests = sk.estimate(np.array([ph[v] for v in probe_vals], dtype=np.int64))
+        for v, est in zip(probe_vals, ests):
+            assert counts[v] <= est <= counts[v] + eps * len(sub), (g, v)
+    # funnel isolation
+    plain = {
+        r.key: Sketch.from_bytes(r.sketch)
+        for r in grouped_cms(df, "g", "v", eps, delta).collect()
+    }
+    with pytest.raises(IncompatibleSketchError):
+        rows["k0"][0].merge(plain["k0"])
+    # raw values against a prehashed sketch must raise, not mis-probe
+    with pytest.raises(IncompatibleSketchError):
+        rows["k0"][0].estimate(["item1"])
+    with pytest.raises(ValueError):
+        grouped_cms(df, "g", "v", eps, delta, prehash=True, pre_reduce=True)
+    # nulls dropped (xxhash64(NULL) = seed must not count)
+    ndf = spark.createDataFrame(pd.DataFrame({"g": ["a"] * 6, "v": ["x", None] * 3}))
+    (row,) = grouped_cms(ndf, "g", "v", eps, delta, prehash=True).collect()
+    assert row.n == 3
+
+
+def test_grouped_theta_prehash_blob_identity_and_isolation(spark):
+    """prehash=True for grouped theta: blob byte-identical to a local
+    ThetaSketch(FUNNEL_PREHASHED) over the same Spark-computed hashes,
+    estimates within the KMV bound, murmur3 merges refuse."""
+    from guava_probably_spark.operators.grouped_theta import grouped_theta
+    from guava_probably_spark.sketches.base import (
+        FUNNEL_PREHASHED,
+        IncompatibleSketchError,
+    )
+    from guava_probably_spark.sketches.theta import ThetaSketch
+
+    pdf = _docs(n=8_000, keys=4, vals=900)
+    df = spark.createDataFrame(pdf).repartition(5)
+    rows = {
+        r.g: (Sketch.from_bytes(r.sketch), r.n)
+        for r in grouped_theta(df, "g", "v", k=256, prehash=True).collect()
+    }
+    assert set(rows) == set(pdf.g.unique())
+    for g, sub in pdf.groupby("g"):
+        sk, n = rows[g]
+        assert sk.funnel == FUNNEL_PREHASHED and n == len(sub)
+        hs = [
+            r.h
+            for r in df.where(F.col("g") == g)
+            .select(F.xxhash64("v").alias("h"))
+            .collect()
+        ]
+        local = ThetaSketch(256, funnel=FUNNEL_PREHASHED)
+        local.update(np.array(hs, dtype=np.int64))
+        assert sk.to_bytes() == local.to_bytes()  # byte-identity
+        exact = sub.v.nunique()
+        assert abs(sk.estimate() - exact) <= 3 * exact / (256 ** 0.5) + 3
+    plain = {
+        r.g: Sketch.from_bytes(r.sketch)
+        for r in grouped_theta(df, "g", "v", k=256).collect()
+    }
+    with pytest.raises(IncompatibleSketchError):
+        rows["k0"][0].merge(plain["k0"])
+    with pytest.raises(ValueError):
+        grouped_theta(df, "g", "v", k=256, prehash=True, pre_reduce=True)
