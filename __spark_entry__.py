@@ -475,11 +475,13 @@ def _q_kll_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_grouped_hll_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized high-cardinality grouped HLL (operators.grouped_hll): one
     sketch per l_partkey (~20k groups at sf0.01), all estimates within
-    bound vs exact distinct l_orderkey per part."""
+    bound vs exact distinct l_orderkey per part — through BOTH hash paths:
+    'murmur' (Python murmur3 pre-shuffle) and 'prehash' (JVM-side xxhash64,
+    the wide-value fast path; FUNNEL_PREHASHED register domain, same
+    1.04/√m bound)."""
     from guava_probably_spark.operators import grouped_hll
 
     lineitem = _t(spark, sf_dir, "lineitem")
-    est = grouped_hll(lineitem, "l_partkey", "l_orderkey", p=12, output="estimate")
     exact = lineitem.groupBy("l_partkey").agg(
         F.countDistinct("l_orderkey").alias("d")
     )
@@ -487,16 +489,26 @@ def _q_grouped_hll_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # error is collision-driven (Poisson n²/2m ≈ a few counts), not the
     # 1.04/√m relative bound — allow max(relative bound, absolute slack 3)
     bound = 3 * 1.04 / (2 ** 12) ** 0.5 + 0.01
-    joined = exact.join(est, "l_partkey").select(
-        (
-            F.abs(F.col("estimate") - F.col("d"))
-            <= F.greatest(F.lit(bound) * F.col("d"), F.lit(3.0))
-        ).alias("ok")
-    )
-    return joined.agg(
-        F.count("*").alias("n_groups"),
-        F.min(F.col("ok").cast("int")).cast("boolean").alias("all_within"),
-    )
+    outs = []
+    for path in ("murmur", "prehash"):
+        est = grouped_hll(
+            lineitem, "l_partkey", "l_orderkey", p=12, output="estimate",
+            prehash=(path == "prehash"),
+        )
+        joined = exact.join(est, "l_partkey").select(
+            (
+                F.abs(F.col("estimate") - F.col("d"))
+                <= F.greatest(F.lit(bound) * F.col("d"), F.lit(3.0))
+            ).alias("ok")
+        )
+        outs.append(
+            joined.agg(
+                F.lit(path).alias("path"),
+                F.count("*").alias("n_groups"),
+                F.min(F.col("ok").cast("int")).cast("boolean").alias("all_within"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
 
 
 def _q_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1678,7 +1690,9 @@ def oracle_sql() -> dict[str, str]:
             ") AS t(name)"
         ),
         "grouped_hll_highcard_parts": (
-            "SELECT count(DISTINCT l_partkey) AS n_groups, true AS all_within "
+            "SELECT 'murmur' AS path, count(DISTINCT l_partkey) AS n_groups, "
+            "true AS all_within FROM lineitem "
+            "UNION ALL SELECT 'prehash', count(DISTINCT l_partkey), true "
             "FROM lineitem"
         ),
         "grouped_kll_median_by_type": (

@@ -38,6 +38,32 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TMP = os.path.join(REPO, "BENCH", "_tmp")
 
 
+# -- pressure self-identification (VERDICT r3 item 3) -----------------------
+# The driver's full run packs ~50 queries into a memory-saturated box, and
+# its recorded numbers have twice landed 1.3-6x above the quiet-machine
+# truth. Every timed query snapshots MemAvailable FIRST; queries that start
+# under PRESSURE_GB are listed in the JSON's "pressured" field so an
+# excursion is self-identifying in the artifact instead of needing a
+# post-hoc isolated re-run to adjudicate.
+PRESSURE_GB = float(os.environ.get("SPARK_GRAFT_PRESSURE_GB", "16"))
+MEM_BEFORE: dict = {}
+
+
+def _mem_available_gb() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) / (1024.0 * 1024.0)
+    except OSError:
+        pass
+    return float("nan")
+
+
+def _note_mem(name: str) -> None:
+    MEM_BEFORE[name] = round(_mem_available_gb(), 2)
+
+
 def _sf() -> float:
     base = os.path.basename(SF_DIR.rstrip("/"))
     try:
@@ -240,6 +266,7 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
     extras: dict = {}
 
     def timed(name, fn):
+        _note_mem(name)
         t0 = time.monotonic()
         r = fn()
         timings[name] = round(time.monotonic() - t0, 3)
@@ -248,6 +275,7 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
     # warm once (worker fork+imports, JIT, page cache), then best-of-3 —
     # a 100 TB job runs for hours and amortizes cold-start; steady-state
     # throughput is the honest number and best-of-N rejects scheduler noise
+    _note_mem("q_transcripts_multisketch")
     transcripts_job(spark, t_path)
     best = None
     for _ in range(3):
@@ -324,6 +352,7 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
         return grouped_hll(df, "conv_id", "text", p=12, output="estimate", partitions=128).count()
 
     # warm + best-of-2: the 8M-row shuffle makes this the noisiest query
+    _note_mem("q_grouped_hll_conv_highcard")
     grouped_conv()
     best_g = None
     for _ in range(2):
@@ -345,6 +374,7 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
             partitions=128, prehash=True,
         ).count()
 
+    _note_mem("q_grouped_hll_conv_prehash")
     grouped_conv_prehash()
     best_g = None
     for _ in range(2):
@@ -468,6 +498,7 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
 
     # merge-prefix window: one 8M-row narrow shuffle + sorted vectorized pass
     running_tools()
+    _note_mem("q_running_distinct_convs")
     best_w = None
     for _ in range(2):
         t0 = time.monotonic()
@@ -497,6 +528,7 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
     extras: dict = {}
 
     def timed(name, fn):
+        _note_mem(name)
         t0 = time.monotonic()
         r = fn()
         timings[name] = round(time.monotonic() - t0, 3)
@@ -515,6 +547,7 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
         """Warm once (python-worker spin-up / imports / page cache), then
         best-of-2 — single-shot timings measured up to 3× run-to-run drift
         from OS memory-reclaim noise in this sandbox."""
+        _note_mem(name)
         fn()
         best, r = None, None
         for _ in range(2):
@@ -1125,20 +1158,27 @@ def main() -> None:
     t_path = transcripts_path(rows)
     d_path = docs_path(SF_DIR)
     e_path = emb_path()
+    # corpus-scale pipeline tier runs FIRST (own session): its queries are
+    # the biggest and have twice recorded 3-6x pressure artifacts when run
+    # at the tail of a long-lived saturated session (VERDICT r3 item 3)
     spark = make_session(CPUS)
     try:
-        timings, extras = run_queries(spark, SF_DIR, t_path)
+        timings, extras = run_pipeline_queries(spark, d_path, e_path)
     finally:
         spark.stop()
     spark = make_session(CPUS)
     try:
-        t2, e2 = run_pipeline_queries(spark, d_path, e_path)
+        t2, e2 = run_queries(spark, SF_DIR, t_path)
         timings.update(t2)
         extras.update(e2)
     finally:
         spark.stop()
     total = round(sum(timings.values()), 3)
     thr = round(extras["transcripts_rows"] / timings["q_transcripts_multisketch"])
+    pressured = sorted(
+        q for q, g in MEM_BEFORE.items() if not (g >= PRESSURE_GB)
+    )
+    mem_vals = [g for g in MEM_BEFORE.values() if g == g]
     print(json.dumps({
         "metric": "sketch_bench_total",
         "value": total,
@@ -1147,6 +1187,10 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         "transcripts_turns_per_sec": thr,
+        # self-identifying pressure markers: queries that STARTED under
+        # PRESSURE_GB of MemAvailable — treat their numbers as upper bounds
+        "pressured": pressured,
+        "mem_avail_min_gb": round(min(mem_vals), 1) if mem_vals else None,
         **extras,
     }))
 

@@ -276,13 +276,41 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality metrics + stopword-density language ID (vs the
-    generator's label) — pure whole-stage-codegen projections, joined on id."""
+    generator's label) — pure whole-stage-codegen projections, joined on
+    id — plus the sketch-LM quality score (pipeline/textops.
+    lm_quality_score): lmq_ngrams is the doc's exact word-2-gram count
+    (oracle-recomputed in SQL) and lmq_stable asserts the determinism
+    contract — the same corpus under DIFFERENT partitionings trains a
+    byte-equal CMS and yields per-doc scores equal to 1e-9 (the pytest
+    bound), so the score is a function of the data, not the plan."""
+    from guava_probably_spark.pipeline.textops import lm_quality_score
+
     docs = _t(spark, sf_dir, "documents")
     lang = langid_df(docs, "doc_id", "text").join(
         docs.select(F.col("doc_id").cast("long").alias("id"), F.col("lang").alias("lang_label")),
         "id",
     )
-    return quality_df(docs, "doc_id", "text").join(lang, "id")
+    lmq_a = lm_quality_score(docs.repartition(3), docs.repartition(5), "doc_id", "text", n=2)
+    lmq_b = lm_quality_score(docs.repartition(7), docs.repartition(2), "doc_id", "text", n=2)
+    lmq = lmq_a.join(
+        lmq_b.select(
+            F.col("id"),
+            F.col("ngrams").alias("ngrams_b"),
+            F.col("avg_logprob").alias("lp_b"),
+        ),
+        "id",
+    ).select(
+        "id",
+        F.col("ngrams").cast("long").alias("lmq_ngrams"),
+        (
+            (F.col("ngrams") == F.col("ngrams_b"))
+            & (
+                (F.col("avg_logprob").isNull() & F.col("lp_b").isNull())
+                | (F.abs(F.col("avg_logprob") - F.col("lp_b")) < 1e-9)
+            )
+        ).alias("lmq_stable"),
+    )
+    return quality_df(docs, "doc_id", "text").join(lang, "id").join(lmq, "id")
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,7 +971,12 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"CAST({textexpr.stopword_hits_expr('text', 'duck')} AS BIGINT) AS stop_hits, "
             f"{textexpr.quality_flag_expr('text', 'duck')} AS is_quality, "
             f"{textexpr.langid_expr('text', 'duck')} AS pred_lang, "
-            f"lang AS lang_label FROM documents"
+            f"lang AS lang_label, "
+            # exact word-2-gram count under the lm-quality normalization
+            "CAST(greatest(len(string_split(trim(regexp_replace(regexp_replace("
+            "lower(text), '[^\\p{L}\\p{N}\\s]+', ' ', 'g'), '\\s+', ' ', 'g')), "
+            "' ')) - 1, 0) AS BIGINT) AS lmq_ngrams, "
+            "true AS lmq_stable FROM documents"
         ),
         "token_count_by_source": (
             f"SELECT source, count(*) AS n_docs, "
