@@ -313,8 +313,12 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (functions.register_sql) — the mixed-parameter sketch-table merge
     # story. Byte-identity classes checked end-to-end: HLL p14→p10 and
     # theta k512→k64 folded IN SQL equal direct builds at the coarse
-    # parameter; DD fold(m=2) commutes with merge byte-for-byte (no
-    # collapse on this data — the collapses counter is asserted 0).
+    # parameter; CMS w4096→w1024 folded IN SQL equals the local reshape-sum
+    # fold AND commutes with merge byte-for-byte (counts are linear); DD
+    # fold(m=2) commutes with merge byte-for-byte (no collapse on this
+    # data — the collapses counter is asserted 0).
+    import math
+
     from guava_probably_spark.functions import register_sql
 
     register_sql(spark)
@@ -322,10 +326,15 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll10, _, _ = collect_sketch(events, "user_id", SketchSpec("hll", {"p": 10}))
     th512, _, _ = collect_sketch(events, "user_id", SketchSpec("theta", {"k": 512}))
     th64, _, _ = collect_sketch(events, "user_id", SketchSpec("theta", {"k": 64}))
+    cms_eps = math.e / 4096 * (1 + 1e-9)  # w = exactly 4096 (all 2^k folds reachable)
+    cms_spec = SketchSpec("cms", {"epsilon": cms_eps, "delta": 0.01})
+    cms_full, _, _ = collect_sketch(events, "user_id", cms_spec)
+    cms_a, cms_b = (collect_sketch(s, "user_id", cms_spec)[0] for s in splits[:2])
     spark.createDataFrame(
         [
             Row(fkind="hll", sketch=hll14.to_bytes(), param=10),
             Row(fkind="theta", sketch=th512.to_bytes(), param=64),
+            Row(fkind="cms", sketch=cms_full.to_bytes(), param=4),
         ]
     ).createOrReplaceTempView("fold_assoc_v")
     folded = {
@@ -340,6 +349,9 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold_ok = (
         folded["hll"] == hll10.to_bytes()
         and folded["theta"] == th64.to_bytes()
+        and folded["cms"] == cms_full.fold_to(4).to_bytes()
+        and cms_a.copy().merge(cms_b.copy()).fold_to(4).to_bytes()
+        == cms_a.fold_to(4).merge(cms_b.fold_to(4)).to_bytes()
         and dd_whole.collapses == 0
         and dd_whole.to_bytes() == dd_parts.to_bytes()
     )

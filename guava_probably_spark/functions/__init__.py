@@ -305,7 +305,9 @@ def _sketch_fold_sql():
     dependent), DD by an integer grid multiplier m (γ→γᵐ — exact integer
     regrid that commutes with merge byte-for-byte while ``collapses == 0``;
     after a max_bins collapse the clamped low tail is order-dependent, see
-    DDSketch.fold_to). Kinds without fold_to
+    DDSketch.fold_to), CMS by an integer width divisor m (w→w/m, m | w —
+    a pure reshape-sum on the counter matrix, byte-exact with no caveat;
+    see CmsSketch.fold_to). Kinds without fold_to
     raise AttributeError → surfaced as a task error, never a silent wrong
     blob."""
     from pyspark.sql.types import BinaryType

@@ -126,6 +126,34 @@ class CmsSketch(Sketch):
             np.array([h1], np.uint64), np.array([h2], np.uint64), np.array([weight])
         )
 
+    def fold_to(self, m: int) -> "CmsSketch":
+        """EXACT fold to an ``m``× coarser width (``m`` must divide w):
+        bucket₂ = bucket % w₂ when w = m·w₂ — ((h) & SIGN) % w determines
+        ((h) & SIGN) % w₂ exactly, so the fold is a pure reshape-sum on the
+        counter matrix and commutes BYTE-FOR-BYTE with both ``update`` and
+        ``merge`` (counts are linear; no history dependence, no collapse
+        caveat). The folded sketch is a bona-fide CMS at ε₂ = e/w₂ (its
+        exact geometry bound) with the same d/δ — mixed-ε CMS tables merge
+        via SQL ``sketch_fold(sketch, m)`` like the HLL/theta/DD folds; as
+        with DD, the parameter is the integer DIVISOR m, not the target ε.
+        Size widths as powers of two (ε = e/2^k·(1+1e-9)) to keep every
+        power-of-two fold reachable."""
+        if not (isinstance(m, (int, np.integer)) and m >= 1):
+            raise ValueError(f"fold divisor must be an integer >= 1, got {m}")
+        if m == 1:
+            return self.copy()
+        if self.w % m:
+            raise ValueError(f"fold divisor {m} must divide w={self.w}")
+        w2 = self.w // int(m)
+        out = CmsSketch.__new__(CmsSketch)
+        Sketch.__init__(out, self.funnel)
+        out.epsilon = math.e / w2  # the exact bound of the folded geometry
+        out.delta = self.delta
+        out.w, out.d = w2, self.d
+        out.counts = self.counts.reshape(self.d, int(m), w2).sum(axis=1)
+        out.total = self.total
+        return out
+
     # -- queries ------------------------------------------------------------------
     def estimate_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         b = self._buckets(h1, h2)

@@ -358,3 +358,62 @@ def test_tdigest_fold_to_smaller_delta_keeps_bound():
     assert (np.abs(ranks_fine - qs) <= fine.rank_error_bound()).all()
     with pytest.raises(ValueError):
         fine.fold_to(500.0)
+
+
+def test_cms_fold_exact_byte_identity_and_merge_commutation(spark):
+    """CMS width-fold (m | w): byte-identical to a direct build at the
+    folded geometry, commutes with merge byte-for-byte (counts are linear),
+    estimates bracket under the folded ε₂ = e/w₂ bound, and the SQL
+    ``sketch_fold(sketch, m)`` surface dispatches to it."""
+    import math
+    from collections import Counter
+
+    from guava_probably_spark.functions import register_sql
+    from guava_probably_spark.sketches import Sketch
+    from guava_probably_spark.sketches.base import IncompatibleSketchError
+
+    eps = math.e / 4096 * (1 + 1e-9)  # w = exactly 4096
+    delta = 1e-6  # d = 14: per-item bound failures ~1e-6, none expected
+    vals_a = [f"item{i % 700}" for i in range(5000)]
+    vals_b = [f"item{(i * 3) % 900}" for i in range(4000)]
+    a = CmsSketch(eps, delta)
+    a.update(vals_a)
+    assert a.w == 4096
+    b = CmsSketch(eps, delta)
+    b.update(vals_b)
+    m = 4
+    # fold == direct build at the folded geometry (fold-of-empty + update)
+    direct = CmsSketch(eps, delta).fold_to(m)
+    direct.update(vals_a)
+    f = a.fold_to(m)
+    assert f.w == 1024 and f.total == a.total
+    assert f.to_bytes() == direct.to_bytes()
+    # commutes with merge byte-for-byte
+    assert (
+        a.copy().merge(b).fold_to(m).to_bytes()
+        == a.fold_to(m).merge(b.fold_to(m)).to_bytes()
+    )
+    # folded estimates still bracket: exact <= est <= exact + e/w2 * N
+    exact = Counter(vals_a)
+    items = sorted(exact)
+    ests = f.estimate(items)
+    for v, e_ in zip(items, ests):
+        assert exact[v] <= e_ <= exact[v] + f.error_bound(), v
+    # identity fold, bad divisors, mixed-geometry merge guard
+    assert a.fold_to(1).to_bytes() == a.to_bytes()
+    with pytest.raises(ValueError):
+        a.fold_to(3)  # does not divide 4096
+    with pytest.raises(ValueError):
+        a.fold_to(0)
+    with pytest.raises(IncompatibleSketchError):
+        a.copy().merge(f)
+    # SQL surface: sketch_fold(sketch, 4) over a temp view
+    register_sql(spark)
+    import pandas as pd
+
+    spark.createDataFrame(pd.DataFrame({"sketch": [a.to_bytes()]})).createOrReplaceTempView(
+        "cms_fold_v"
+    )
+    blob = spark.sql("SELECT sketch_fold(sketch, 4) AS s FROM cms_fold_v").collect()[0].s
+    assert bytes(blob) == f.to_bytes()
+    assert Sketch.from_bytes(bytes(blob)).w == 1024
