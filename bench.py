@@ -541,7 +541,7 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
         pairs_from_band_rows,
     )
     from guava_probably_spark.pipeline.similarity import cosine_topk
-    from guava_probably_spark.pipeline.textops import quality_df
+    from guava_probably_spark.pipeline.textops import gopher_quality_df, quality_df
 
     def warmed(name, fn):
         """Warm once (python-worker spin-up / imports / page cache), then
@@ -570,6 +570,19 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
         "q_text_quality_docs",
         lambda: quality_df(big_docs, "doc_id", "text")
         .agg(F.sum("ws_tokens"), F.sum("stop_hits"))
+        .collect(),
+    )
+    # Gopher rule set: two explode+agg branches (words, lines) + scalar
+    # projection; the agg-over-outputs forces every rule column
+    warmed(
+        "q_gopher_quality_docs",
+        lambda: gopher_quality_df(big_docs, "doc_id", "text")
+        .agg(
+            F.sum("n_words"),
+            F.sum("dup_lines"),
+            F.sum("symbol_hits"),
+            F.sum(F.col("gopher_pass").cast("long")),
+        )
         .collect(),
     )
 

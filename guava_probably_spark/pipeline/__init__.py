@@ -71,6 +71,7 @@ from guava_probably_spark.pipeline.similarity import (
     hyperplane_signatures,
 )
 from guava_probably_spark.pipeline.textops import (
+    gopher_quality_df,
     langid_df,
     quality_df,
     redact_df,
@@ -123,6 +124,7 @@ __all__ = [
     "cosine_neardup_pairs",
     "cosine_topk",
     "hyperplane_signatures",
+    "gopher_quality_df",
     "langid_df",
     "quality_df",
     "remove_boilerplate_lines",

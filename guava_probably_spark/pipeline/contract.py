@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from guava_probably_spark.pipeline import textexpr
+from guava_probably_spark.pipeline import textexpr, textops
 from guava_probably_spark.pipeline.dedup import (
     exact_dedup,
     exact_jaccard_pairs,
@@ -282,8 +282,16 @@ def _q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (oracle-recomputed in SQL) and lmq_stable asserts the determinism
     contract — the same corpus under DIFFERENT partitionings trains a
     byte-equal CMS and yields per-doc scores equal to 1e-9 (the pytest
-    bound), so the score is a function of the data, not the plan."""
-    from guava_probably_spark.pipeline.textops import lm_quality_score
+    bound), so the score is a function of the data, not the plan.
+
+    Round 4 adds the Gopher rule-set columns (textops.gopher_quality_df —
+    Rae et al. 2021 A1.1): n_words/word_chars/alpha_words/n_lines/
+    dup_lines/bullet_lines/ellipsis_lines/symbol_hits + the composite
+    gopher_pass gate, hash-checked per doc against the DuckDB oracle."""
+    from guava_probably_spark.pipeline.textops import (
+        gopher_quality_df,
+        lm_quality_score,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     lang = langid_df(docs, "doc_id", "text").join(
@@ -310,7 +318,13 @@ def _q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lmq_stable"),
     )
-    return quality_df(docs, "doc_id", "text").join(lang, "id").join(lmq, "id")
+    gq = gopher_quality_df(docs, "doc_id", "text")
+    return (
+        quality_df(docs, "doc_id", "text")
+        .join(lang, "id")
+        .join(lmq, "id")
+        .join(gq, "id")
+    )
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,7 +979,7 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) <= 10"
         ),
         "text_quality_langid": (
-            f"SELECT doc_id AS id, CAST({wc} AS BIGINT) AS ws_tokens, "
+            f"WITH base AS (SELECT doc_id AS id, CAST({wc} AS BIGINT) AS ws_tokens, "
             f"CAST({textexpr.re_token_count_expr('text', 'duck')} AS BIGINT) AS re_tokens, "
             f"CAST({textexpr.char_count_expr('text', 'duck')} AS BIGINT) AS n_chars_norm, "
             f"CAST({textexpr.stopword_hits_expr('text', 'duck')} AS BIGINT) AS stop_hits, "
@@ -976,7 +990,12 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "CAST(greatest(len(string_split(trim(regexp_replace(regexp_replace("
             "lower(text), '[^\\p{L}\\p{N}\\s]+', ' ', 'g'), '\\s+', ' ', 'g')), "
             "' ')) - 1, 0) AS BIGINT) AS lmq_ngrams, "
-            "true AS lmq_stable FROM documents"
+            "true AS lmq_stable FROM documents), "
+            # Gopher rule-set oracle (single-sourced dual-dialect exprs)
+            f"gq AS ({textops.gopher_sql_duck('documents', 'doc_id', 'text')}) "
+            "SELECT base.*, gq.n_words, gq.word_chars, gq.alpha_words, "
+            "gq.n_lines, gq.dup_lines, gq.bullet_lines, gq.ellipsis_lines, "
+            "gq.symbol_hits, gq.gopher_pass FROM base JOIN gq USING (id)"
         ),
         "token_count_by_source": (
             f"SELECT source, count(*) AS n_docs, "

@@ -172,6 +172,53 @@ def char_count_expr(col: str, dialect: str) -> str:
     return f"length({norm_expr(col, dialect)})"
 
 
+def lines_expr(col: str, dialect: str) -> str:
+    """Raw lines of the text (array<string>), split on newline."""
+    _q(dialect)
+    if dialect == "spark":
+        return f"split({col}, '\\n')"
+    return f"string_split({col}, chr(10))"
+
+
+def symbol_hits_expr(col: str, dialect: str) -> str:
+    """Gopher symbol count over the RAW text: '#' characters + '...' runs
+    + '…' characters (Rae et al. 2021 use the symbol-to-word ratio as a
+    boilerplate/markup signal). Same syntax in both dialects; '/' is float
+    division in both, exact here because the difference is a multiple of 3."""
+    _q(dialect)
+    return (
+        f"(length({col}) - length(replace({col}, '#', ''))) "
+        f"+ CAST((length({col}) - length(replace({col}, '...', ''))) / 3 AS BIGINT) "
+        f"+ (length({col}) - length(replace({col}, '…', '')))"
+    )
+
+
+def bullet_line_flag_expr(line_col: str, dialect: str) -> str:
+    """1 when the (left-trimmed) line starts with a bullet glyph."""
+    _q(dialect)
+    return (
+        f"CASE WHEN substr(ltrim({line_col}), 1, 1) IN "
+        f"('-', '*', '•', '‣', '▪') THEN 1 ELSE 0 END"
+    )
+
+
+def ellipsis_line_flag_expr(line_col: str, dialect: str) -> str:
+    """1 when the (right-trimmed) line ends with an ellipsis."""
+    _q(dialect)
+    return (
+        f"CASE WHEN rtrim({line_col}) LIKE '%...' "
+        f"OR rtrim({line_col}) LIKE '%…' THEN 1 ELSE 0 END"
+    )
+
+
+def alpha_word_flag_expr(word_col: str, dialect: str) -> str:
+    """1 when the (already-lowercased) word contains an alphabetic char."""
+    _q(dialect)
+    if dialect == "spark":
+        return f"CASE WHEN {word_col} RLIKE '[a-z]' THEN 1 ELSE 0 END"
+    return f"CASE WHEN regexp_matches({word_col}, '[a-z]') THEN 1 ELSE 0 END"
+
+
 def quality_flag_expr(col: str, dialect: str) -> str:
     """Boolean quality gate: 5..5000 tokens AND mean token length in [2, 12]
     chars (integer cross-multiplied: 2*T <= C+T-1 <= 12*T+T-1 where C is

@@ -124,6 +124,119 @@ def word_repetition_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def gopher_quality_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher quality-rule signals (Rae et al. 2021, appendix A1.1) as
+    exact integer counts per doc, plus the composite ``gopher_pass`` gate —
+    the standard pre-training corpus filter, complementing
+    :func:`word_repetition_df` (word-level repetition) with the line-level
+    and symbol rules.
+
+    Columns (all integers; ratios become integer cross-multiplications so
+    the oracle hash can never diverge on rounding):
+      n_words, word_chars (total normalized word characters — mean word
+      length = word_chars/n_words), alpha_words (words containing an
+      alphabetic char), n_lines, dup_lines (EXCESS copies: Σ(c−1) over
+      repeated line values), bullet_lines, ellipsis_lines, symbol_hits
+      ('#' + '...' + '…' occurrences over the raw text).
+
+    gopher_pass = 50 ≤ n_words ≤ 100000 AND mean word length in [3, 10]
+    AND symbol/word ≤ 0.1 AND bullet lines < 90% AND ellipsis lines < 30%
+    AND alpha words ≥ 80% AND duplicate-line excess ≤ 30%.
+
+    Plan shape: two explode + hash-aggregate branches (words, lines — both
+    JVM with map-side partial aggregation, so a hot doc id never
+    concentrates a partition's raw rows) and one scalar projection, joined
+    on id. At 100 TB this is usually fused with the other per-doc passes;
+    each branch shuffles only (id, counters).
+    """
+    ids = F.col(id_col).cast("long").alias("id")
+    w = df.select(
+        ids, F.explode(F.expr(textexpr.words_expr(text_col, "spark"))).alias("word")
+    )
+    words_agg = w.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.length("word")).cast("long").alias("word_chars"),
+        F.sum(F.expr(textexpr.alpha_word_flag_expr("word", "spark")))
+        .cast("long")
+        .alias("alpha_words"),
+    )
+    ln = df.select(
+        ids, F.explode(F.expr(textexpr.lines_expr(text_col, "spark"))).alias("line")
+    )
+    per_line = ln.groupBy("id", "line").agg(F.count("*").alias("c"))
+    lines_agg = per_line.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        F.sum(F.col("c") - 1).cast("long").alias("dup_lines"),
+        F.sum(
+            F.expr(textexpr.bullet_line_flag_expr("line", "spark")) * F.col("c")
+        ).cast("long").alias("bullet_lines"),
+        F.sum(
+            F.expr(textexpr.ellipsis_line_flag_expr("line", "spark")) * F.col("c")
+        ).cast("long").alias("ellipsis_lines"),
+    )
+    scalars = df.select(
+        ids,
+        F.expr(textexpr.symbol_hits_expr(text_col, "spark"))
+        .cast("long")
+        .alias("symbol_hits"),
+    )
+    joined = words_agg.join(lines_agg, "id").join(scalars, "id")
+    gate = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (3 * F.col("n_words") <= F.col("word_chars"))
+        & (F.col("word_chars") <= 10 * F.col("n_words"))
+        & (10 * F.col("symbol_hits") <= F.col("n_words"))
+        & (10 * F.col("bullet_lines") <= 9 * F.col("n_lines"))
+        & (10 * F.col("ellipsis_lines") <= 3 * F.col("n_lines"))
+        & (10 * F.col("alpha_words") >= 8 * F.col("n_words"))
+        & (10 * F.col("dup_lines") <= 3 * F.col("n_lines"))
+    )
+    return joined.withColumn("gopher_pass", gate)
+
+
+def gopher_sql_duck(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle for :func:`gopher_quality_df` — same column names,
+    same integer semantics, built from the same ``textexpr`` dual-dialect
+    flag expressions so the two engines cannot drift independently.
+
+    Both engines split '' into [''], so every doc survives the inner
+    joins with n_words >= 1 / n_lines >= 1 (parity-tested on empty text).
+    """
+    words = textexpr.words_expr(text_col, "duck")
+    lines = textexpr.lines_expr(text_col, "duck")
+    return (
+        f"WITH w AS (SELECT CAST({id_col} AS BIGINT) AS id, "
+        f"unnest({words}) AS word FROM {table}), "
+        "wa AS (SELECT id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(length(word)) AS BIGINT) AS word_chars, "
+        f"CAST(sum({textexpr.alpha_word_flag_expr('word', 'duck')}) AS BIGINT) "
+        "AS alpha_words FROM w GROUP BY id), "
+        f"l AS (SELECT CAST({id_col} AS BIGINT) AS id, "
+        f"unnest({lines}) AS line FROM {table}), "
+        "pl AS (SELECT id, line, count(*) AS c FROM l GROUP BY id, line), "
+        "la AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_lines, "
+        "CAST(sum(c - 1) AS BIGINT) AS dup_lines, "
+        f"CAST(sum(({textexpr.bullet_line_flag_expr('line', 'duck')}) * c) AS BIGINT) "
+        "AS bullet_lines, "
+        f"CAST(sum(({textexpr.ellipsis_line_flag_expr('line', 'duck')}) * c) AS BIGINT) "
+        "AS ellipsis_lines FROM pl GROUP BY id), "
+        f"s AS (SELECT CAST({id_col} AS BIGINT) AS id, "
+        f"CAST({textexpr.symbol_hits_expr(text_col, 'duck')} AS BIGINT) "
+        f"AS symbol_hits FROM {table}) "
+        "SELECT wa.id AS id, n_words, word_chars, alpha_words, n_lines, "
+        "dup_lines, bullet_lines, ellipsis_lines, symbol_hits, "
+        "(n_words BETWEEN 50 AND 100000 "
+        "AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words "
+        "AND 10 * symbol_hits <= n_words "
+        "AND 10 * bullet_lines <= 9 * n_lines "
+        "AND 10 * ellipsis_lines <= 3 * n_lines "
+        "AND 10 * alpha_words >= 8 * n_words "
+        "AND 10 * dup_lines <= 3 * n_lines) AS gopher_pass "
+        "FROM wa JOIN la USING (id) JOIN s USING (id)"
+    )
+
+
 def redact_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, text) with emails, card-length digit runs and IPv4s masked.
 

@@ -32,7 +32,11 @@ from guava_probably_spark.pipeline.dedup import (
     simhash_sql_duck,
 )
 from guava_probably_spark.pipeline.multimodal import decode_image
-from guava_probably_spark.pipeline.textops import winnowing_fingerprints
+from guava_probably_spark.pipeline.textops import (
+    gopher_quality_df,
+    gopher_sql_duck,
+    winnowing_fingerprints,
+)
 
 
 def _docs(spark, sf_dir):
@@ -61,6 +65,8 @@ def _docs_duck(sf_dir):
         textexpr.char_count_expr,
         textexpr.quality_flag_expr,
         textexpr.redact_expr,
+        textexpr.symbol_hits_expr,
+        textexpr.lines_expr,
     ],
     ids=lambda b: b.__name__,
 )
@@ -335,6 +341,85 @@ def test_quality_and_langid_consistency(spark, sf_dir):
         hits = sum(1 for w in toks if w in textexpr.STOPWORDS)
         assert q[d].stop_hits == hits
         assert lang[d] == ("en" if 10 * hits >= len(toks) else "unk")
+
+
+_GOPHER_COLS = [
+    "n_words", "word_chars", "alpha_words", "n_lines", "dup_lines",
+    "bullet_lines", "ellipsis_lines", "symbol_hits", "gopher_pass",
+]
+
+
+def _gopher_rows(df):
+    return {r["id"]: tuple(r[c] for c in _GOPHER_COLS) for r in df.collect()}
+
+
+def _gopher_duck(rel):
+    import pandas as pd  # noqa: F401 (duckdb's df registration path)
+
+    rows = duckdb.sql(gopher_sql_duck(rel, "doc_id", "text")).fetchall()
+    return {r[0]: tuple(r[1:]) for r in rows}
+
+
+def test_gopher_quality_matches_duckdb_edge_cases(spark, tmp_path):
+    """Spark plan vs the DuckDB oracle on hand-built docs hitting every
+    rule: bullets (incl. indentation/unicode glyphs), ASCII + unicode
+    ellipses, duplicate lines, symbol runs, empty text, zero-alpha docs."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog " * 10),
+        (2, "- bullet one\n- bullet two\n- bullet three\nplain line"),
+        (3, "trailing off...\nand again…\nnormal line\nnormal line"),
+        (4, "### markdown ## heading # with … symbols ... and more"),
+        (5, ""),
+        (6, "1234 5678 9012 3456"),
+        (7, "word " * 60),
+        (8, "x\ny\nx\ny\nx"),
+        (9, "mixed • bullet\n  - indented bullet\n\ttab - not bullet"),
+        (10, "…"),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = _gopher_rows(gopher_quality_df(sdf, "doc_id", "text"))
+    p = str(tmp_path / "gopher_docs.parquet")
+    sdf.coalesce(1).write.mode("overwrite").parquet(p)
+    want = _gopher_duck(f"read_parquet('{p}/*.parquet')")
+    assert got == want
+    assert got[1][-1] is True and got[7][-1] is True  # clean docs pass
+    # every doc retained, even empty text / single-glyph text
+    assert set(got) == {d for d, _ in docs}
+
+
+def test_gopher_quality_parity_on_corpus(spark, sf_dir):
+    got = _gopher_rows(gopher_quality_df(_docs(spark, sf_dir), "doc_id", "text"))
+    want = _gopher_duck(_docs_duck(sf_dir))
+    assert got == want
+
+
+def test_gopher_gates_flip_individually(spark):
+    """Each Gopher rule independently fails a doc that passes all others."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).strip()
+    docs = [
+        (0, base),                                        # passes everything
+        (1, "too short doc"),                             # word count < 50
+        (2, "ab " * 60),                                  # mean word len < 3
+        (3, ("verylongwordhere " * 60).strip()
+            .replace("verylongwordhere", "extraordinarily")),  # mean len > 10
+        (4, base + " " + "#" * 10),                       # symbol ratio > 0.1
+        (5, "\n".join(["- " + base] * 10)),               # 100% bullet lines
+        (6, "\n".join([base + "..."] * 2 + [base] * 2)),  # 50% ellipsis lines
+        (7, ("123 " * 20 + "word " * 41).strip()),        # alpha words < 80%
+        (8, "\n".join([base] * 4)),                       # dup-line excess 75%
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = _gopher_rows(gopher_quality_df(sdf, "doc_id", "text"))
+    assert got[0][-1] is True
+    for d in range(1, 9):
+        assert got[d][-1] is False, f"doc {d} should fail its gate"
+    # the failing counter is the intended one
+    n_words, word_chars, alpha, n_lines, dup, bullets, ellipsis, sym, _ = got[4]
+    assert 10 * sym > n_words
+    assert 10 * got[5][5] > 9 * got[5][3]       # bullets vs lines
+    assert 10 * got[6][6] > 3 * got[6][3]       # ellipsis vs lines
+    assert 10 * got[7][2] < 8 * got[7][0]       # alpha vs words
+    assert 10 * got[8][4] > 3 * got[8][3]       # dup excess vs lines
 
 
 def test_token_counts_by_source(spark, sf_dir):
