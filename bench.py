@@ -541,7 +541,11 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
         pairs_from_band_rows,
     )
     from guava_probably_spark.pipeline.similarity import cosine_topk
-    from guava_probably_spark.pipeline.textops import gopher_quality_df, quality_df
+    from guava_probably_spark.pipeline.textops import (
+        gopher_quality_df,
+        ngram_repetition_df,
+        quality_df,
+    )
 
     def warmed(name, fn):
         """Warm once (python-worker spin-up / imports / page cache), then
@@ -582,6 +586,19 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
             F.sum("dup_lines"),
             F.sum("symbol_hits"),
             F.sum(F.col("gopher_pass").cast("long")),
+        )
+        .collect(),
+    )
+    # 9 gram sizes in ONE scan (chained NGram projection + stack + single
+    # explode/agg); the sums force every counter column
+    warmed(
+        "q_ngram_repetition_docs",
+        lambda: ngram_repetition_df(big_docs, "doc_id", "text")
+        .agg(
+            F.sum("top2_chars"),
+            F.sum("dup5_chars"),
+            F.sum("dup10_chars"),
+            F.sum(F.col("repetition_pass").cast("long")),
         )
         .collect(),
     )

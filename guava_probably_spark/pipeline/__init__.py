@@ -73,6 +73,7 @@ from guava_probably_spark.pipeline.similarity import (
 from guava_probably_spark.pipeline.textops import (
     gopher_quality_df,
     langid_df,
+    ngram_repetition_df,
     quality_df,
     redact_df,
     remove_boilerplate_lines,
@@ -126,6 +127,7 @@ __all__ = [
     "hyperplane_signatures",
     "gopher_quality_df",
     "langid_df",
+    "ngram_repetition_df",
     "quality_df",
     "remove_boilerplate_lines",
     "rolling_fingerprint_df",

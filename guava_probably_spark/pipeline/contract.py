@@ -677,10 +677,20 @@ def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from guava_probably_spark.pipeline.textops import word_repetition_df
+    """Unigram repetition counters (round 2) joined with the round-4
+    Gopher n-gram repetition masses (textops.ngram_repetition_df — top
+    2/3/4-gram char mass, dup 5..10-gram char mass, repetition_pass gate),
+    every column an exact integer hash-checked against the DuckDB
+    list-slice oracle."""
+    from guava_probably_spark.pipeline.textops import (
+        ngram_repetition_df,
+        word_repetition_df,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return word_repetition_df(docs, "doc_id", "text")
+    return word_repetition_df(docs, "doc_id", "text").join(
+        ngram_repetition_df(docs, "doc_id", "text"), "id"
+    )
 
 
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,10 +915,15 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "word_repetition_documents": (
             f"WITH w AS (SELECT doc_id AS id, "
             f"unnest({textexpr.words_expr('text', 'duck')}) AS word FROM documents), "
-            "pw AS (SELECT id, word, count(*) AS c FROM w GROUP BY 1, 2) "
-            "SELECT id, CAST(sum(c) AS BIGINT) AS n_words, "
+            "pw AS (SELECT id, word, count(*) AS c FROM w GROUP BY 1, 2), "
+            "uni AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_words, "
             "CAST(count(*) AS BIGINT) AS n_distinct_words, "
-            "CAST(max(c) AS BIGINT) AS top_word_count FROM pw GROUP BY id"
+            "CAST(max(c) AS BIGINT) AS top_word_count FROM pw GROUP BY id), "
+            f"rep AS ({textops.ngram_repetition_sql_duck('documents', 'doc_id', 'text')}) "
+            "SELECT uni.*, rep.n_chars, rep.top2_chars, rep.top3_chars, "
+            "rep.top4_chars, rep.dup5_chars, rep.dup6_chars, rep.dup7_chars, "
+            "rep.dup8_chars, rep.dup9_chars, rep.dup10_chars, "
+            "rep.repetition_pass FROM uni JOIN rep USING (id)"
         ),
         "weighted_sample_documents": (
             f"SELECT doc_id FROM documents "

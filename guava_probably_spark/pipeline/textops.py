@@ -237,6 +237,165 @@ def gopher_sql_duck(table: str, id_col: str, text_col: str) -> str:
     )
 
 
+# Gopher A1.1 repetition thresholds (Rae et al. 2021), as integer percents
+# of normalized characters: fraction of chars in the most frequent n-gram
+# (n=2,3,4) and fraction of chars in duplicated n-grams (n=5..10).
+GOPHER_TOP_PCT = {2: 20, 3: 18, 4: 16}
+GOPHER_DUP_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def ngram_repetition_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher n-gram repetition signals (Rae et al. 2021, A1.1) as exact
+    integer character masses per doc, complementing
+    :func:`word_repetition_df` (unigram rules) and
+    :func:`gopher_quality_df` (line/symbol rules):
+
+      top{n}_chars  (n in top_ns)  — chars in the most frequent word
+        n-gram × its count; ties on count broken by the LONGEST gram
+        (deterministic, oracle-matched).
+      dup{n}_chars  (n in dup_ns)  — Σ count×chars over n-grams occurring
+        ≥ 2 times (every occurrence counted; the overlap-counting upper
+        bound of Gopher's "chars in duplicated n-grams").
+      n_chars — normalized char count (the ratio denominator).
+      repetition_pass — AND over the published thresholds
+        (top: 20/18/16 %, dup: 15/14/13/12/11/10 %), integer
+        cross-multiplied so the gate can never drift on rounding.
+
+    Plan shape (ONE corpus scan): tokenize once → chained
+    ``pyspark.ml.feature.NGram`` transforms (compiled Scala — a single
+    projection adds all 9 gram arrays; HOF-lambda gram assembly is
+    interpreted per element, measured 18× slower) → ``stack`` the arrays
+    into (n, grams) rows → one explode → one hash aggregation on
+    (id, n, gram) with map-side combine, so a hot gram never concentrates
+    a partition. Shuffle rows ≈ Σ_n distinct n-grams; grams travel as
+    short strings (at 100 TB you would fingerprint them to 16 B).
+    Docs shorter than every n still emit a row (left join, zero-filled).
+    """
+    from pyspark.ml.feature import NGram
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    txt = f"coalesce({text_col}, '')"
+    ids = F.col(id_col).cast("long").alias("id")
+    base = df.select(
+        ids,
+        F.expr(textexpr.char_count_expr(txt, "spark")).cast("long").alias("n_chars"),
+    )
+    cur = df.select(ids, F.expr(textexpr.words_expr(txt, "spark")).alias("_toks"))
+    for n in all_ns:
+        cur = NGram(n=n, inputCol="_toks", outputCol=f"_g{n}").transform(cur)
+    stack_args = ", ".join(f"{n}, _g{n}" for n in all_ns)
+    g = cur.select(
+        "id", F.expr(f"stack({len(all_ns)}, {stack_args}) AS (n, grams)")
+    ).select("id", "n", F.explode("grams").alias("gram"))
+    pg = g.groupBy("id", "n", "gram").agg(F.count("*").alias("c"))
+    pern = pg.groupBy("id", "n").agg(
+        F.max(F.struct(F.col("c"), F.length("gram").alias("gl"))).alias("top"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("gram")).otherwise(0)
+        ).alias("dup_chars"),
+    )
+    aggs = [
+        F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("top.c") * F.col("top.gl"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(f"top{n}_chars")
+        for n in top_ns
+    ] + [
+        F.coalesce(F.max(F.when(F.col("n") == n, F.col("dup_chars"))), F.lit(0))
+        .cast("long")
+        .alias(f"dup{n}_chars")
+        for n in dup_ns
+    ]
+    wide = pern.groupBy("id").agg(*aggs)
+    counter_cols = [f"top{n}_chars" for n in top_ns] + [
+        f"dup{n}_chars" for n in dup_ns
+    ]
+    joined = base.join(wide, "id", "left").na.fill(0, counter_cols)
+    gate = F.lit(True)
+    for n in top_ns:
+        gate = gate & (
+            100 * F.col(f"top{n}_chars") <= GOPHER_TOP_PCT[n] * F.col("n_chars")
+        )
+    for n in dup_ns:
+        gate = gate & (
+            100 * F.col(f"dup{n}_chars") <= GOPHER_DUP_PCT[n] * F.col("n_chars")
+        )
+    return joined.withColumn("repetition_pass", gate)
+
+
+def ngram_repetition_sql_duck(
+    table: str,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> str:
+    """DuckDB oracle for :func:`ngram_repetition_df` — same normalization
+    (shared ``textexpr`` builders on ``coalesce(text, '')``), same
+    space-joined grams via 1-based inclusive list slices, same tie-break
+    (count, then longest gram), same integer-percent gate."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    txt = f"coalesce({text_col}, '')"
+    words = textexpr.words_expr(txt, "duck")
+    chars = textexpr.char_count_expr(txt, "duck")
+    ns_list = ", ".join(str(n) for n in all_ns)
+    tops = ", ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN top_chars END), 0) AS top{n}_chars"
+        for n in top_ns
+    )
+    dups = ", ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN dup_chars END), 0) AS dup{n}_chars"
+        for n in dup_ns
+    )
+    # coalesce inline: a bare column name in the gate would resolve to
+    # wide's raw (NULL for short docs) column, not the aliased projection
+    gate = " AND ".join(
+        [
+            f"100 * coalesce(top{n}_chars, 0) <= {GOPHER_TOP_PCT[n]} * n_chars"
+            for n in top_ns
+        ]
+        + [
+            f"100 * coalesce(dup{n}_chars, 0) <= {GOPHER_DUP_PCT[n]} * n_chars"
+            for n in dup_ns
+        ]
+    )
+    return (
+        f"WITH w AS (SELECT CAST({id_col} AS BIGINT) AS id, {words} AS words, "
+        f"CAST({chars} AS BIGINT) AS n_chars FROM {table}), "
+        f"g AS (SELECT id, n, unnest(list_transform("
+        f"generate_series(1, len(words) - (n - 1)), "
+        f"i -> array_to_string(words[i:i+n-1], ' '))) AS gram "
+        f"FROM w, (SELECT unnest([{ns_list}]) AS n) ns), "
+        "pg AS (SELECT id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3), "
+        "mc AS (SELECT id, n, max(c) AS mc FROM pg GROUP BY 1, 2), "
+        "top AS (SELECT pg.id, pg.n, CAST(mc * max(length(gram)) AS BIGINT) "
+        "AS top_chars FROM pg JOIN mc USING (id, n) WHERE c = mc "
+        "GROUP BY pg.id, pg.n, mc), "
+        "dup AS (SELECT id, n, CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) "
+        "ELSE 0 END) AS BIGINT) AS dup_chars FROM pg GROUP BY 1, 2), "
+        f"wide AS (SELECT id, {tops}, {dups} "
+        "FROM top JOIN dup USING (id, n) GROUP BY id) "
+        "SELECT w.id AS id, w.n_chars, "
+        + ", ".join(
+            f"coalesce(top{n}_chars, 0) AS top{n}_chars" for n in top_ns
+        )
+        + ", "
+        + ", ".join(
+            f"coalesce(dup{n}_chars, 0) AS dup{n}_chars" for n in dup_ns
+        )
+        + f", ({gate}) AS repetition_pass "
+        "FROM w LEFT JOIN wide USING (id)"
+    )
+
+
 def redact_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, text) with emails, card-length digit runs and IPv4s masked.
 

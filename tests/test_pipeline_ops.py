@@ -35,6 +35,8 @@ from guava_probably_spark.pipeline.multimodal import decode_image
 from guava_probably_spark.pipeline.textops import (
     gopher_quality_df,
     gopher_sql_duck,
+    ngram_repetition_df,
+    ngram_repetition_sql_duck,
     winnowing_fingerprints,
 )
 
@@ -420,6 +422,88 @@ def test_gopher_gates_flip_individually(spark):
     assert 10 * got[6][6] > 3 * got[6][3]       # ellipsis vs lines
     assert 10 * got[7][2] < 8 * got[7][0]       # alpha vs words
     assert 10 * got[8][4] > 3 * got[8][3]       # dup excess vs lines
+
+
+_REP_COLS = [
+    "n_chars", "top2_chars", "top3_chars", "top4_chars",
+    "dup5_chars", "dup6_chars", "dup7_chars", "dup8_chars",
+    "dup9_chars", "dup10_chars", "repetition_pass",
+]
+
+
+def _rep_rows(df):
+    return {r["id"]: tuple(r[c] for c in _REP_COLS) for r in df.collect()}
+
+
+def _rep_duck(rel):
+    rows = duckdb.sql(ngram_repetition_sql_duck(rel, "doc_id", "text")).fetchall()
+    return {r[0]: tuple(r[1:]) for r in rows}
+
+
+def test_ngram_repetition_matches_duckdb_edge_cases(spark, tmp_path):
+    """Spark single-scan plan vs the DuckDB list-slice oracle on docs
+    hitting each rule: heavy bigram repetition, duplicated long phrases,
+    empty/null text, docs shorter than every n, tie-broken top grams."""
+    docs = [
+        (1, "the cat sat on the mat " * 4),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, ""),
+        (4, "word"),
+        (5, "a b " * 30),                     # top2 dominates
+        (6, None),
+        (7, ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu ") * 3),              # dup 5..10-grams all fire
+        (8, "x y x z"),                       # top2 tie 'x y' vs 'y x' vs 'x z'
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = _rep_rows(ngram_repetition_df(sdf, "doc_id", "text"))
+    p = str(tmp_path / "rep_docs.parquet")
+    sdf.coalesce(1).write.mode("overwrite").parquet(p)
+    want = _rep_duck(f"read_parquet('{p}/*.parquet')")
+    assert got == want
+    assert set(got) == {d for d, _ in docs}
+    # rule sanity: doc 5's top-2-gram mass exceeds 20% of chars → fails
+    assert got[5][-1] is False
+    # doc 2 has no repetition at all → every dup counter 0; the top-2-gram
+    # rule still fails (count-1 gram = 'seven eight' is >20% of a 10-word
+    # doc's chars — Gopher pairs this gate with the >=50-word length rule)
+    assert got[2][4:10] == (0,) * 6
+    assert got[2][1] == len("seven eight") and got[2][-1] is False
+    # short/empty docs pass (0 <= 0) with zeroed counters
+    for d in (3, 4, 6):
+        assert got[d][1:10] == (0,) * 9 and got[d][-1] is True
+
+
+def test_ngram_repetition_parity_on_corpus(spark, sf_dir):
+    got = _rep_rows(ngram_repetition_df(_docs(spark, sf_dir), "doc_id", "text"))
+    want = _rep_duck(_docs_duck(sf_dir))
+    assert got == want
+
+
+def test_ngram_repetition_local_recompute(spark):
+    """Counter semantics pinned against a direct Python recompute (not
+    just engine-vs-engine): top = max-count gram's chars x count with
+    longest-gram tie-break; dup = sum c*len over grams with c >= 2."""
+    from collections import Counter
+
+    text = "to be or not to be that is the question to be or not"
+    words = text.split()
+    sdf = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = ngram_repetition_df(sdf, "doc_id", "text").collect()[0]
+    for n, col in [(2, "top2_chars"), (3, "top3_chars"), (4, "top4_chars")]:
+        grams = Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        mc = max(grams.values())
+        top_len = max(len(g) for g, c in grams.items() if c == mc)
+        assert row[col] == mc * top_len, (n, dict(grams))
+    for n in range(5, 11):
+        grams = Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        dup = sum(c * len(g) for g, c in grams.items() if c >= 2)
+        assert row[f"dup{n}_chars"] == dup, n
+    assert row["n_chars"] == len(text)
 
 
 def test_token_counts_by_source(spark, sf_dir):
