@@ -774,6 +774,23 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     warmed("q_interleave_sources_docs", interleave)
 
+    def temperature():
+        from guava_probably_spark.pipeline.sampling import temperature_sample
+
+        # 8-source power-law skew; alpha=0.5 flattening — one narrow counts
+        # agg + one codegen filter pass. Summing doc_id forces the kept set.
+        d = big_docs.withColumn(
+            "src", (F.floor(F.log2(F.col("doc_id") % 255 + 1))).cast("string")
+        )
+        n = d.count()
+        return (
+            temperature_sample(d, "src", ["doc_id"], n // 4, alpha=0.5)
+            .agg(F.sum("doc_id"), F.count("*"))
+            .collect()[0][1]
+        )
+
+    warmed("q_temperature_mix_docs", temperature)
+
     def ngram_decontam():
         # GPT-3-style n-gram decontamination, EXACT: the filter builds on
         # the SMALL side (the 4k-doc eval set → sub-MB bloom), the 400k-doc

@@ -40,6 +40,10 @@ from guava_probably_spark.pipeline.sampling import (
     hash_threshold_sample,
     interleave_sources,
     stratified_sample,
+    temperature_sample,
+    temperature_sample_sql_duck,
+    temperature_thresholds,
+    temperature_weights,
     weighted_sample,
 )
 from guava_probably_spark.pipeline.contamination import flag_contaminated
@@ -131,6 +135,10 @@ __all__ = [
     "quality_df",
     "remove_boilerplate_lines",
     "rolling_fingerprint_df",
+    "temperature_sample",
+    "temperature_sample_sql_duck",
+    "temperature_thresholds",
+    "temperature_weights",
     "token_counts_df",
     "with_payload",
     "extract_binary_features",

@@ -557,14 +557,42 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_WEIGHTS = {f"src{i}": (i % 3) + 1 for i in range(20)}
 
 
+_TEMP_SRC_CASE = (
+    "CASE WHEN doc_id % 10 < 6 THEN 'a' WHEN doc_id % 10 < 9 THEN 'b' "
+    "ELSE 'c' END"
+)
+
+
 def _q_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic source mixing: integer stride-scheduling key under
-    which every prefix holds the configured source proportions."""
-    from guava_probably_spark.pipeline.sampling import interleave_sources
+    """Data mixing, two kinds:
+
+    - 'mix' — deterministic stride interleave: integer sort key under
+      which every prefix holds the configured source proportions.
+    - 'temp' — temperature sampling (round 4; mT5/XLM-R multinomial
+      p_s ∝ n_s^0.5 over a synthesized 60/30/10 skew, target 200 docs):
+      the kept set is exact via the arbitrary-precision integer threshold
+      contract; mix_key carries the 60-bit decision hash so the oracle
+      hash pins the full selection mechanism, not just the kept ids.
+    """
+    from guava_probably_spark.pipeline.sampling import (
+        interleave_sources,
+        temperature_sample,
+    )
+    from guava_probably_spark.pipeline.textexpr import hash_u60_expr
 
     docs = _t(spark, sf_dir, "documents")
-    out = interleave_sources(docs, "source", _MIX_WEIGHTS, ["doc_id"])
-    return out.select("doc_id", "mix_key")
+    mix = interleave_sources(docs, "source", _MIX_WEIGHTS, ["doc_id"]).select(
+        F.lit("mix").alias("kind"), "doc_id", "mix_key"
+    )
+    skew = docs.withColumn("mix_src", F.expr(_TEMP_SRC_CASE))
+    temp = temperature_sample(
+        skew, "mix_src", ["doc_id"], 200, alpha=0.5, salt="temp"
+    ).select(
+        F.lit("temp").alias("kind"),
+        "doc_id",
+        F.expr(hash_u60_expr(["doc_id"], "spark", "temp")).alias("mix_key"),
+    )
+    return mix.unionByName(temp)
 
 
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,12 +856,29 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"{textexpr.sample_rank_expr(['doc_id'], 'duck')}, doc_id) AS rn "
             f"FROM documents WHERE source IN "
             f"({', '.join(repr(s) for s in _MIX_WEIGHTS)})) "
-            f"SELECT doc_id, CAST(rn * CASE source "
+            f"SELECT 'mix' AS kind, doc_id, CAST(rn * CASE source "
             + " ".join(
                 f"WHEN '{s}' THEN {__import__('math').lcm(*_MIX_WEIGHTS.values()) // w}"
                 for s, w in _MIX_WEIGHTS.items()
             )
             + " END AS BIGINT) AS mix_key FROM r"
+            + " UNION ALL ("
+            + __import__(
+                "guava_probably_spark.pipeline.sampling", fromlist=["x"]
+            ).temperature_sample_sql_duck(
+                f"(SELECT *, {_TEMP_SRC_CASE} AS mix_src FROM documents)",
+                "mix_src",
+                ["doc_id"],
+                200,
+                alpha=0.5,
+                salt="temp",
+                select=(
+                    "'temp' AS kind, doc_id, CAST("
+                    + textexpr.hash_u60_expr(["doc_id"], "duck", "temp")
+                    + " AS BIGINT) AS mix_key"
+                ),
+            )
+            + ")"
         ))(),
         "vocab_topk_documents": (
             f"WITH w AS (SELECT unnest({textexpr.words_expr('text', 'duck')}) "

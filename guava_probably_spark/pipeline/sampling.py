@@ -32,9 +32,140 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textexpr import sample_rank_expr, split_label_expr
+from .textexpr import hash_u60_expr, sample_rank_expr, split_label_expr
 
 _RANK = "__gps_rank"
+
+# temperature_sample integer contract: per-source weight q_s is the
+# α-power of the source size quantized to 1/TEMP_SCALE resolution, and the
+# keep decision compares a 60-bit hash against an integer threshold.
+TEMP_SCALE = 1024
+_U60 = 1 << 60
+
+
+def temperature_weights(counts: dict, alpha: float) -> dict:
+    """Quantized per-source mixing weights q_s = floor(n_s^α · TEMP_SCALE).
+
+    α ∈ {0, 0.5, 1} uses exact integer / correctly-rounded-IEEE paths that
+    a SQL oracle reproduces bit-for-bit (sqrt is correctly rounded; scaling
+    by a power of two is exact; floor is exact); other α fall back to
+    ``float ** alpha``, which is reproducible on the Spark side (thresholds
+    are driver-computed literals) but not guaranteed across SQL engines.
+    """
+    import math
+
+    q = {}
+    for s, n in counts.items():
+        if n <= 0:
+            raise ValueError(f"source {s!r} has non-positive count {n}")
+        if alpha == 0.0:
+            q[s] = TEMP_SCALE
+        elif alpha == 1.0:
+            q[s] = int(n) * TEMP_SCALE
+        elif alpha == 0.5:
+            q[s] = int(math.floor(math.sqrt(float(n)) * TEMP_SCALE))
+        else:
+            q[s] = int(math.floor(float(n) ** alpha * TEMP_SCALE))
+    return q
+
+
+def temperature_thresholds(counts: dict, target_rows: int, alpha: float = 0.5) -> dict:
+    """Integer keep-thresholds T_s for :func:`temperature_sample`.
+
+    Source s keeps a row iff its 60-bit key hash < T_s, where
+    T_s = min(2^60, ⌊target · q_s · 2^60 / (Σq · n_s)⌋) — i.e. keep
+    probability min(1, target · p_s / n_s) with p_s = n_s^α / Σ n_t^α,
+    the multinomial temperature-mixing distribution of mT5/XLM-R
+    (Xue et al. 2021 §3.1; Conneau et al. 2020 §3). All arithmetic is
+    arbitrary-precision integer, so the thresholds are exact at any scale.
+    """
+    if target_rows < 0:
+        raise ValueError(f"target_rows must be >= 0, got {target_rows}")
+    q = temperature_weights(counts, alpha)
+    s_total = sum(q.values())
+    return {
+        s: min(_U60, (target_rows * q[s] * _U60) // (s_total * int(n)))
+        for s, n in counts.items()
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    key_cols: list[str],
+    target_rows: int,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source mixing: downsample each source so the kept
+    corpus follows p_s ∝ n_s^α (α=1 natural proportions, α=0 uniform over
+    sources, α≈0.3–0.7 the usual multilingual-LM flattening).
+
+    Plan shape: one narrow counts aggregation (column pruning reaches the
+    scan — only ``source_col`` moves) feeding driver-side integer threshold
+    math on |sources| rows, then ONE whole-stage-codegen filter pass
+    comparing the md5-derived 60-bit key hash against per-source literal
+    thresholds.  No shuffle touches the payload; rerun on any cluster
+    layout and the kept set is byte-identical.  Sources whose fair share
+    exceeds their size keep everything (threshold caps at 2^60) — the
+    dedup-safe stance; express upsampling as repetition epochs downstream.
+    Null-source rows are dropped (no weight ⇒ no mixture membership).
+
+    Per-source take sizes are Binomial(n_s, T_s/2^60) — tight at scale.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    thresholds = temperature_thresholds(counts, target_rows, alpha)
+    h = F.expr(hash_u60_expr(key_cols, "spark", salt))
+    thr = F.coalesce(
+        *[F.when(F.col(source_col) == s, F.lit(t)) for s, t in thresholds.items()]
+    )
+    return df.filter(F.col(source_col).isNotNull() & (h < thr))
+
+
+def temperature_sample_sql_duck(
+    table: str,
+    source_col: str,
+    key_cols: list[str],
+    target_rows: int,
+    alpha: float = 0.5,
+    salt: str = "",
+    select: str = "*",
+) -> str:
+    """DuckDB oracle for :func:`temperature_sample` — recomputes counts,
+    quantized weights, and thresholds in HUGEINT SQL with the identical
+    integer floor-division, then applies the same h60 < T_s filter.
+
+    Only the IEEE-exact α values {0, 0.5, 1} are supported: for these the
+    double math (sqrt → ×2^10 → floor) is correctly rounded / exact in
+    both engines, so q_s — and every integer derived from it — matches the
+    Python driver computation bit-for-bit.
+    """
+    if alpha == 0.0:
+        qexpr = f"CAST({TEMP_SCALE} AS HUGEINT)"
+    elif alpha == 1.0:
+        qexpr = f"n * {TEMP_SCALE}"
+    elif alpha == 0.5:
+        qexpr = f"CAST(floor(sqrt(CAST(n AS DOUBLE)) * {TEMP_SCALE}) AS HUGEINT)"
+    else:
+        raise ValueError(f"oracle supports alpha in {{0, 0.5, 1}}, got {alpha}")
+    h = hash_u60_expr(key_cols, "duck", salt)
+    return (
+        f"WITH c AS (SELECT {source_col} AS g, CAST(count(*) AS HUGEINT) AS n "
+        f"FROM {table} WHERE {source_col} IS NOT NULL GROUP BY 1), "
+        f"q AS (SELECT g, n, {qexpr} AS q FROM c), "
+        f"s AS (SELECT CAST(sum(q) AS HUGEINT) AS st FROM q), "
+        f"t AS (SELECT g, least(CAST({_U60} AS HUGEINT), "
+        f"(CAST({target_rows} AS HUGEINT) * q * CAST({_U60} AS HUGEINT)) "
+        f"// (st * n)) AS thr FROM q, s) "
+        f"SELECT {select} FROM {table} JOIN t ON {source_col} = t.g "
+        f"WHERE CAST({h} AS HUGEINT) < t.thr"
+    )
 
 
 def hash_sample(df: DataFrame, key_cols: list[str], k: int, salt: str = "") -> DataFrame:

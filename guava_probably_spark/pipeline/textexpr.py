@@ -331,12 +331,14 @@ def split_label_expr(
     return f"CASE {' '.join(arms)} ELSE '{labels[-1]}' END"
 
 
-def hash_uniform_expr(cols: list[str] | tuple[str, ...], dialect: str, salt: str = "") -> str:
-    """Deterministic uniform in (0, 1]: 15 md5 nibbles → BIGINT → (v+1)/2^60.
+def hash_u60_expr(cols: list[str] | tuple[str, ...], dialect: str, salt: str = "") -> str:
+    """Deterministic uniform BIGINT in [0, 2^60): 15 md5 nibbles assembled
+    by integer arithmetic (same trick as the simhash builders) — exact and
+    bit-identical across engines, no engine-specific hex-parse builtin.
 
-    Integer nibble assembly (same trick as the simhash builders) makes the
-    BIGINT — and therefore the double — bit-identical across engines; no
-    engine-specific hex-parse builtin involved.
+    The integer form is the one to use when a sampling decision must be
+    provably identical on both engines: compare it against an integer
+    threshold (``temperature_sample``), never against a float fraction.
     """
     _q(dialect)
     h = sample_rank_expr(cols, dialect, salt)
@@ -346,8 +348,17 @@ def hash_uniform_expr(cols: list[str] | tuple[str, ...], dialect: str, salt: str
         # small 16^k literals type as INT32 — force 64-bit arithmetic (Spark
         # ANSI mode raises on the 32-bit product otherwise)
         terms.append(f"cast({nib} as bigint) * {16 ** (14 - i)}")
-    v = " + ".join(terms)
-    return f"((({v}) + 1) / {float(2 ** 60)})"
+    return f"({' + '.join(terms)})"
+
+
+def hash_uniform_expr(cols: list[str] | tuple[str, ...], dialect: str, salt: str = "") -> str:
+    """Deterministic uniform in (0, 1]: (hash_u60 + 1) / 2^60.
+
+    The BIGINT — and therefore the double — is bit-identical across
+    engines (see :func:`hash_u60_expr`).
+    """
+    _q(dialect)
+    return f"(({hash_u60_expr(cols, dialect, salt)} + 1) / {float(2 ** 60)})"
 
 
 # ---------------------------------------------------------------------------

@@ -255,3 +255,122 @@ def test_interleave_sources_int_source_column(spark):
     # proportions hold in a prefix of the mixed order
     prefix = out.sort_values("mix_key").head(300)["src"].value_counts()
     assert abs(prefix.get(2, 0) - 200) <= 3
+
+
+# ---------------------------------------------------------------------------
+# temperature_sample (multinomial source mixing, Xue et al. 2021 / mT5)
+# ---------------------------------------------------------------------------
+
+_SKEW_CASE = (
+    "CASE WHEN id % 10 < 6 THEN 'a' WHEN id % 10 < 9 THEN 'b' ELSE 'c' END"
+)
+
+
+def _skewed(spark, n=5_000):
+    # 60 / 30 / 10 % source split over spark.range — oracle-reproducible
+    return spark.range(n).withColumn("src", F.expr(_SKEW_CASE))
+
+
+def test_temperature_sample_matches_duckdb_all_exact_alphas(spark, tmp_path):
+    from guava_probably_spark.pipeline.sampling import (
+        temperature_sample,
+        temperature_sample_sql_duck,
+    )
+
+    df = _skewed(spark)
+    p = str(tmp_path / "skew.parquet")
+    df.write.mode("overwrite").parquet(p)
+    sub = f"read_parquet('{p}/*.parquet')"
+    for alpha in (0.0, 0.5, 1.0):
+        got = _ids(temperature_sample(df, "src", ["id"], 1_500, alpha=alpha, salt="tt"))
+        sql = temperature_sample_sql_duck(
+            sub, "src", ["id"], 1_500, alpha=alpha, salt="tt", select="id"
+        )
+        want = sorted(r[0] for r in duckdb.sql(sql).fetchall())
+        assert got == want, alpha
+        assert 0 < len(got) < 5_000
+
+
+def test_temperature_sample_proportions_follow_alpha(spark):
+    """α=1 → natural proportions; α=0 → equal per-source allocation
+    (subject to caps); α=0.5 between. Binomial 4σ bands."""
+    from guava_probably_spark.pipeline.sampling import (
+        temperature_sample,
+        temperature_thresholds,
+    )
+
+    df = _skewed(spark, 10_000)  # a=6000 b=3000 c=1000
+    counts = {"a": 6_000, "b": 3_000, "c": 1_000}
+    for alpha in (0.0, 0.5, 1.0):
+        kept = temperature_sample(df, "src", ["id"], 3_000, alpha=alpha)
+        by = {r[0]: r[1] for r in kept.groupBy("src").count().collect()}
+        T = temperature_thresholds(counts, 3_000, alpha)
+        for s, n in counts.items():
+            exp = n * T[s] / 2**60
+            sigma = max(1.0, (exp * max(0.0, 1 - exp / n)) ** 0.5)
+            assert abs(by.get(s, 0) - exp) <= 4 * sigma, (alpha, s, by, exp)
+    # α=1 keeps natural ratio: a-take ≈ 6x c-take; α=0 equalizes (c capped)
+    t1 = temperature_thresholds(counts, 3_000, 1.0)
+    assert abs(t1["a"] - t1["c"]) <= 1  # same keep fraction for every source
+    t0 = temperature_thresholds(counts, 3_000, 0.0)
+    assert t0["c"] == 2**60  # fair share 1000 = size → keep all
+
+
+def test_temperature_sample_partition_invariant_and_null_source(spark):
+    from guava_probably_spark.pipeline.sampling import temperature_sample
+
+    df = _skewed(spark).withColumn(
+        "src", F.when(F.col("id") % 97 == 0, None).otherwise(F.col("src"))
+    )
+    a = _ids(temperature_sample(df.repartition(3), "src", ["id"], 1_000))
+    b = _ids(temperature_sample(df.repartition(17), "src", ["id"], 1_000))
+    assert a == b
+    assert not any(i % 97 == 0 for i in a)  # null-source rows dropped
+
+
+def test_temperature_sample_cap_and_edges(spark):
+    from guava_probably_spark.pipeline.sampling import (
+        temperature_sample,
+        temperature_thresholds,
+        temperature_weights,
+    )
+
+    df = _skewed(spark, 1_000)
+    # target >= total: every non-null-source row kept
+    assert temperature_sample(df, "src", ["id"], 10_000).count() == 1_000
+    # target 0: nothing kept
+    assert temperature_sample(df, "src", ["id"], 0).count() == 0
+    # empty input: empty output, no crash
+    assert temperature_sample(df.filter("id < 0"), "src", ["id"], 10).count() == 0
+    with pytest.raises(ValueError):
+        temperature_thresholds({"a": 100}, -1)
+    with pytest.raises(ValueError):
+        temperature_weights({"a": 0}, 0.5)
+
+
+def test_temperature_sample_general_alpha_spark_side(spark):
+    """α outside {0, .5, 1} has no SQL oracle but must stay deterministic
+    and monotone: flatter α gives the small source a larger share."""
+    from guava_probably_spark.pipeline.sampling import (
+        temperature_sample,
+        temperature_sample_sql_duck,
+    )
+
+    df = _skewed(spark, 10_000)
+    takes = {}
+    for alpha in (0.3, 0.7):
+        kept = temperature_sample(df, "src", ["id"], 2_000, alpha=alpha)
+        by = {r[0]: r[1] for r in kept.groupBy("src").count().collect()}
+        takes[alpha] = by
+        again = {
+            r[0]: r[1]
+            for r in temperature_sample(df.repartition(9), "src", ["id"], 2_000, alpha=alpha)
+            .groupBy("src")
+            .count()
+            .collect()
+        }
+        assert by == again
+    assert takes[0.3]["c"] > takes[0.7]["c"]
+    assert takes[0.3]["a"] < takes[0.7]["a"]
+    with pytest.raises(ValueError):
+        temperature_sample_sql_duck("t", "src", ["id"], 10, alpha=0.3)
