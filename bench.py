@@ -791,6 +791,27 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     warmed("q_temperature_mix_docs", temperature)
 
+    def quality_classifier():
+        from guava_probably_spark.pipeline.classifier import (
+            featurize,
+            logreg_fit,
+            logreg_score,
+        )
+
+        # CCNet-style quality LR, the 100-TB recipe shape: featurize once
+        # (JVM-side hashing, pinned), fit 5 full-batch GD epochs on a 10%
+        # hash sample (CCNet trains on a seed-sized subset), score ALL
+        # docs in one pass. Labels are a deterministic split — the COST is
+        # label-independent.
+        dim = 1 << 16
+        d = big_docs.withColumn("label", (F.col("doc_id") % 2).cast("double"))
+        feats = featurize(d, "doc_id", "text", dim, label_col="label").localCheckpoint()
+        train = feats.filter(F.pmod(F.xxhash64("id"), F.lit(10)) == 0)
+        w, _ = logreg_fit(train, dim, iters=5, lr=2.0)
+        return logreg_score(feats, w).agg(F.sum("score")).collect()[0][0]
+
+    warmed("q_quality_classifier_docs", quality_classifier)
+
     def ngram_decontam():
         # GPT-3-style n-gram decontamination, EXACT: the filter builds on
         # the SMALL side (the 4k-doc eval set → sub-MB bloom), the 400k-doc

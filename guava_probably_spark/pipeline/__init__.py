@@ -46,6 +46,12 @@ from guava_probably_spark.pipeline.sampling import (
     temperature_weights,
     weighted_sample,
 )
+from guava_probably_spark.pipeline.classifier import (
+    featurize,
+    logreg_fit,
+    logreg_score,
+    quality_classifier_scores,
+)
 from guava_probably_spark.pipeline.contamination import flag_contaminated
 from guava_probably_spark.pipeline.packing import (
     concat_group_texts,
@@ -132,6 +138,10 @@ __all__ = [
     "gopher_quality_df",
     "langid_df",
     "ngram_repetition_df",
+    "featurize",
+    "logreg_fit",
+    "logreg_score",
+    "quality_classifier_scores",
     "quality_df",
     "remove_boilerplate_lines",
     "rolling_fingerprint_df",
