@@ -687,10 +687,15 @@ def _q_concat_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction + corpus-level boilerplate line removal in one grid —
-    shared (op, id, text) shape. Both are exact full-text transforms the
-    DuckDB oracle recomputes byte-identically; `boiler` additionally drops
-    whole docs whose every ≥min_chars line was corpus-frequent."""
+    """PII redaction + corpus-level boilerplate line removal + exact
+    duplicated-span removal (round 4; Lee et al. 2022 ExactSubstr) in one
+    grid — shared (op, id, text) shape. All are exact full-text transforms
+    the DuckDB oracle recomputes byte-identically; `boiler` additionally
+    drops whole docs whose every ≥min_chars line was corpus-frequent;
+    `spandedup` cuts every duplicated ≥40-byte substring except its
+    canonical (min (id, pos)) occurrence — the oracle recomputes it on
+    actual substr window content, so the hash path is pinned exactly."""
+    from guava_probably_spark.pipeline.spandedup import remove_duplicate_spans
     from guava_probably_spark.pipeline.textops import redact_df, remove_boilerplate_lines
 
     docs = _t(spark, sf_dir, "documents")
@@ -701,7 +706,10 @@ def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     boil = boiled.select(
         F.lit("boiler").alias("op"), F.col("doc_id").alias("id"), "text"
     )
-    return red.unionByName(boil)
+    span = remove_duplicate_spans(docs, "doc_id", "text", 40).select(
+        F.lit("spandedup").alias("op"), "id", "text"
+    )
+    return red.unionByName(boil).unionByName(span)
 
 
 def _q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -955,7 +963,12 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'boiler' AS op, doc_id AS id, "
             "string_agg(line, chr(10) ORDER BY pos) AS text "
-            "FROM kept GROUP BY doc_id"
+            "FROM kept GROUP BY doc_id "
+            "UNION ALL SELECT 'spandedup' AS op, id, text FROM ("
+            + __import__(
+                "guava_probably_spark.pipeline.spandedup", fromlist=["x"]
+            ).spandedup_sql_duck("documents", "doc_id", "text", 40)
+            + ")"
         ),
         "word_repetition_documents": (
             f"WITH w AS (SELECT doc_id AS id, "
