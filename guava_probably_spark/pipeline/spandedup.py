@@ -105,11 +105,26 @@ def window_hashes(df: DataFrame, id_col: str, text_col: str, min_len: int) -> Da
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
 
+    # Output fan-out is ~|text| rows per doc (≈500× the input row count on
+    # the bench corpus): one RecordBatch per INPUT batch would be ~130 MB
+    # of Arrow buffers, and 32 concurrent tasks blow the JVM's 4 GiB direct
+    # -memory pool.  Flush every ~1M rows (~28 MB) instead — batch size is
+    # bounded by the CAP, not by the input batch's total fan-out.
+    _FLUSH_ROWS = 1 << 20
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        o_id, o_pos, o_h1, o_h2 = [], [], [], []
+        pending = 0
+
+        def _flush():
+            return pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(c)) for c in (o_id, o_pos, o_h1, o_h2)],
+                names=["id", "pos", "h1", "h2"],
+            )
+
         for batch in batches:
             ids = batch.column(0)
             texts = batch.column(1)
-            o_id, o_pos, o_h1, o_h2 = [], [], [], []
             for i in range(len(ids)):
                 txt = texts[i].as_py()
                 if txt is None:
@@ -125,12 +140,13 @@ def window_hashes(df: DataFrame, id_col: str, text_col: str, min_len: int) -> Da
                 o_pos.append(np.arange(len(h1), dtype=np.int64))
                 o_h1.append(h1.view(np.int64))
                 o_h2.append(h2.view(np.int64))
-            if not o_id:
-                continue
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(np.concatenate(c)) for c in (o_id, o_pos, o_h1, o_h2)],
-                names=["id", "pos", "h1", "h2"],
-            )
+                pending += len(h1)
+                if pending >= _FLUSH_ROWS:
+                    yield _flush()
+                    o_id, o_pos, o_h1, o_h2 = [], [], [], []
+                    pending = 0
+        if o_id:
+            yield _flush()
 
     return df.select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("t")
