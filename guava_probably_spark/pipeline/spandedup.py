@@ -13,11 +13,14 @@ window-hash shuffle with the same O(corpus bytes) cost envelope:
    negligible at any corpus size).  Vectorized prefix-sum Karp–Rabin —
    O(n) per doc, no per-byte Python.
 2. **mark non-canonical occurrences** — one wide shuffle on (h1, h2):
-   ``row_number() OVER (PARTITION BY h1, h2 ORDER BY id, pos) ≥ 2``.
-   No join and no second corpus scan; the canonical (globally smallest
-   (id, pos)) occurrence of every window survives.  Keys are hashes, so
-   the shuffle cannot skew; a boilerplate window duplicated 10^6 times is
-   one key's sort, not a hot partition.
+   (id, pos) packs into one long ``ip = id·2^20 + pos`` (positions are
+   < 2^20 by the 1 MiB doc cap, so the pack preserves (id, pos) order),
+   and ``ip != MIN(ip) OVER (PARTITION BY h1, h2)`` marks every
+   occurrence but the canonical globally-smallest one.  24 B/row on the
+   wire instead of 32, sorted on the hash keys only — no join and no
+   second corpus scan.  Keys are hashes, so the shuffle cannot skew; a
+   boilerplate window duplicated 10^6 times is one key's min, not a hot
+   partition.
 3. **gaps-and-islands span merge** — marked windows overlap heavily
    inside a duplicated run (a run of R ≥ L duplicated bytes marks all
    R−L+1 windows); ``lag``/running-sum over (id ORDER BY pos) merges them
@@ -36,7 +39,7 @@ exact for any text whose spans fall on character boundaries (always true
 for ASCII corpora; multibyte splits are repaired with a lossless
 boundary widen — the span only ever removes whole characters).
 
-Scale: the (h1, h2, id, pos) shuffle is 28 B per corpus byte — the honest
+Scale: the (h1, h2, ip) shuffle is 24 B per corpus byte — the honest
 price of EXACT substring dedup (the suffix array is the same order).  At
 100 TB run it per shard-group or raise ``min_len``; the winnowing module
 (pipeline/winnow.py) is the sampled alternative when approximate
@@ -101,6 +104,10 @@ def window_hashes(df: DataFrame, id_col: str, text_col: str, min_len: int) -> Da
     Unlike :func:`winnow.winnow_fingerprints` nothing is sampled — full
     coverage is what makes span removal exact. Null/short texts emit no
     rows. Docs are truncated at 1 MiB like the winnow path.
+
+    Ids must fit ``0 <= id < 2^43`` so (id, pos) packs into one long
+    downstream (pos < 2^20 by the doc cap); out-of-range ids raise with
+    re-key guidance rather than silently corrupting the canonical order.
     """
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
@@ -136,7 +143,13 @@ def window_hashes(df: DataFrame, id_col: str, text_col: str, min_len: int) -> Da
                     continue
                 h1 = _kgram_hashes(b, min_len, _B1)
                 h2 = _kgram_hashes(b, min_len, _B2)
-                o_id.append(np.full(len(h1), ids[i].as_py(), dtype=np.int64))
+                doc_id = ids[i].as_py()
+                if not 0 <= doc_id < (1 << 43):
+                    raise ValueError(
+                        f"id {doc_id} outside [0, 2^43): re-key the corpus "
+                        "(e.g. dense hash or row_number) before span dedup"
+                    )
+                o_id.append(np.full(len(h1), doc_id, dtype=np.int64))
                 o_pos.append(np.arange(len(h1), dtype=np.int64))
                 o_h1.append(h1.view(np.int64))
                 o_h2.append(h2.view(np.int64))
@@ -159,11 +172,21 @@ def duplicate_spans(
     """(id, start, end): maximal byte spans of non-canonical duplicated
     windows — exactly what :func:`remove_duplicate_spans` cuts."""
     wh = window_hashes(df, id_col, text_col, min_len)
-    wk = Window.partitionBy("h1", "h2").orderBy("id", "pos")
+    # pack (id, pos) into one order-preserving long: the corpus-scale
+    # shuffle carries 24 B/row instead of 32 and sorts on (h1, h2) only;
+    # min-over-partition marks every non-canonical occurrence without a
+    # row_number sort on the payload (same marked set, verified equal)
+    packed = wh.select(
+        "h1", "h2", (F.col("id") * F.lit(1 << 20) + F.col("pos")).alias("ip")
+    )
+    wk = Window.partitionBy("h1", "h2")
     marked = (
-        wh.withColumn("_rn", F.row_number().over(wk))
-        .filter(F.col("_rn") >= 2)
-        .select("id", "pos")
+        packed.withColumn("_m", F.min("ip").over(wk))
+        .filter(F.col("ip") != F.col("_m"))
+        .select(
+            F.shiftright("ip", 20).alias("id"),
+            (F.col("ip") % F.lit(1 << 20)).alias("pos"),
+        )
     )
     wd = Window.partitionBy("id").orderBy("pos")
     gap = F.when(

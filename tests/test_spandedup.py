@@ -167,3 +167,13 @@ def test_multibyte_boundary_widen(spark):
     for i in (1, 2):
         assert got[i][0] is not None  # decodable ⇒ no split chars
     assert got[2][1] > 0 and got[1][1] >= 0
+
+
+def test_id_out_of_packing_range_raises(spark):
+    # (id, pos) packs into one long downstream; ids >= 2^43 (or < 0) would
+    # silently corrupt the canonical order, so the scan raises instead
+    df = spark.createDataFrame(
+        [(1 << 43, "x" * 80), (-1, "y" * 80)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="re-key"):
+        window_hashes(df, "doc_id", "text", 50).collect()
