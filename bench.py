@@ -651,6 +651,25 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     warmed("q_winnow_boilerplate_docs", winnow_boilerplate)
 
+    def spandedup():
+        # EXACT duplicated-span removal (pipeline/spandedup.py, Lee et al.
+        # 2022 ExactSubstr): every >=50-byte substring occurring twice is
+        # cut except its canonical occurrence. Full-coverage window hashes
+        # (~500 rows/doc) make this the densest shuffle in the suite, so it
+        # runs on a deterministic 50k-doc slice (~22M windows) — the 400k
+        # corpus measures ~33 s and is spill-bound on this box
+        from guava_probably_spark.pipeline.spandedup import remove_duplicate_spans
+
+        return (
+            remove_duplicate_spans(
+                big_docs.filter(F.col("doc_id") % 8 == 0), "doc_id", "text", 50
+            )
+            .agg(F.sum("removed_bytes").alias("rb"), F.count("*").alias("n"))
+            .collect()
+        )
+
+    warmed("q_spandedup_docs", spandedup)
+
     from guava_probably_spark.operators.grouped_quantiles import quantile_trim
     from guava_probably_spark.pipeline.components import connected_components
     from guava_probably_spark.pipeline.sampling import hash_sample, hash_split
