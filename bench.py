@@ -831,6 +831,22 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     warmed("q_quality_classifier_docs", quality_classifier)
 
+    def ccnet_shards():
+        from guava_probably_spark.pipeline.classifier import ccnet_buckets
+
+        # CCNet head/middle/tail sharding over 50 sources: one narrow
+        # (key, double) threshold shuffle + broadcast CASE scan — the
+        # whole 400k-doc assignment never shuffles a payload byte
+        d = big_docs.withColumn("src", (F.col("doc_id") % 50).cast("string"))
+        return (
+            ccnet_buckets(d.withColumn("n", F.length("text")), "src", "n")
+            .groupBy("bucket")
+            .count()
+            .collect()
+        )
+
+    warmed("q_ccnet_shards_docs", ccnet_shards)
+
     def ngram_decontam():
         # GPT-3-style n-gram decontamination, EXACT: the filter builds on
         # the SMALL side (the 4k-doc eval set → sub-MB bloom), the 400k-doc

@@ -323,3 +323,74 @@ def quality_classifier_scores(
         feats.filter(F.col("label").isNotNull()), dim, iters, lr, l2
     )
     return logreg_score(feats, w), w, info
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    key: str,
+    col: str,
+    cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple = ("head", "middle", "tail"),
+    out_col: str = "bucket",
+    method: str = "exact",
+    kll_k: int = 200,
+) -> DataFrame:
+    """Per-group quantile bucketing — the CCNet shard step (Wenzek et al.
+    2020 §4.2): documents are split into head/middle/tail by per-LANGUAGE
+    perplexity tertiles, and downstream recipes keep or re-weight buckets.
+
+    Generic form: within each ``key`` group, a row's label is
+    ``labels[i]`` for the FIRST cut with ``value <= q_cuts[i]`` (exact
+    nearest-rank quantile, idx = clamp(ceil(q·n)−1, 0, n−1) — the
+    operators/grouped_quantiles convention), else ``labels[-1]``.  With
+    ascending cuts the labels order worst→best for a lower-is-better
+    column (perplexity); pass ``labels`` reversed for higher-is-better
+    scores (e.g. pipeline/textops.lm_quality_score).
+
+    Plan: one threshold pass (``method="exact"`` = the lexsort kernel,
+    bounded rows/key; ``"kll"`` = the mergeable sketch path for unbounded
+    groups, bucket edges then carry the published rank error) → broadcast
+    of one float per (key, cut) → ONE codegen CASE over the data.  No
+    second shuffle; the 10^12-row pass is a scan.  Ties sit with the
+    lower bucket on both engines (``<=`` against the same threshold
+    value), so the assignment is exact and oracle-checkable.
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(cuts)+1 labels, got {len(labels)} for {len(cuts)} cuts"
+        )
+    if list(cuts) != sorted(cuts) or not all(0.0 < c < 1.0 for c in cuts):
+        raise ValueError(f"cuts must be ascending in (0, 1), got {cuts!r}")
+    qnames = [f"q{int(round(c * 100))}" for c in cuts]
+    if len(set(qnames)) != len(qnames):
+        raise ValueError(f"cuts {cuts!r} collide at integer-percent names")
+    th_cols = [f"__gps_ccb_{q}" for q in qnames]
+    if method == "exact":
+        from guava_probably_spark.operators.grouped_quantiles import grouped_quantiles
+
+        th = grouped_quantiles(
+            df.filter(F.col(col).isNotNull()), key, col, qs=tuple(cuts)
+        ).select(
+            key, *[F.col(q).alias(t) for q, t in zip(qnames, th_cols)]
+        )
+    elif method == "kll":
+        from guava_probably_spark import SketchSpec
+        from guava_probably_spark.functions import quantile_udf
+        from guava_probably_spark.operators.build import build_grouped
+
+        g = build_grouped(df, key, col, SketchSpec("kll", {"k": kll_k}))
+        th = g.select(
+            key, *[quantile_udf(c)("sketch").alias(t) for c, t in zip(cuts, th_cols)]
+        )
+    else:
+        raise ValueError(f"method must be 'exact' or 'kll', got {method!r}")
+    v = F.col(col).cast("double")
+    expr = F.lit(labels[-1])
+    for t, lab in zip(reversed(th_cols), reversed(labels[:-1])):
+        expr = F.when(v <= F.col(t), F.lit(lab)).otherwise(expr)
+    expr = F.when(v.isNull(), F.lit(None).cast("string")).otherwise(expr)
+    return (
+        df.join(F.broadcast(th), key, "left")
+        .withColumn(out_col, expr)
+        .drop(*th_cols)
+    )

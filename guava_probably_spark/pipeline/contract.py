@@ -287,7 +287,15 @@ def _q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 4 adds the Gopher rule-set columns (textops.gopher_quality_df —
     Rae et al. 2021 A1.1): n_words/word_chars/alpha_words/n_lines/
     dup_lines/bullet_lines/ellipsis_lines/symbol_hits + the composite
-    gopher_pass gate, hash-checked per doc against the DuckDB oracle."""
+    gopher_pass gate, hash-checked per doc against the DuckDB oracle —
+    and the CCNet head/middle/tail shard label (classifier.ccnet_buckets,
+    Wenzek et al. 2020 §4.2): per-LANGUAGE exact nearest-rank tertile cuts
+    on doc length (the oracle-expressible stand-in for perplexity; the
+    lm-score composition is pytest-covered), assignment hash-checked per
+    doc against a deinterpolated rank oracle (rnk = clamp(ceil(q·n), 1, n)
+    — the same formula the lexsort kernel evaluates, so the threshold is
+    bit-identical, never an interpolated percentile)."""
+    from guava_probably_spark.pipeline.classifier import ccnet_buckets
     from guava_probably_spark.pipeline.textops import (
         gopher_quality_df,
         lm_quality_score,
@@ -319,11 +327,22 @@ def _q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lmq_stable"),
     )
     gq = gopher_quality_df(docs, "doc_id", "text")
+    ccb = ccnet_buckets(
+        docs.select(
+            F.col("doc_id").cast("long").alias("id"),
+            "lang",
+            F.length("text").alias("_len"),
+        ),
+        "lang",
+        "_len",
+        out_col="ccnet_bucket",
+    ).select("id", "ccnet_bucket")
     return (
         quality_df(docs, "doc_id", "text")
         .join(lang, "id")
         .join(lmq, "id")
         .join(gq, "id")
+        .join(ccb, "id")
     )
 
 
@@ -1065,10 +1084,30 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "' ')) - 1, 0) AS BIGINT) AS lmq_ngrams, "
             "true AS lmq_stable FROM documents), "
             # Gopher rule-set oracle (single-sourced dual-dialect exprs)
-            f"gq AS ({textops.gopher_sql_duck('documents', 'doc_id', 'text')}) "
+            f"gq AS ({textops.gopher_sql_duck('documents', 'doc_id', 'text')}), "
+            # CCNet tertile shards: deinterpolated nearest-rank thresholds
+            # (rnk = clamp(ceil(q*n), 1, n), the lexsort kernel's formula
+            # on the SAME double literals — never quantile interpolation)
+            "ccv AS (SELECT doc_id AS id, lang, "
+            "CAST(length(text) AS DOUBLE) AS x FROM documents), "
+            "ccs AS (SELECT id, lang, x, "
+            "row_number() OVER (PARTITION BY lang ORDER BY x) AS rnk, "
+            "count(*) OVER (PARTITION BY lang) AS n "
+            "FROM ccv WHERE x IS NOT NULL), "
+            "cct AS (SELECT lang, "
+            "max(CASE WHEN rnk = least(greatest(CAST(ceil("
+            f"{1.0 / 3.0!r} * n) AS BIGINT), 1), n) THEN x END) AS c1, "
+            "max(CASE WHEN rnk = least(greatest(CAST(ceil("
+            f"{2.0 / 3.0!r} * n) AS BIGINT), 1), n) THEN x END) AS c2 "
+            "FROM ccs GROUP BY lang), "
+            "ccb AS (SELECT ccv.id, CASE WHEN ccv.x IS NULL THEN NULL "
+            "WHEN ccv.x <= cct.c1 THEN 'head' "
+            "WHEN ccv.x <= cct.c2 THEN 'middle' ELSE 'tail' END "
+            "AS ccnet_bucket FROM ccv LEFT JOIN cct USING (lang)) "
             "SELECT base.*, gq.n_words, gq.word_chars, gq.alpha_words, "
             "gq.n_lines, gq.dup_lines, gq.bullet_lines, gq.ellipsis_lines, "
-            "gq.symbol_hits, gq.gopher_pass FROM base JOIN gq USING (id)"
+            "gq.symbol_hits, gq.gopher_pass, ccb.ccnet_bucket "
+            "FROM base JOIN gq USING (id) JOIN ccb USING (id)"
         ),
         "token_count_by_source": (
             f"SELECT source, count(*) AS n_docs, "

@@ -138,3 +138,92 @@ def test_classifier_dim_and_empty_guards(spark):
     feats = featurize(df.filter("doc_id < 0"), "doc_id", "text", DIM, label_col="label")
     with pytest.raises(ValueError):
         logreg_fit(feats, DIM, iters=1)
+
+
+def _local_buckets(rows, cuts, labels):
+    """Reference: exact nearest-rank thresholds + first-cut-<= labeling."""
+    import collections
+    import math
+
+    by_key = collections.defaultdict(list)
+    for k, v in rows:
+        if v is not None:
+            by_key[k].append(float(v))
+    th = {}
+    for k, vs in by_key.items():
+        vs.sort()
+        n = len(vs)
+        th[k] = [vs[min(max(math.ceil(c * n) - 1, 0), n - 1)] for c in cuts]
+    out = {}
+    for i, (k, v) in enumerate(rows):
+        if v is None:
+            out[i] = None
+            continue
+        lab = labels[-1]
+        for c, candidate in zip(th[k], labels[:-1]):
+            if float(v) <= c:
+                lab = candidate
+                break
+        out[i] = lab
+    return out
+
+
+def test_ccnet_buckets_matches_local_recompute(spark):
+    from guava_probably_spark.pipeline.classifier import ccnet_buckets
+
+    rng = random.Random(11)
+    # heavy ties (integer lengths) + a null + tiny group + singleton group
+    rows = [(f"lang{i % 3}", rng.randint(10, 60)) for i in range(400)]
+    rows += [("lang0", None), ("tiny", 5), ("tiny", 7), ("solo", 42)]
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "rid long, lang string, x long"
+    )
+    cuts = (1.0 / 3.0, 2.0 / 3.0)
+    labels = ("head", "middle", "tail")
+    got = {
+        r.rid: r.bucket
+        for r in ccnet_buckets(df, "lang", "x", cuts, labels).collect()
+    }
+    want = _local_buckets(rows, cuts, labels)
+    assert got == want
+    # every prefix bucket is ~a third of its group (ties distort, never cross)
+    sizes = {}
+    for i, (k, v) in enumerate(rows):
+        if v is None or k != "lang0":
+            continue
+        sizes[got[i]] = sizes.get(got[i], 0) + 1
+    n0 = sum(sizes.values())
+    assert sizes["head"] >= n0 // 3  # <= ties push the boundary outward only
+
+
+def test_ccnet_buckets_kll_and_higher_is_better(spark):
+    from guava_probably_spark.pipeline.classifier import ccnet_buckets
+
+    # widely separated values: the KLL edge error cannot cross clusters, so
+    # the sketch path must agree exactly with the exact path
+    rows = [(i, "en", float(v)) for i, v in enumerate([1] * 30 + [100] * 30 + [10000] * 30)]
+    df = spark.createDataFrame(rows, "rid long, lang string, score double")
+    labels = ("tail", "middle", "head")  # higher-is-better ordering
+    exact = {
+        r.rid: r.bucket for r in ccnet_buckets(df, "lang", "score", labels=labels).collect()
+    }
+    kll = {
+        r.rid: r.bucket
+        for r in ccnet_buckets(df, "lang", "score", labels=labels, method="kll").collect()
+    }
+    assert exact == kll
+    assert exact[0] == "tail" and exact[89] == "head"
+
+
+def test_ccnet_buckets_guards(spark):
+    from guava_probably_spark.pipeline.classifier import ccnet_buckets
+
+    df = spark.createDataFrame([(1, "en", 1.0)], "rid long, lang string, x double")
+    with pytest.raises(ValueError, match="labels"):
+        ccnet_buckets(df, "lang", "x", cuts=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="ascending"):
+        ccnet_buckets(df, "lang", "x", cuts=(0.9, 0.1), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="collide"):
+        ccnet_buckets(df, "lang", "x", cuts=(0.501, 0.502), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="method"):
+        ccnet_buckets(df, "lang", "x", method="nope")
