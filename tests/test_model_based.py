@@ -110,8 +110,15 @@ def test_theta_blob_equal_for_any_split_and_merge_order(xs, order):
     acc = sks[order[0]].copy()
     acc.merge(sks[order[1]]).merge(sks[order[2]])
     assert acc.to_bytes() == direct.to_bytes()
-    if len(set(xs)) <= k:
-        assert acc.estimate() == float(len(set(xs)))  # exact below saturation
+    if len(set(xs)) < k:
+        # exact strictly below saturation. At EXACTLY k distinct the pure
+        # KMV state (k smallest hashes, theta = k-th) is indistinguishable
+        # from a trimmed >k stream — hypothesis found the boundary (xs =
+        # 0..31): the estimator (k-1)/theta applies there, within bound
+        assert acc.estimate() == float(len(set(xs)))
+    else:
+        err = abs(acc.estimate() - len(set(xs))) / len(set(xs))
+        assert err <= acc.relative_error_bound(nsigma=4.0)
 
 
 @given(
