@@ -506,6 +506,19 @@ def test_ngram_repetition_local_recompute(spark):
     assert row["n_chars"] == len(text)
 
 
+def test_ngram_repetition_chunked_kernel_identical(spark, sf_dir):
+    """The kernel splits each Arrow batch into word-bounded doc chunks
+    (exact int64 identity composition needs W*vocab < 2^63). Tests never
+    reach the 4M-word bound, so force a tiny bound (closure-captured, so
+    it reaches the executors) and require the output to be identical to
+    the single-chunk run — chunk boundaries must not leak gram identities
+    across docs or drop boundary windows."""
+    docs = _docs(spark, sf_dir)
+    want = _rep_rows(ngram_repetition_df(docs, "doc_id", "text"))
+    got = _rep_rows(ngram_repetition_df(docs, "doc_id", "text", chunk_words=37))
+    assert got == want
+
+
 def test_token_counts_by_source(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     got = {r.grp: (r.n_docs, r.total_ws_tokens) for r in token_counts_df(docs, "source", "text").collect()}
