@@ -847,6 +847,21 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     warmed("q_ccnet_shards_docs", ccnet_shards)
 
+    def dsir_select_docs():
+        # DSIR importance resampling (Xie et al. 2023): fit hashed-bigram
+        # bag models on a 4k-doc target slice + the 400k raw corpus (two
+        # scans, <=10k-row shuffles, 80 KB driver state), then one scored
+        # scan (broadcast 10k-row lambda table, integer Q24.40 sums) and
+        # Gumbel top-k. Three gram explodes total; md5 bucket hash is the
+        # dual-dialect oracle-checkable path.
+        from guava_probably_spark.pipeline.dsir import dsir_select
+
+        tgt = big_docs.filter(F.col("doc_id") % 100 == 0)
+        sel = dsir_select(big_docs, tgt, "doc_id", "text", k=10_000, buckets=10_000)
+        return sel.agg(F.sum("n_grams")).collect()[0][0]
+
+    extras["dsir_selected_grams"] = warmed("q_dsir_select_docs", dsir_select_docs)
+
     def ngram_decontam():
         # GPT-3-style n-gram decontamination, EXACT: the filter builds on
         # the SMALL side (the 4k-doc eval set → sub-MB bloom), the 400k-doc
