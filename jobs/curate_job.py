@@ -24,6 +24,10 @@
                    distinct docs — C4-style corpus-frequent line removal)
     --op overlap   --stratify source [--sketch-k 4096] (all-pairs
                    source-overlap matrix from per-key theta blobs)
+    --op dsir      --train /data/target --k 100000 [--temperature 1.0
+                   --seed 42] (DSIR importance resampling: keep the k
+                   input docs whose hashed-ngram distribution looks like
+                   the --train target corpus; adds a logweight column)
 
 Each op reads parquet (sandbox) or Iceberg (--format iceberg), writes
 parquet, and emits one JSON status line.  Ops compose by chaining runs
@@ -55,7 +59,7 @@ def main() -> None:
     ap.add_argument("--op", required=True,
                     choices=["dedup", "sample", "split", "pack", "redact",
                              "decontaminate", "ngram-decontaminate", "quality",
-                             "histogram", "boilerplate", "overlap"])
+                             "histogram", "boilerplate", "overlap", "dsir"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     ap.add_argument("--id", default="doc_id")
@@ -86,6 +90,9 @@ def main() -> None:
     ap.add_argument("--min-docs", type=int, default=3)
     # overlap
     ap.add_argument("--sketch-k", type=int, default=4096)
+    # dsir
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -194,6 +201,19 @@ def main() -> None:
         if not args.stratify:
             raise SystemExit("--op overlap requires --stratify <key column>")
         out = source_overlap_matrix(df, args.stratify, args.text, k=args.sketch_k)
+    elif args.op == "dsir":
+        from guava_probably_spark.pipeline.dsir import dsir_select
+
+        if not args.train or not args.k:
+            raise SystemExit("--op dsir requires --train <target corpus> and --k")
+        tgt = _read(spark, args, args.train)
+        sel = dsir_select(
+            df, tgt, args.id, args.text, k=args.k,
+            temperature=args.temperature, seed=args.seed,
+        )
+        out = df.join(
+            sel.select(F.col("id").alias(args.id), "logweight"), args.id
+        )
     else:  # histogram
         from guava_probably_spark.operators.histogram import (
             histogram_equidepth,

@@ -87,3 +87,13 @@ def test_sketchlib_zip_ships_every_module():
                 )
     missing = on_disk - zipped
     assert not missing, f"re-run scripts/package.py — zip is missing {sorted(missing)}"
+
+
+def test_curate_job_dsir(tmp_path):
+    s = _run(
+        tmp_path,
+        "--op", "dsir",
+        "--train", "/root/testdata/sf0.001/documents.parquet",
+        "--k", "50",
+    )
+    assert s["output_rows"] == 50
