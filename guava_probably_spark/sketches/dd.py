@@ -25,9 +25,13 @@ Memory bound (the paper's collapsing variant): each store is capped at
 ``max_bins`` buckets (default 2048 ≈ 16 KB per store); on overflow the
 LOWEST-index buckets collapse into the lowest kept one, exactly Datadog's
 CollapsingLowestDense store.  Collapse sacrifices the α guarantee for the
-collapsed (smallest-magnitude) tail only — high quantiles stay exact-α,
-which is the tail that matters — and is counted in ``self.collapses`` so a
-caller can see the bound no longer covers the low tail.  Treat the counter
+collapsed (smallest-magnitude) tail only — extreme-MAGNITUDE values stay
+exact-α, which is the tail that matters. Note the magnitude/quantile
+distinction under signs: for positive data the preserved end is the high
+quantiles; for all-negative data it is the LOW quantiles (q→0), since the
+max value is then the lowest-magnitude one and can sit in the clamped
+region. Counted in ``self.collapses`` so a
+caller can see the bound no longer covers the low-magnitude tail.  Treat the counter
 as a FLAG (``== 0`` vs ``> 0``), not an event count: a single ingest batch
 can bump it up to three times (pre-clamp, ``_clamp_low`` spill,
 ``_collapse`` spill) and merge order redistributes where clamps fire, so

@@ -160,8 +160,17 @@ def test_property_bound_and_roundtrip(xs, alpha):
             est = sk.quantile(q)
             true = srt[int(q * (len(srt) - 1))]
             assert abs(est - true) <= alpha * abs(true) + 1e-9, (q, est, true)
-    else:  # collapse keeps the TOP buckets exact-α
-        est, true = sk.quantile(1.0), srt[-1]
+    else:
+        # collapse clamps the LOW-magnitude buckets of each sign store;
+        # the extreme-MAGNITUDE end stays exact-α (_clamp_low never touches
+        # the top bucket). In VALUE order that is q=1.0 only for
+        # positive-max data: for all-negative data the max value is the
+        # LOWEST-magnitude value and can sit in the clamp region
+        # (hypothesis: xs=[-6.05e8, -3.04e-113] — q=1.0 clamps to ~1e-9).
+        if abs(srt[-1]) >= abs(srt[0]):
+            est, true = sk.quantile(1.0), srt[-1]
+        else:
+            est, true = sk.quantile(0.0), srt[0]
         assert abs(est - true) <= alpha * abs(true) + 1e-9
     rt = Sketch.from_bytes(sk.to_bytes())
     assert rt.to_bytes() == sk.to_bytes()
