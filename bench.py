@@ -847,6 +847,25 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     warmed("q_ccnet_shards_docs", ccnet_shards)
 
+    def c4_quality():
+        # C4 cleaning rules (Raffel et al. 2020): pure zero-shuffle scalar
+        # projection (the only HOF iterates ~10 lines/doc); agg forces all
+        # counters + the cleaned-text length
+        from guava_probably_spark.pipeline.textops import c4_quality_df
+
+        lined = big_docs.withColumn(
+            "text", F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n")
+        )
+        out = c4_quality_df(lined, "doc_id", "text")
+        return out.agg(
+            F.sum("kept_lines"),
+            F.sum("n_sentences"),
+            F.sum(F.col("c4_pass").cast("long")),
+            F.sum(F.length("clean_text")),
+        ).collect()
+
+    warmed("q_c4_quality_docs", c4_quality)
+
     def dsir_select_docs():
         # DSIR importance resampling (Xie et al. 2023): fit hashed-bigram
         # bag models on a 4k-doc target slice + the 400k raw corpus (two

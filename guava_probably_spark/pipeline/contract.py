@@ -297,6 +297,7 @@ def _q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical, never an interpolated percentile)."""
     from guava_probably_spark.pipeline.classifier import ccnet_buckets
     from guava_probably_spark.pipeline.textops import (
+        c4_quality_df,
         gopher_quality_df,
         lm_quality_score,
     )
@@ -337,12 +338,26 @@ def _q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_len",
         out_col="ccnet_bucket",
     ).select("id", "ccnet_bucket")
+    # round-4 addition: the C4 rule set (Raffel et al. 2020 §2.2) — line
+    # filter counters, page gates AND the exact cleaned text, so the row
+    # hash pins the full C4 transform against the DuckDB oracle
+    c4 = c4_quality_df(docs, "doc_id", "text").select(
+        "id",
+        F.col("kept_lines").alias("c4_kept_lines"),
+        F.col("n_sentences").alias("c4_sentences"),
+        F.col("bad_word_hits").alias("c4_badwords"),
+        F.col("has_lorem").alias("c4_lorem"),
+        F.col("has_brace").alias("c4_brace"),
+        "c4_pass",
+        F.col("clean_text").alias("c4_clean_text"),
+    )
     return (
         quality_df(docs, "doc_id", "text")
         .join(lang, "id")
         .join(lmq, "id")
         .join(gq, "id")
         .join(ccb, "id")
+        .join(c4, "id")
     )
 
 
@@ -1104,10 +1119,17 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "WHEN ccv.x <= cct.c1 THEN 'head' "
             "WHEN ccv.x <= cct.c2 THEN 'middle' ELSE 'tail' END "
             "AS ccnet_bucket FROM ccv LEFT JOIN cct USING (lang)) "
+            # C4 rule-set oracle (single-sourced dual-dialect exprs)
+            f", c4 AS ({textops.c4_sql_duck('documents', 'doc_id', 'text')}) "
             "SELECT base.*, gq.n_words, gq.word_chars, gq.alpha_words, "
             "gq.n_lines, gq.dup_lines, gq.bullet_lines, gq.ellipsis_lines, "
-            "gq.symbol_hits, gq.gopher_pass, ccb.ccnet_bucket "
-            "FROM base JOIN gq USING (id) JOIN ccb USING (id)"
+            "gq.symbol_hits, gq.gopher_pass, ccb.ccnet_bucket, "
+            "c4.kept_lines AS c4_kept_lines, c4.n_sentences AS c4_sentences, "
+            "c4.bad_word_hits AS c4_badwords, c4.has_lorem AS c4_lorem, "
+            "c4.has_brace AS c4_brace, c4.c4_pass, "
+            "c4.clean_text AS c4_clean_text "
+            "FROM base JOIN gq USING (id) JOIN ccb USING (id) "
+            "JOIN c4 USING (id)"
         ),
         "token_count_by_source": (
             f"SELECT source, count(*) AS n_docs, "

@@ -386,3 +386,60 @@ def redact_expr(col: str, dialect: str) -> str:
         else:
             e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
     return e
+
+
+# --- C4 cleaning rules (Raffel et al. 2020, §2.2) ---------------------------
+# Frozen placeholder bad-word sample: the published recipe uses the full
+# LDNOOBW blocklist, which is external content — production deployments swap
+# the real list in here. Like STOPWORDS, the sample is part of the oracle
+# contract and deliberately small/frozen.
+C4_BAD_WORDS: tuple[str, ...] = ("porn", "xxx", "viagra", "casino", "nsfw")
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+# terminal punctuation accepted at end-of-line: period / bang / question /
+# closing double quote (the paper's "terminal punctuation mark")
+_C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_kept_lines_expr(col: str, dialect: str) -> str:
+    """Array of RAW lines surviving the C4 line filter: ends in a terminal
+    punctuation mark AND has >= C4_MIN_LINE_WORDS whitespace words AND does
+    not mention 'javascript' (case-insensitive). HOF filter is interpreted
+    per ELEMENT, which is fine here — elements are lines (~10/doc), not
+    grams; the predicate itself is engine-compiled regex/string ops."""
+    _q(dialect)
+    lines = lines_expr(col, dialect)
+    if dialect == "spark":
+        wc = "size(split(trim(regexp_replace(l, '\\\\s+', ' ')), ' '))"
+        return (
+            f"filter({lines}, l -> trim(l) RLIKE '{_C4_TERMINAL_RE}' "
+            f"AND {wc} >= {C4_MIN_LINE_WORDS} "
+            f"AND lower(l) NOT LIKE '%javascript%')"
+        )
+    wc = "len(string_split(trim(regexp_replace(l, '\\s+', ' ', 'g')), ' '))"
+    return (
+        f"list_filter({lines}, l -> regexp_matches(trim(l), '{_C4_TERMINAL_RE}') "
+        f"AND {wc} >= {C4_MIN_LINE_WORDS} "
+        f"AND lower(l) NOT LIKE '%javascript%')"
+    )
+
+
+def c4_sentence_count_expr(text_expr: str, dialect: str) -> str:
+    """Sentence proxy: count of terminal marks [.!?] in the given text
+    expression (the paper splits on sentence boundaries; counting the
+    terminators is the deterministic integer equivalent both engines
+    compute identically)."""
+    _q(dialect)
+    if dialect == "spark":
+        return f"size(regexp_extract_all({text_expr}, '[.!?]', 0))"
+    return f"len(regexp_extract_all({text_expr}, '[.!?]'))"
+
+
+def c4_badword_hits_expr(col: str, dialect: str) -> str:
+    """Number of normalized whitespace tokens in C4_BAD_WORDS (int)."""
+    _q(dialect)
+    w = words_expr(col, dialect)
+    lst = ", ".join(f"'{s}'" for s in C4_BAD_WORDS)
+    if dialect == "spark":
+        return f"size(filter({w}, t -> t IN ({lst})))"
+    return f"len(list_filter({w}, t -> t IN ({lst})))"

@@ -710,3 +710,83 @@ def remove_boilerplate_lines(
         .withColumnRenamed("id", id_col)
         .unionByName(null_docs)
     )
+
+
+def c4_quality_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, §2.2) as one zero-shuffle
+    projection — the third canonical recipe beside Gopher
+    (:func:`gopher_quality_df`) and CCNet (``classifier.ccnet_buckets``):
+
+      n_lines, kept_lines — raw line count and lines surviving the C4
+        line filter (ends in a terminal punctuation mark, ≥5 words, no
+        'javascript' mention).
+      clean_text — the kept lines re-joined with newlines (the paper's
+        per-page output; '' when nothing survives).
+      n_sentences — terminal-mark count over clean_text (the paper drops
+        pages with <3 sentences AFTER line filtering).
+      bad_word_hits — normalized tokens in the frozen
+        ``textexpr.C4_BAD_WORDS`` placeholder list.
+      has_lorem / has_brace — page-level 'lorem ipsum' and '{' flags.
+      c4_pass — n_sentences ≥ 3 AND no bad word AND NOT lorem AND NOT
+        brace. All counters integers; clean_text is exact, so the whole
+        row is oracle-hashable (:func:`c4_sql_duck`).
+
+    Plan shape: pure scalar projection, no exchange at any scale — the
+    only HOF iterates LINES (~10/doc), not grams. The paper's remaining
+    step (three-sentence-span dedup) is corpus-level, covered by
+    ``pipeline/spandedup.py`` / ``remove_boilerplate_lines``.
+    """
+    txt = f"coalesce({text_col}, '')"
+    kept = textexpr.c4_kept_lines_expr(txt, "spark")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.expr(f"size({textexpr.lines_expr(txt, 'spark')})")
+        .cast("long")
+        .alias("n_lines"),
+        F.expr(f"array_join({kept}, '\\n')").alias("clean_text"),
+        F.expr(f"size({kept})").cast("long").alias("kept_lines"),
+        F.expr(textexpr.c4_badword_hits_expr(txt, "spark"))
+        .cast("long")
+        .alias("bad_word_hits"),
+        F.expr(f"lower({txt}) LIKE '%lorem ipsum%'").alias("has_lorem"),
+        F.expr(f"instr({txt}, '{{') > 0").alias("has_brace"),
+    ).withColumn(
+        "n_sentences",
+        F.expr(textexpr.c4_sentence_count_expr("clean_text", "spark")).cast("long"),
+    )
+    gate = (
+        (F.col("n_sentences") >= textexpr.C4_MIN_SENTENCES)
+        & (F.col("bad_word_hits") == 0)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+    )
+    return base.withColumn("c4_pass", gate).select(
+        "id", "n_lines", "kept_lines", "n_sentences", "bad_word_hits",
+        "has_lorem", "has_brace", "c4_pass", "clean_text",
+    )
+
+
+def c4_sql_duck(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle for :func:`c4_quality_df` — same line filter, same
+    sentence proxy over the SAME clean_text, same frozen bad-word list."""
+    txt = f"coalesce({text_col}, '')"
+    kept = textexpr.c4_kept_lines_expr(txt, "duck")
+    lines = textexpr.lines_expr(txt, "duck")
+    bad = textexpr.c4_badword_hits_expr(txt, "duck")
+    nsent = textexpr.c4_sentence_count_expr("clean_text", "duck")
+    return (
+        f"WITH base AS (SELECT CAST({id_col} AS BIGINT) AS id, "
+        f"CAST(len({lines}) AS BIGINT) AS n_lines, "
+        # duckdb array_to_string([]) is NULL where Spark array_join is ''
+        f"coalesce(array_to_string({kept}, chr(10)), '') AS clean_text, "
+        f"CAST(len({kept}) AS BIGINT) AS kept_lines, "
+        f"CAST({bad} AS BIGINT) AS bad_word_hits, "
+        f"lower({txt}) LIKE '%lorem ipsum%' AS has_lorem, "
+        f"strpos({txt}, '{{') > 0 AS has_brace "
+        f"FROM {table}) "
+        f"SELECT id, n_lines, kept_lines, CAST({nsent} AS BIGINT) AS n_sentences, "
+        "bad_word_hits, has_lorem, has_brace, "
+        f"(CAST({nsent} AS BIGINT) >= {textexpr.C4_MIN_SENTENCES} "
+        "AND bad_word_hits = 0 AND NOT has_lorem AND NOT has_brace) AS c4_pass, "
+        "clean_text FROM base"
+    )

@@ -28,6 +28,9 @@
                    --seed 42] (DSIR importance resampling: keep the k
                    input docs whose hashed-ngram distribution looks like
                    the --train target corpus; adds a logweight column)
+    --op c4        (C4 cleaning, Raffel et al. 2020: line filter +
+                   page gates; keeps passing pages with the filtered
+                   clean text in the text column)
 
 Each op reads parquet (sandbox) or Iceberg (--format iceberg), writes
 parquet, and emits one JSON status line.  Ops compose by chaining runs
@@ -59,7 +62,8 @@ def main() -> None:
     ap.add_argument("--op", required=True,
                     choices=["dedup", "sample", "split", "pack", "redact",
                              "decontaminate", "ngram-decontaminate", "quality",
-                             "histogram", "boilerplate", "overlap", "dsir"])
+                             "histogram", "boilerplate", "overlap", "dsir",
+                             "c4"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     ap.add_argument("--id", default="doc_id")
@@ -214,6 +218,14 @@ def main() -> None:
         out = df.join(
             sel.select(F.col("id").alias(args.id), "logweight"), args.id
         )
+    elif args.op == "c4":
+        from guava_probably_spark.pipeline.textops import c4_quality_df
+
+        sig = c4_quality_df(df, args.id, args.text)
+        kept = sig.filter("c4_pass").select(
+            F.col("id").alias(args.id), F.col("clean_text").alias(args.text)
+        )
+        out = df.drop(args.text).join(kept, args.id)
     else:  # histogram
         from guava_probably_spark.operators.histogram import (
             histogram_equidepth,

@@ -97,3 +97,29 @@ def test_curate_job_dsir(tmp_path):
         "--k", "50",
     )
     assert s["output_rows"] == 50
+
+
+def test_curate_job_c4(tmp_path):
+    # the sf fixture text has no punctuation (no page would pass the
+    # 3-sentence gate), so build a tiny corpus with real sentence structure
+    import duckdb
+
+    inp = str(tmp_path / "c4_in.parquet")
+    duckdb.sql(
+        "COPY (SELECT i AS doc_id, CASE WHEN i % 2 = 0 THEN "
+        "'First full sentence with words here. ' || chr(10) || "
+        "'Second full sentence with words here! ' || chr(10) || "
+        "'Third full sentence with words here?' "
+        "ELSE 'no punctuation here at all' END AS text "
+        "FROM range(20) t(i)) TO '" + inp + "' (FORMAT PARQUET)"
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate_job.py"),
+         "--input", inp, "--output", str(tmp_path / "out"), "--op", "c4"],
+        capture_output=True, text=True, timeout=240,
+        env={**os.environ, "PYSPARK_SUBMIT_ARGS":
+             "--master local[2] --conf spark.ui.enabled=false pyspark-shell"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    s = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert s["input_rows"] == 20 and s["output_rows"] == 10

@@ -1134,3 +1134,107 @@ def test_minhash_neardup_lazy_path_same_pairs(spark, sf_dir, monkeypatch):
         for r in neardup_pairs_minhash(aug, "doc_id", "text", threshold=0.5).collect()
     }
     assert pinned == lazy and pinned
+
+
+def _c4_rows(df):
+    cols = ["n_lines", "kept_lines", "n_sentences", "bad_word_hits",
+            "has_lorem", "has_brace", "c4_pass", "clean_text"]
+    return {r["id"]: tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_c4_quality_matches_duckdb_edge_cases(spark, tmp_path):
+    from guava_probably_spark.pipeline.textops import c4_quality_df, c4_sql_duck
+
+    docs = [
+        (1, "Good first sentence here today.\nshort line.\n"
+            "Another full sentence with enough words!\n"
+            "And a third proper sentence right here?"),
+        (2, "No terminal punctuation on this line\nor on this one either"),
+        (3, "This page uses javascript for everything else here.\n"
+            "A perfectly fine sentence stands alone here."),
+        (4, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+            "One more good sentence with many words here.\n"
+            "And another one to clear the bar today."),
+        (5, "function f() { return 1; } is code-like content here.\n"
+            "Second sentence with plenty of words present.\n"
+            "Third sentence with plenty of words present too."),
+        (6, ""),
+        (7, None),
+        (8, "The casino page sells viagra to everyone constantly.\n"
+            "Second proper sentence with lots of words here.\n"
+            "Third proper sentence with lots of words here too."),
+        (9, 'He said "stop right there before the gate."\n'
+            'A quoted ending counts as terminal punctuation "\n'
+            "Third sentence here has plenty of words overall."),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = _c4_rows(c4_quality_df(sdf, "doc_id", "text"))
+    p = str(tmp_path / "c4_docs.parquet")
+    sdf.coalesce(1).write.mode("overwrite").parquet(p)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in duckdb.sql(
+            c4_sql_duck(f"read_parquet('{p}/*.parquet')", "doc_id", "text")
+        ).fetchall()
+    }
+    # duckdb returns columns in the oracle's order: align by name
+    import re as _re
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == want[k], (k, got[k], want[k])
+    # rule-level spot checks
+    by = {r["id"]: r for r in c4_quality_df(sdf, "doc_id", "text").collect()}
+    assert by[1].kept_lines == 3 and by[1].c4_pass  # 'short line.' dropped (<5 words)
+    assert by[2].kept_lines == 0 and not by[2].c4_pass
+    assert by[3].kept_lines == 1  # javascript line dropped
+    assert by[4].has_lorem and not by[4].c4_pass
+    assert by[5].has_brace and not by[5].c4_pass
+    assert by[6].clean_text == "" and not by[6].c4_pass
+    assert by[7].clean_text == "" and not by[7].c4_pass
+    assert by[8].bad_word_hits == 2 and not by[8].c4_pass
+    # quote-terminated line is KEPT by the line filter but adds no [.!?]
+    # sentence mark, so the <3-sentences gate still rejects the page
+    assert by[9].kept_lines == 3 and by[9].n_sentences == 2 and not by[9].c4_pass
+
+
+def test_c4_quality_parity_on_corpus(spark, sf_dir, tmp_path):
+    from guava_probably_spark.pipeline.textops import c4_quality_df, c4_sql_duck
+
+    # fixture text has no newlines: inject line breaks every 8 words so the
+    # line filter has real work (same trick as the boilerplate bench row)
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n")
+    )
+    got = _c4_rows(c4_quality_df(docs, "doc_id", "text"))
+    p = str(tmp_path / "c4_corpus.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(p)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in duckdb.sql(
+            c4_sql_duck(f"read_parquet('{p}/*.parquet')", "doc_id", "text")
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_c4_clean_text_local_recompute(spark):
+    from guava_probably_spark.pipeline import textexpr
+    from guava_probably_spark.pipeline.textops import c4_quality_df
+
+    text = ("Alpha beta gamma delta epsilon zeta.\n"
+            "tiny.\n"
+            "Uses javascript under the hood every day.\n"
+            "Final sentence with a full stop and words.")
+    sdf = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = c4_quality_df(sdf, "doc_id", "text").collect()[0]
+
+    def keep(line):
+        t = line.strip()
+        wc = len(" ".join(line.split()).strip().split(" "))
+        return (bool(t) and t[-1] in '.!?"' and wc >= textexpr.C4_MIN_LINE_WORDS
+                and "javascript" not in line.lower())
+
+    kept = [l for l in text.split("\n") if keep(l)]
+    assert row.clean_text == "\n".join(kept)
+    assert row.kept_lines == len(kept) == 2
+    assert row.n_sentences == sum(c in ".!?" for c in row.clean_text)
