@@ -284,7 +284,18 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
         dt = time.monotonic() - t0
         best = dt if best is None else min(best, dt)
     timings["q_transcripts_multisketch"] = round(best, 3)
-    timed("q_transcripts_jvmscan", lambda: transcripts_job_jvmscan(spark, t_path))
+    # warm + best-of-2 (same discipline as multisketch above): a single
+    # shot recorded 15.3 s against a 2.8-3.4 s band once in r4 — one-off
+    # scheduler/compile noise, not scan cost
+    _note_mem("q_transcripts_jvmscan")
+    transcripts_job_jvmscan(spark, t_path)
+    best_s = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        transcripts_job_jvmscan(spark, t_path)
+        dt = time.monotonic() - t0
+        best_s = dt if best_s is None else min(best_s, dt)
+    timings["q_transcripts_jvmscan"] = round(best_s, 3)
     turns = out["hll_conv"][1]
     extras["transcripts_rows"] = turns
     extras["transcripts_distinct_convs_est"] = round(out["hll_conv"][0].estimate())
