@@ -284,9 +284,9 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
         dt = time.monotonic() - t0
         best = dt if best is None else min(best, dt)
     timings["q_transcripts_multisketch"] = round(best, 3)
-    # warm + best-of-2 (same discipline as multisketch above): a single
-    # shot recorded 15.3 s against a 2.8-3.4 s band once in r4 — one-off
-    # scheduler/compile noise, not scan cost
+    # warm + best-of-2 (multisketch above warms + takes best-of-3): a
+    # single shot recorded 15.3 s against a 2.8-3.4 s band once in r4 —
+    # one-off scheduler/compile noise, not scan cost
     _note_mem("q_transcripts_jvmscan")
     transcripts_job_jvmscan(spark, t_path)
     best_s = None
@@ -881,7 +881,7 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
         # DSIR importance resampling (Xie et al. 2023): fit hashed-bigram
         # bag models on a 4k-doc target slice + the 400k raw corpus (two
         # scans, <=10k-row shuffles, 80 KB driver state), then one scored
-        # scan (broadcast 10k-row lambda table, integer Q24.40 sums) and
+        # scan (broadcast 10k-row lambda table, integer fixed-point sums) and
         # Gumbel top-k. Three gram explodes total; md5 bucket hash is the
         # dual-dialect oracle-checkable path.
         from guava_probably_spark.pipeline.dsir import dsir_select

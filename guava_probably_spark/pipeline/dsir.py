@@ -20,7 +20,7 @@ Plan shape (scales to an unbounded corpus — bounded state throughout):
    ``buckets`` rows total (80 KB at the paper's 10k buckets) — never
    corpus-sized state. The raw gram frame is pinned once
    (``localCheckpoint``) and reused by the scored pass.
-2. **weight** — the per-bucket log-ratio vector is quantized to Q24.40
+2. **weight** — the per-bucket log-ratio vector is quantized to Q.32
    fixed point and shipped as a broadcast ``(bucket, lam)`` dim table;
    one more raw scan explodes grams, broadcast-joins the 10k-row table
    (no shuffle of gram rows) and sums per doc with map-side combine
@@ -47,10 +47,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from guava_probably_spark.pipeline import textexpr
 
-# Q24.40 fixed point for the per-bucket log-ratio: |lambda| <= 2*|log(1/(N+B))|
-# < 64 for any corpus below 2^63 grams, and docs hold < 2^23 grams, so the
-# per-doc sum stays below 2^(24+40-1+23-17) << 2^63
-_LAM_SCALE = 1 << 40
+# Q.32 fixed point for the per-bucket log-ratio. Overflow headroom:
+# |lambda| <= 2*log(N+B) < 2*log(2^63) < 88 < 2^7, so |lam_scaled| < 2^39;
+# a doc holds < 2^23 grams, so the per-doc int64 sum stays below
+# 2^(39+23) = 2^62 < 2^63 — no wrap even in the worst case. (A 2^40 scale
+# would put the same worst case at 2^70 and overflow the ANSI-mode sum.)
+# Precision 2^-32 ~ 2.3e-10 per gram is far below any meaningful weight
+# difference.
+_LAM_SCALE = 1 << 32
 
 
 def _gram_df(df: DataFrame, id_col: str | None, text_col: str) -> DataFrame:
@@ -155,8 +159,8 @@ def dsir_logweights(
 ) -> DataFrame:
     """(id, n_grams, lw_scaled, logweight) importance weights per raw doc.
 
-    ``lw_scaled`` (Q24.40 int64) is byte-identical under any partitioning
-    or AQE plan; ``logweight = lw_scaled / 2^40`` is the float view.
+    ``lw_scaled`` (Q.32 int64) is byte-identical under any partitioning
+    or AQE plan; ``logweight = lw_scaled / 2^32`` is the float view.
     Driver state: two ``buckets``-sized count vectors + the lambda table.
     Every doc emits a row (``split`` yields at least one token).
 
@@ -215,8 +219,9 @@ def dsir_select(
     Deterministic for a fixed seed: the Gumbel noise is a pure function
     of (id, seed) via the same dual-dialect md5 hash, and the integer
     ``lw_scaled`` sum is partition-invariant, so the selected SET is
-    reproducible run to run. Returns (id, n_grams, logweight, score),
-    score-descending.
+    reproducible run to run. Returns (id, n_grams, lw_scaled, logweight,
+    score), score-descending — ``lw_scaled`` is kept because it is the
+    determinism-bearing exact value.
     """
     if k <= 0:
         raise ValueError("k must be positive")

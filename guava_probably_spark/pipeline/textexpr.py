@@ -398,7 +398,7 @@ C4_MIN_LINE_WORDS = 5
 C4_MIN_SENTENCES = 3
 # terminal punctuation accepted at end-of-line: period / bang / question /
 # closing double quote (the paper's "terminal punctuation mark")
-_C4_TERMINAL_RE = '[.!?"]$'
+_C4_TERMINAL = ('.', '!', '?', '"')
 
 
 def c4_kept_lines_expr(col: str, dialect: str) -> str:
@@ -406,19 +406,28 @@ def c4_kept_lines_expr(col: str, dialect: str) -> str:
     punctuation mark AND has >= C4_MIN_LINE_WORDS whitespace words AND does
     not mention 'javascript' (case-insensitive). HOF filter is interpreted
     per ELEMENT, which is fine here — elements are lines (~10/doc), not
-    grams; the predicate itself is engine-compiled regex/string ops."""
+    grams; the predicate itself is engine-compiled regex/string ops.
+
+    The terminal check is a LAST-CHAR test on the whitespace-trimmed line
+    (CR from CRLF endings stripped first), NOT a '$' regex anchor: Java
+    '$' matches before a final line terminator while RE2 '$' matches only
+    end-of-text, so an anchor silently diverges between the engines on
+    '...today.\\r' lines — exactly the CRLF text C4 targets."""
     _q(dialect)
     lines = lines_expr(col, dialect)
+    punct = ", ".join(f"'{c}'" for c in _C4_TERMINAL)
     if dialect == "spark":
+        tl = "trim(replace(l, '\\r', ''))"
         wc = "size(split(trim(regexp_replace(l, '\\\\s+', ' ')), ' '))"
         return (
-            f"filter({lines}, l -> trim(l) RLIKE '{_C4_TERMINAL_RE}' "
+            f"filter({lines}, l -> right({tl}, 1) IN ({punct}) "
             f"AND {wc} >= {C4_MIN_LINE_WORDS} "
             f"AND lower(l) NOT LIKE '%javascript%')"
         )
+    tl = "trim(replace(l, chr(13), ''))"
     wc = "len(string_split(trim(regexp_replace(l, '\\s+', ' ', 'g')), ' '))"
     return (
-        f"list_filter({lines}, l -> regexp_matches(trim(l), '{_C4_TERMINAL_RE}') "
+        f"list_filter({lines}, l -> right({tl}, 1) IN ({punct}) "
         f"AND {wc} >= {C4_MIN_LINE_WORDS} "
         f"AND lower(l) NOT LIKE '%javascript%')"
     )

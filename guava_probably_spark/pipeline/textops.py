@@ -319,7 +319,9 @@ def ngram_repetition_df(
 
 
 # chunk bound for the in-kernel word stream: keeps the injective product
-# gram_code * vocab + word_code far below 2^63 (W ≤ 2^22 ⇒ product ≤ 2^44)
+# gram_code * vocab + word_code far below 2^63 (W ≤ 2^22 ⇒ product ≤ 2^44;
+# a single doc larger than the bound is taken whole, so the true limit is
+# max(2^22, words-in-largest-doc) — int64-safe up to ~3·10^9-word docs)
 # and bounds the kernel's working set independent of Arrow batch size
 _NGRAM_CHUNK_WORDS = 4_194_304
 
@@ -348,12 +350,14 @@ def _ngram_rep_batch(batch, top_ns: tuple, dup_ns: tuple, chunk_words: int):
         [f"top{n}_chars" for n in top_ns] + [f"dup{n}_chars" for n in dup_ns]
     )}
 
-    # process in word-bounded doc chunks (exactness + memory bound)
+    # process in word-bounded doc chunks (exactness + memory bound):
+    # largest doc prefix with cum[end] - cum[start] <= chunk_words, except
+    # a single over-budget doc is taken whole (docs never split)
     cum = np.concatenate(([0], np.cumsum(counts)))
     start_doc = 0
     while start_doc < ndocs:
         end_doc = int(
-            np.searchsorted(cum, cum[start_doc] + chunk_words, side="right")
+            np.searchsorted(cum, cum[start_doc] + chunk_words, side="right") - 1
         )
         end_doc = max(start_doc + 1, min(end_doc, ndocs))
         _ngram_rep_chunk(

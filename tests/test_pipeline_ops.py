@@ -1166,6 +1166,12 @@ def test_c4_quality_matches_duckdb_edge_cases(spark, tmp_path):
         (9, 'He said "stop right there before the gate."\n'
             'A quoted ending counts as terminal punctuation "\n'
             "Third sentence here has plenty of words overall."),
+        # CRLF endings: Java-regex '$' matches before the trailing \r while
+        # RE2 '$' does not — the last-char test must keep both engines
+        # identical AND keep the lines (the \r is line-ending residue)
+        (10, "Windows line one has enough words here.\r\n"
+             "Windows line two has enough words too!\r\n"
+             "Windows line three has enough words also?\r"),
     ]
     sdf = spark.createDataFrame(docs, "doc_id long, text string")
     got = _c4_rows(c4_quality_df(sdf, "doc_id", "text"))
@@ -1177,8 +1183,8 @@ def test_c4_quality_matches_duckdb_edge_cases(spark, tmp_path):
             c4_sql_duck(f"read_parquet('{p}/*.parquet')", "doc_id", "text")
         ).fetchall()
     }
-    # duckdb returns columns in the oracle's order: align by name
-    import re as _re
+    # want tuples rely on c4_sql_duck's SELECT order matching _c4_rows'
+    # column list (positional compare, both fixed in this file)
     assert set(got) == set(want)
     for k in got:
         assert got[k] == want[k], (k, got[k], want[k])
@@ -1195,6 +1201,7 @@ def test_c4_quality_matches_duckdb_edge_cases(spark, tmp_path):
     # quote-terminated line is KEPT by the line filter but adds no [.!?]
     # sentence mark, so the <3-sentences gate still rejects the page
     assert by[9].kept_lines == 3 and by[9].n_sentences == 2 and not by[9].c4_pass
+    assert by[10].kept_lines == 3 and by[10].c4_pass  # CRLF lines kept
 
 
 def test_c4_quality_parity_on_corpus(spark, sf_dir, tmp_path):
