@@ -1245,3 +1245,38 @@ def test_c4_clean_text_local_recompute(spark):
     assert row.clean_text == "\n".join(kept)
     assert row.kept_lines == len(kept) == 2
     assert row.n_sentences == sum(c in ".!?" for c in row.clean_text)
+
+
+def test_c4_plan_has_no_exchange(spark, sf_dir):
+    """The C4 pass is per-doc: the physical plan must contain NO Exchange
+    at any scale (the 100-TB claim is structural, not a tuning outcome)."""
+    from guava_probably_spark.pipeline.textops import c4_quality_df
+    from guava_probably_spark.plans import physical_plan
+
+    plan = physical_plan(c4_quality_df(_docs(spark, sf_dir), "doc_id", "text"))
+    assert "Exchange" not in plan, plan
+
+
+def test_ngram_repetition_plan_has_no_exchange(spark, sf_dir):
+    """Per-doc gram stats via the Arrow kernel: zero shuffle by design."""
+    from guava_probably_spark.plans import physical_plan
+
+    plan = physical_plan(
+        ngram_repetition_df(_docs(spark, sf_dir), "doc_id", "text")
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_dsir_score_plan_broadcasts_lambda(spark, sf_dir):
+    """The DSIR scored pass must broadcast the buckets-row lambda table
+    (never sort-merge 10k rows against the gram stream) and shuffle only
+    the per-doc aggregation."""
+    from guava_probably_spark.pipeline.dsir import dsir_logweights
+    from guava_probably_spark.plans import physical_plan
+
+    docs = _docs(spark, sf_dir)
+    tgt = docs.filter(F.col("doc_id") % 10 == 0)
+    plan = physical_plan(dsir_logweights(docs, tgt, "doc_id", "text", 257))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
