@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from guava_probably_spark.pipeline import textexpr, textops
+from guava_probably_spark.pipeline.dsir import dsir_counts_sql_duck
 from guava_probably_spark.pipeline.dedup import (
     exact_dedup,
     exact_jaccard_pairs,
@@ -631,13 +632,27 @@ def _q_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k vocabulary via MG candidate pruning + exact verify of the
-    retained set only — the token stream itself is never shuffled."""
+    retained set only — the token stream itself is never shuffled.
+
+    Round 4 adds the 'dsir' branch: the DSIR count-model fit
+    (pipeline/dsir.dsir_bucket_counts, Xie et al. 2023) over 257 hashed
+    unigram+bigram buckets in the dual-dialect md5 mode — every bucket's
+    exact count hash-checked against the same featurization recomputed in
+    DuckDB, so the driver pins the model half of the importance-resampling
+    pipeline (weights/selection are float-log and stay pytest-exact)."""
+    from guava_probably_spark.pipeline.dsir import dsir_bucket_counts
     from guava_probably_spark.pipeline.textops import vocab_topk
 
     docs = _t(spark, sf_dir, "documents")
     out, guaranteed = vocab_topk(docs, "text", k=25, mg_k=4096)
     assert guaranteed  # containment certificate must hold on this corpus
-    return out
+    vocab = out.select(F.lit("vocab").alias("kind"), "word", "cnt")
+    dsir = dsir_bucket_counts(docs, "text", buckets=257, hash="md5").select(
+        F.lit("dsir").alias("kind"),
+        F.col("bucket").cast("string").alias("word"),
+        F.col("c").cast("long").alias("cnt"),
+    )
+    return vocab.unionByName(dsir)
 
 
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -924,9 +939,15 @@ def pipeline_oracle_sql() -> dict[str, str]:
         ))(),
         "vocab_topk_documents": (
             f"WITH w AS (SELECT unnest({textexpr.words_expr('text', 'duck')}) "
-            "AS word FROM documents) "
-            "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w "
-            "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"
+            "AS word FROM documents), "
+            "vt AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w "
+            "GROUP BY word ORDER BY cnt DESC, word LIMIT 25) "
+            "SELECT 'vocab' AS kind, word, cnt FROM vt "
+            "UNION ALL "
+            "SELECT 'dsir' AS kind, CAST(bucket AS VARCHAR) AS word, "
+            "CAST(c AS BIGINT) AS cnt FROM ("
+            + dsir_counts_sql_duck("documents", "text", buckets=257)
+            + ")"
         ),
         "contamination_check_documents": (
             "WITH ev AS (SELECT doc_id + 500000 AS id, "
