@@ -246,6 +246,10 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ddsketch: bucket-count addition is exact ⇒ byte-equality while no
         # collapse fires (max_bins default spans >10^17 dynamic range)
         "dd": SketchSpec("dd", {"alpha": 0.01}),
+        # req: randomized relative compactors (Cormode et al. PODS 2021) —
+        # bytes are merge-order-sensitive like kll/tdigest; both
+        # bracketings must stay within the uniform view of the bound
+        "req": SketchSpec("req", {"k": 32}),
     }
     exact_users = {
         r.user_id: r.c
@@ -253,7 +257,7 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     rows = []
     for kind, spec in specs.items():
-        if kind in ("kll", "tdigest", "dd"):
+        if kind in ("kll", "tdigest", "dd", "req"):
             col = "value"
         elif kind == "cuckoo":
             col = "event_id"  # unique keys: >2b duplicate fingerprints overflow
@@ -1219,8 +1223,49 @@ def _q_quantile_rank_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _q_dd_relative(spark, sf_dir).select(
         F.lit("dd_lineitem_price").alias("name"), "q_label", "within"
     )
+    rq = _q_req_relative(spark, sf_dir).select(
+        F.lit("req_lineitem_price").alias("name"), "q_label", "within"
+    )
     h = _histogram_rows(spark, sf_dir)
-    return k.unionByName(t).unionByName(r).unionByName(d).unionByName(h)
+    return (
+        k.unionByName(t)
+        .unionByName(r)
+        .unionByName(d)
+        .unionByName(rq)
+        .unionByName(h)
+    )
+
+
+def _q_req_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REQ high-rank-accuracy rows (sketches/req.py — Cormode, Karnin,
+    Liberty, Thaler, Veselý, PODS 2021): quantile estimates at the extreme
+    upper ranks, each checked with the RELATIVE bound
+    |R(v̂) − q| ≤ ε·(1−q+1/n) — error proportional to the distance from
+    the top, the guarantee class the uniform-band rank sketches (KLL,
+    t-digest) cannot give. Tie-aware: the error is the distance to the
+    estimate's rank interval [P(x<v̂), P(x≤v̂)], computed distributed."""
+    df = _t(spark, sf_dir, "lineitem")
+    sk, n, _ = collect_sketch(df, "l_extendedprice", SketchSpec("req", {"k": 32}))
+    qs = [0.5, 0.9, 0.99, 0.999]
+    labels = ["p50", "p90", "p99", "p999"]
+    ests = [float(sk.quantile(x)) for x in qs]
+    aggs = []
+    for i, v in enumerate(ests):
+        aggs.append(
+            (F.sum(F.when(F.col("l_extendedprice") < F.lit(v), 1).otherwise(0)) / F.count("*")).alias(f"lo{i}")
+        )
+        aggs.append(
+            (F.sum(F.when(F.col("l_extendedprice") <= F.lit(v), 1).otherwise(0)) / F.count("*")).alias(f"hi{i}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    eps = sk.relative_rank_error_bound()
+    rows = []
+    for i, (q, lab) in enumerate(zip(qs, labels)):
+        err = max(0.0, row[f"lo{i}"] - q, q - row[f"hi{i}"])
+        rows.append(
+            Row(q_label=lab, within=bool(err <= eps * (1.0 - q + 1.0 / max(n, 1))))
+        )
+    return spark.createDataFrame(rows)
 
 
 def _histogram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1647,6 +1692,8 @@ def oracle_sql() -> dict[str, str]:
             "('dd_lineitem_price', 'p50'), ('dd_lineitem_price', 'p75'), "
             "('dd_lineitem_price', 'p90'), ('dd_lineitem_price', 'p99'), "
             "('dd_lineitem_price', 'collapses_zero'), "
+            "('req_lineitem_price', 'p50'), ('req_lineitem_price', 'p90'), "
+            "('req_lineitem_price', 'p99'), ('req_lineitem_price', 'p999'), "
             "('histogram_lineitem_price', 'counts_exact'), "
             "('histogram_lineitem_price', 'total_exact'), "
             "('histogram_lineitem_price', 'depth_within'), "
@@ -1667,7 +1714,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_associativity": (
             "SELECT kind, true AS ok FROM (VALUES ('bloom'), ('cuckoo'), ('hll'), "
             "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta'), ('sbf'), ('dd'), "
-            "('fd'), ('fold')) AS t(kind)"
+            "('req'), ('fd'), ('fold')) AS t(kind)"
         ),
         "grouped_hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "

@@ -351,6 +351,10 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
         lambda: collect_sketch(events, "value", SketchSpec("dd", {"alpha": 0.01})),
     )
     timed(
+        "q_req_events_value",
+        lambda: collect_sketch(events, "value", SketchSpec("req", {"k": 32})),
+    )
+    timed(
         "q_grouped_hll_returnflag",
         lambda: build_grouped(
             lineitem, "l_returnflag", "l_orderkey", SketchSpec("hll", {"p": 12}), salt=8
@@ -1071,6 +1075,7 @@ def run_accuracy(spark, t_path: str) -> dict:
         ("kll", "turn_idx", SketchSpec("kll", {"k": kll_k})),
         ("tdigest", "turn_idx", SketchSpec("tdigest", {"delta": td_delta})),
         ("dd", "turn_idx", SketchSpec("dd", {"alpha": 0.01})),
+        ("req", "turn_idx", SketchSpec("req", {"k": 32})),
     ]
     built = collect_sketches_files(spark, t_path, targets)
     sks = {name: t[0] for name, t in built.items()}
@@ -1169,6 +1174,27 @@ def run_accuracy(spark, t_path: str) -> dict:
         "collapses": sks["dd"].collapses,
         "ok": bool(rel.max() <= 0.01 and sks["dd"].collapses == 0),
     }
+
+    # -- req: RELATIVE rank error at the extreme upper quantiles — the
+    #    guarantee class KLL's uniform band cannot give (err <= eps*(1-q)
+    #    in normalized terms); tie-aware interval as for kll/tdigest ------
+    rq = np.array([0.9, 0.99, 0.999, 0.9999])
+    vals = np.atleast_1d(sks["req"].quantile(rq))
+    aggs = []
+    for i, v in enumerate(vals):
+        aggs.append(F.avg((F.col("turn_idx") < float(v)).cast("double")).alias(f"rlo{i}"))
+        aggs.append(F.avg((F.col("turn_idx") <= float(v)).cast("double")).alias(f"rhi{i}"))
+    row = df.agg(*aggs).collect()[0]
+    rels = [
+        max(0.0, row[f"rlo{i}"] - q, q - row[f"rhi{i}"]) / (1.0 - q + 1.0 / n_rows)
+        for i, q in enumerate(rq)
+    ]
+    eps = sks["req"].relative_rank_error_bound()
+    out["req"] = {
+        "max_rel_rank_err": round(float(max(rels)), 6),
+        "bound_eps": round(float(eps), 6),
+        "ok": bool(max(rels) <= eps),
+    }
     return out
 
 
@@ -1200,6 +1226,9 @@ def main() -> None:
                 o, b = f"max over {v['max_over']}", f"ε·N = {v['bound_epsN']}"
             elif "max_under" in v:
                 o, b = f"max under {v['max_under']}", f"N/k = {v['bound_N_over_k']}"
+            elif "max_rel_rank_err" in v:
+                o = f"max relative rank err {v['max_rel_rank_err']}"
+                b = f"ε·(1−q) with ε = {v['bound_eps']}"
             elif "max_rel_err" in v:
                 o = f"max rel err {v['max_rel_err']} (collapses {v['collapses']})"
                 b = f"α = {v['bound_alpha']}"

@@ -20,6 +20,7 @@ from .bloom import BloomSketch, bloom_geometry
 from .cms import CmsSketch, cms_geometry
 from .cuckoo import CuckooSketch, cuckoo_geometry
 from .dd import DDSketch
+from .req import ReqSketch
 from .hll import HllSketch
 from .kll import KllSketch
 from .mg import MisraGriesSketch
@@ -40,6 +41,7 @@ _KINDS = {
     "fd": FrequentDirectionsSketch,
     "sbf": ScalableBloomSketch,
     "dd": DDSketch,
+    "req": ReqSketch,
 }
 
 

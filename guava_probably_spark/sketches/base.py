@@ -39,6 +39,7 @@ KIND_THETA = 8
 KIND_FD = 9
 KIND_SBF = 10
 KIND_DD = 11
+KIND_REQ = 12
 
 # Funnels: how an element column is reduced to hashable bytes.  The funnel id
 # is part of filter compatibility, mirroring Guava Funnel identity semantics

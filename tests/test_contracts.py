@@ -22,6 +22,7 @@ SPECS = [
     SketchSpec("tdigest", {"delta": 100.0}),
     SketchSpec("sbf", {"initial_capacity": 512, "fpp": 0.01, "funnel": FUNNEL_LONG}),
     SketchSpec("dd", {"alpha": 0.01}),
+    SketchSpec("req", {"k": 32}),
 ]
 IDS = [s.kind for s in SPECS]
 
@@ -34,6 +35,7 @@ INCOMPATIBLE_TWINS = {
     "tdigest": SketchSpec("tdigest", {"delta": 50.0}),
     "sbf": SketchSpec("sbf", {"initial_capacity": 511, "fpp": 0.01, "funnel": FUNNEL_LONG}),
     "dd": SketchSpec("dd", {"alpha": 0.02}),
+    "req": SketchSpec("req", {"k": 64}),
 }
 
 
