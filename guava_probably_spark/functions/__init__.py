@@ -186,7 +186,8 @@ def sketch_expected_fpp():
 
 
 def quantile_udf(q: float):
-    """Quantile estimate over a KLL/t-digest `sketch binary` column."""
+    """Quantile estimate over a quantile-sketch `sketch binary` column
+    (KLL / t-digest / DDSketch / REQ — kind-dispatched via from_bytes)."""
 
     @pandas_udf(DoubleType())
     def f(blobs: pd.Series) -> pd.Series:
