@@ -23,7 +23,7 @@ from .window import running_distinct  # noqa: F401
 from .store import merge_sketch_tables, write_bucketed_sketches  # noqa: F401
 from .sessionize import sessionize  # noqa: F401
 from .grouped_cms import grouped_cms  # noqa: F401
-from .grouped_kll import grouped_dd, grouped_kll, grouped_tdigest  # noqa: F401
+from .grouped_kll import grouped_dd, grouped_kll, grouped_req, grouped_tdigest  # noqa: F401
 from .grouped_theta import grouped_theta  # noqa: F401
 from .grouped_quantiles import grouped_quantiles  # noqa: F401
 from .grouped_mode import grouped_mode  # noqa: F401

@@ -460,3 +460,36 @@ def grouped_dd(
         # int64 store it ships
         max(2 * max_bins, 1024) if hot_threshold is None else hot_threshold,
     )
+
+
+def grouped_req(
+    df: DataFrame,
+    key: str,
+    col: str,
+    k: int = 32,
+    hra: bool = True,
+    partitions: int | None = None,
+    assume_colocated: bool = False,
+    pre_reduce: bool | str = "auto",
+    hot_threshold: int | None = None,
+) -> DataFrame:
+    """Per-key ReqSketch at high key cardinality → (key, sketch, n): the
+    "per-conversation p99.99 within RELATIVE rank error" query — the
+    sharp-extreme-tail guarantee (sketches/req.py, Cormode et al. PODS
+    2021) through the same narrow shuffle + segment-loop + sampled-probe
+    skew armor as ``grouped_kll``. REQ compaction is randomized and
+    order-sensitive like KLL/t-digest: per-key estimates are
+    within-bound, not byte-identical, across partitionings."""
+
+    def make():
+        from ..sketches.req import ReqSketch
+
+        return ReqSketch(k=k, hra=hra)
+
+    return _grouped_value_sketch(
+        df, key, col, make, partitions, assume_colocated,
+        pre_reduce,
+        # a REQ partial holds ~2·3·k floats per level at low n: partials
+        # beat raw rows from a few hundred rows per (partition, key)
+        max(64 * k, 1024) if hot_threshold is None else hot_threshold,
+    )

@@ -605,3 +605,36 @@ def test_grouped_theta_prehash_blob_identity_and_isolation(spark):
         rows["k0"][0].merge(plain["k0"])
     with pytest.raises(ValueError):
         grouped_theta(df, "g", "v", k=256, prehash=True, pre_reduce=True)
+
+
+def test_grouped_req_relative_tail_both_phases(spark):
+    """grouped_req on the shared kernel: per-key extreme-tail ranks within
+    the RELATIVE bound (eps*(1-q)) — exercised through BOTH the
+    single-phase build and the forced pre_reduce partial path (REQ
+    partials are mergeable)."""
+    rng = np.random.default_rng(23)
+    n = 60_000
+    pdf = pd.DataFrame(
+        {"g": [f"c{i % 4}" for i in range(n)], "x": np.exp(rng.normal(0, 1.5, n))}
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    from guava_probably_spark.operators import grouped_req
+
+    for phase in (False, True):
+        rows = {
+            r.key: (Sketch.from_bytes(r.sketch), r.n)
+            for r in grouped_req(df, "g", "x", k=32, pre_reduce=phase).collect()
+        }
+        assert len(rows) == 4
+        for g, sub in pdf.groupby("g"):
+            sk, cnt = rows[g]
+            assert cnt == len(sub)
+            xs = np.sort(np.asarray(sub.x))
+            m = len(xs)
+            eps = sk.relative_rank_error_bound()
+            for q in (0.9, 0.99, 0.999):
+                v = float(sk.quantile(q))
+                lo = float(np.mean(xs < v))
+                hi = float(np.mean(xs <= v))
+                err = max(0.0, lo - q, q - hi)
+                assert err <= eps * (1 - q + 1.0 / m), (g, q, phase)
