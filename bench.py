@@ -792,6 +792,21 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     warmed("q_weighted_sample_docs", weighted)
 
+    def priority():
+        from guava_probably_spark.pipeline.sampling import priority_sample
+
+        # DLT priority sampling: same TakeOrderedAndProject shape as the ES
+        # row plus the (k+1)-row tau window; summing est_weight forces the
+        # estimator column (a bare count would prune the max(w, tau))
+        d = big_docs.withColumn("w", F.length("text").cast("double"))
+        return (
+            priority_sample(d, ["doc_id"], "w", 10_000)
+            .agg(F.sum("est_weight"))
+            .collect()[0][0]
+        )
+
+    warmed("q_priority_sample_docs", priority)
+
     def interleave():
         from guava_probably_spark.pipeline.sampling import interleave_sources
 

@@ -39,6 +39,8 @@ from guava_probably_spark.pipeline.sampling import (
     hash_split,
     hash_threshold_sample,
     interleave_sources,
+    priority_sample,
+    priority_sample_sql_duck,
     stratified_sample,
     temperature_sample,
     temperature_sample_sql_duck,
@@ -106,6 +108,8 @@ __all__ = [
     "concat_group_texts",
     "flag_contaminated",
     "weighted_sample",
+    "priority_sample",
+    "priority_sample_sql_duck",
     "interleave_sources",
     "redact_df",
     "word_repetition_df",

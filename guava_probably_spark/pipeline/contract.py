@@ -28,6 +28,7 @@ from guava_probably_spark.pipeline.dedup import (
     simhash_sql_duck,
 )
 from guava_probably_spark.pipeline.multimodal import extract_binary_features, with_payload
+from guava_probably_spark.pipeline.sampling import priority_sample_sql_duck
 from guava_probably_spark.pipeline.similarity import cosine_neardup_pairs, cosine_topk
 from guava_probably_spark.pipeline.textops import (
     langid_df,
@@ -779,15 +780,33 @@ def _q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Efraimidis–Spirakis weighted sample, weights = document length.
+    """Two weighted samplers over document length in one grid:
 
-    The ES rank ln(u)/w uses a bit-identical hash-derived uniform on both
-    engines; rank gaps at the k-boundary are ~1e-3 on this data, nine
-    orders above any libm ulp drift, so the exact oracle is stable."""
-    from guava_probably_spark.pipeline.sampling import weighted_sample
+    - 'es' — Efraimidis–Spirakis top-k by ln(u)/w.  The rank uses a
+      bit-identical hash-derived uniform on both engines; rank gaps at
+      the k-boundary are ~1e-3 on this data, nine orders above any libm
+      ulp drift, so the exact oracle is stable.
+    - 'priority' (round 4) — Duffield–Lund–Thorup priority sampling, the
+      estimation-capable sampler: est_w = max(w, tau) is the per-row
+      unbiased-subset-sum estimate; the double is bit-identical across
+      engines (one division + one max, no transcendentals) and crosses
+      the driver hash as floor(est·1024) BIGINT per the house rule that
+      compared columns stay string/long/boolean — floor of identical
+      doubles is identical, so the row still pins the estimator
+      arithmetic, not just the selected ids.  Independent salt
+      decorrelates it from the ES branch."""
+    from guava_probably_spark.pipeline.sampling import priority_sample, weighted_sample
 
     docs = _t(spark, sf_dir, "documents")
-    return weighted_sample(docs, ["doc_id"], "n_chars", 200).select("doc_id")
+    es = weighted_sample(docs, ["doc_id"], "n_chars", 200).select(
+        F.lit("es").alias("op"), "doc_id", F.lit(None).cast("long").alias("est_w_q10")
+    )
+    pri = priority_sample(docs, ["doc_id"], "n_chars", 200, salt="pri").select(
+        F.lit("priority").alias("op"),
+        "doc_id",
+        F.floor(F.col("est_weight") * 1024).cast("long").alias("est_w_q10"),
+    )
+    return es.unionByName(pri)
 
 
 def _q_threshold_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1039,10 +1058,14 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "rep.repetition_pass FROM uni JOIN rep USING (id)"
         ),
         "weighted_sample_documents": (
+            f"SELECT 'es' AS op, doc_id, CAST(NULL AS BIGINT) AS est_w_q10 FROM ("
             f"SELECT doc_id FROM documents "
             f"WHERE n_chars IS NOT NULL AND n_chars > 0 "
             f"ORDER BY ln({textexpr.hash_uniform_expr(['doc_id'], 'duck')}) "
-            f"/ CAST(n_chars AS DOUBLE) DESC, doc_id LIMIT 200"
+            f"/ CAST(n_chars AS DOUBLE) DESC, doc_id LIMIT 200) "
+            f"UNION ALL SELECT 'priority' AS op, doc_id, "
+            f"CAST(floor(est_weight * 1024) AS BIGINT) AS est_w_q10 "
+            f"FROM ({priority_sample_sql_duck('documents', ['doc_id'], 'n_chars', 200, salt='pri')})"
         ),
         "exact_dedup_documents": (
             f"WITH aug AS ({_AUG_EXACT_SQL}) "

@@ -257,20 +257,118 @@ def weighted_sample(
     pow — a single codegen projection feeding ``TakeOrderedAndProject``
     (per-partition k-row heaps, no full sort), so the plan is identical to
     ``hash_sample``'s.  P(row in sample) is proportional to weight in the
-    without-replacement sense; rows with null or non-positive weight are
-    excluded.  Deterministic in (data, salt) alone, like every sampler
+    without-replacement sense; rows with null, NaN or non-positive weight
+    are excluded (Spark orders NaN ABOVE every number, so an unguarded NaN
+    weight would pass ``w > 0`` and hijack the top of the sample).
+    Deterministic in (data, salt) alone, like every sampler
     here — reruns and retries cannot flap the selected set.
     """
     from .textexpr import hash_uniform_expr
 
     u = F.expr(hash_uniform_expr(key_cols, "spark", salt))
-    es_rank = F.log(u) / F.col(weight_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    es_rank = F.log(u) / w
     return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col).cast("double") > 0))
+        df.filter(F.col(weight_col).isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn(_RANK, es_rank)
         .orderBy(F.desc(_RANK), *key_cols)
         .limit(k)
         .drop(_RANK)
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    est_col: str = "est_weight",
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007): a fixed-size
+    weighted sample that also carries an UNBIASED subset-sum estimator —
+    the op a curation pipeline wants when it must answer "how many
+    tokens/bytes does slice S hold?" from a k-row sample instead of a
+    corpus scan.
+
+    Each row gets priority ``q = w / u`` with ``u`` the hash-derived
+    uniform in (0, 1]; the sample is the top-k by priority and
+    ``est_col = max(w, tau)`` where ``tau`` is the (k+1)-th priority.
+    For ANY fixed subset S, ``sum(est over sampled rows of S)`` is an
+    exactly unbiased estimate of ``sum(w over S)`` — and with k+1 samples
+    the variance is no worse than the optimal off-line scheme's (the
+    paper's main theorem).  If the population has ≤ k qualifying rows,
+    tau = 0 and every row reports its exact weight.
+
+    Plan shape: one codegen projection (priority is a single division —
+    no transcendentals, so the value is bit-identical on any
+    IEEE-754 engine and the DuckDB oracle can check ``est_col`` exactly)
+    feeding ``TakeOrderedAndProject`` with (k+1)-row per-partition heaps;
+    the tau/rank pass is a window over the ≤ k+1 survivors, which are
+    driver-scale by contract (same regime as ``weighted_sample``'s
+    ``limit(k)``).  Deterministic in (data, salt) alone: partitioning,
+    retries and cluster size cannot flap the sample or the estimates.
+    Rows with null, NaN or non-positive weight are excluded (they can
+    never be sampled and would poison tau — and Spark orders NaN ABOVE
+    every number, so an unguarded NaN would pass ``w > 0`` and take a
+    slot with a NaN estimate).
+
+    Reference parity: like the rest of this module, no counterpart in
+    guava-probably (SURVEY.md §2 pipeline tier); determinism discipline
+    follows the frozen dual-dialect hash contract.
+    """
+    from .textexpr import hash_uniform_expr
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = F.expr(hash_uniform_expr(key_cols, "spark", salt))
+    w = F.col(weight_col).cast("double")
+    cand = (
+        df.filter(F.col(weight_col).isNotNull() & ~F.isnan(w) & (w > 0))
+        .withColumn(_RANK, w / u)
+        .orderBy(F.desc(_RANK), *key_cols)
+        .limit(k + 1)
+    )
+    # ≤ k+1 rows from here on: the unpartitioned windows are a single
+    # driver-scale task by design, not an accident
+    order = Window.orderBy(F.desc(_RANK), *[F.col(c) for c in key_cols])
+    full = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = cand.withColumn("__gps_rn", F.row_number().over(order)).withColumn(
+        "__gps_tau",
+        F.when(F.count(F.lit(1)).over(full) == k + 1, F.min(_RANK).over(full)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return (
+        ranked.filter(F.col("__gps_rn") <= k)
+        .withColumn(est_col, F.greatest(w, F.col("__gps_tau")))
+        .drop(_RANK, "__gps_rn", "__gps_tau")
+    )
+
+
+def priority_sample_sql_duck(
+    relation: str, key_cols: list[str], weight_col: str, k: int, salt: str = "", est_col: str = "est_weight"
+) -> str:
+    """Exact DuckDB oracle for :func:`priority_sample` — same hash uniform,
+    same division, same tie order; ``est_col`` matches bit-for-bit because
+    the arithmetic is one division and one max."""
+    from .textexpr import hash_uniform_expr
+
+    u = hash_uniform_expr(key_cols, "duck", salt)
+    keys = ", ".join(key_cols)
+    return (
+        f"WITH pri AS (SELECT *, CAST({weight_col} AS DOUBLE) / {u} AS __p "
+        f"FROM {relation} WHERE {weight_col} IS NOT NULL "
+        f"AND NOT isnan(CAST({weight_col} AS DOUBLE)) "
+        f"AND CAST({weight_col} AS DOUBLE) > 0), "
+        f"r AS (SELECT *, row_number() OVER (ORDER BY __p DESC, {keys}) AS __rn, "
+        f"count(*) OVER () AS __n FROM (SELECT * FROM pri ORDER BY __p DESC, {keys} LIMIT {k + 1})) "
+        f"SELECT * EXCLUDE (__p, __rn, __n), "
+        f"greatest(CAST({weight_col} AS DOUBLE), CASE WHEN __n = {k + 1} "
+        f"THEN (SELECT min(__p) FROM r) ELSE 0.0 END) AS {est_col} "
+        f"FROM r WHERE __rn <= {k}"
     )
 
 

@@ -74,6 +74,10 @@ def main() -> None:
     ap.add_argument("--fraction", type=float, default=None)
     ap.add_argument("--stratify", default=None)
     ap.add_argument("--weight", default=None)
+    ap.add_argument("--estimate", action="store_true",
+                    help="with --weight/--k: priority sampling (DLT 2007) — "
+                         "adds est_weight, the per-row unbiased subset-sum "
+                         "estimator, instead of plain ES selection")
     ap.add_argument("--salt", default="")
     # split
     ap.add_argument("--fractions", default="train=0.9,val=0.05,test=0.05")
@@ -122,12 +126,14 @@ def main() -> None:
         from guava_probably_spark.pipeline.sampling import (
             hash_sample,
             hash_threshold_sample,
+            priority_sample,
             stratified_sample,
             weighted_sample,
         )
 
         if args.weight is not None and args.k is not None:
-            out = weighted_sample(df, [args.id], args.weight, args.k, salt=args.salt)
+            sampler = priority_sample if args.estimate else weighted_sample
+            out = sampler(df, [args.id], args.weight, args.k, salt=args.salt)
         elif args.stratify is not None and args.k is not None:
             out = stratified_sample(df, args.stratify, [args.id], args.k, salt=args.salt)
         elif args.k is not None:

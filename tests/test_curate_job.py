@@ -70,11 +70,23 @@ def test_sketchlib_zip_ships_every_module():
     package module — a stale zip means spark-submit ImportErrors for
     operators that pass every local test (bit round 3: dd/kmeans/overlap
     were missing until scripts/package.py was re-run). Name parity only
-    (byte equality would nag on every edit before repackaging)."""
+    (byte equality would nag on every edit before repackaging). The zip is
+    an untracked build artifact (.gitignore) — build it fresh when a clean
+    checkout lacks it; when one exists, its contents are what is checked,
+    so a stale artifact still fails."""
     import zipfile
 
+    zip_path = os.path.join(REPO, "sketchlib.zip")
+    if not os.path.exists(zip_path):
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        try:
+            import package as _package
+
+            _package.build(zip_path)
+        finally:
+            sys.path.pop(0)
     zipped = {
-        n for n in zipfile.ZipFile(os.path.join(REPO, "sketchlib.zip")).namelist()
+        n for n in zipfile.ZipFile(zip_path).namelist()
         if n.endswith(".py")
     }
     on_disk = set()

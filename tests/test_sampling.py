@@ -374,3 +374,97 @@ def test_temperature_sample_general_alpha_spark_side(spark):
     assert takes[0.3]["a"] < takes[0.7]["a"]
     with pytest.raises(ValueError):
         temperature_sample_sql_duck("t", "src", ["id"], 10, alpha=0.3)
+
+
+def test_priority_sample_matches_duckdb_oracle_bit_exact(spark):
+    """Sample set AND est_weight match DuckDB bit-for-bit: the priority is
+    one division on a bit-identical hash uniform, the estimate one max."""
+    import pandas as pd
+
+    from guava_probably_spark.pipeline.sampling import (
+        priority_sample,
+        priority_sample_sql_duck,
+    )
+
+    pdf = pd.DataFrame({"id": range(2_000)})
+    pdf["w"] = (pdf["id"] % 37 + 1).astype("int64")
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.id: r.est_weight
+        for r in priority_sample(df, ["id"], "w", 150, salt="ps").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = priority_sample_sql_duck("t", ["id"], "w", 150, salt="ps")
+    want = {r[0]: r[2] for r in con.execute(sql).fetchall()}
+    assert len(got) == 150
+    assert got == want  # exact double equality, not approx
+
+
+def test_priority_sample_partition_invariant_and_threshold_semantics(spark):
+    """Repartitioning cannot flap the sample or the estimates; every
+    estimate is >= both the row's weight and tau's floor semantics
+    (est == w exactly for rows whose weight clears tau)."""
+    import pandas as pd
+
+    from guava_probably_spark.pipeline.sampling import priority_sample
+
+    pdf = pd.DataFrame({"id": range(3_000)})
+    pdf["w"] = (pdf["id"] % 11 + 1).astype("float64")
+    df = spark.createDataFrame(pdf)
+    a = sorted(
+        (r.id, r.est_weight)
+        for r in priority_sample(df.repartition(3), ["id"], "w", 200).collect()
+    )
+    b = sorted(
+        (r.id, r.est_weight)
+        for r in priority_sample(df.repartition(23), ["id"], "w", 200).collect()
+    )
+    assert a == b and len(a) == 200
+    ests = [e for _, e in a]
+    ws = dict(zip(pdf["id"], pdf["w"]))
+    tau = min(ests)  # every estimate is max(w, tau) so min(est) == tau here
+    for i, e in a:
+        assert e == max(ws[i], tau)
+
+
+def test_priority_sample_small_population_reports_exact_weights(spark):
+    """n <= k: tau = 0, every qualifying row comes back with its exact
+    weight (the estimator degenerates to the true subset sum); NaN and
+    non-positive weights are excluded (the pandas None lands as NaN in a
+    float64 column, and Spark orders NaN above every number — an
+    unguarded NaN weight would hijack a slot; regression for the
+    ~isnan guard)."""
+    import pandas as pd
+
+    from guava_probably_spark.pipeline.sampling import priority_sample
+
+    pdf = pd.DataFrame(
+        {"id": [1, 2, 3, 4, 5], "w": [2.0, 7.0, None, 0.0, -3.0]}
+    )
+    out = priority_sample(spark.createDataFrame(pdf), ["id"], "w", 10).collect()
+    assert {r.id: r.est_weight for r in out} == {1: 2.0, 2: 7.0}
+
+
+def test_priority_sample_unbiased_subset_sum():
+    """The DLT estimator property itself (math, not the hash): over random
+    uniforms, E[sum of est over sampled members of S] = sum of w over S.
+    Vectorized simulation, tolerance ~5 sigma of the observed spread."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    w = np.array([1.0, 1.0, 2.0, 3.0, 5.0, 8.0, 13.0, 21.0])
+    n, k, trials = len(w), 3, 200_000
+    u = rng.random((trials, n))
+    pri = w / u
+    # tau = (k+1)-th largest priority per trial
+    part = np.partition(pri, n - k - 1, axis=1)
+    tau = part[:, n - k - 1]
+    in_sample = pri > tau[:, None]  # top-k (ties have measure zero)
+    est = np.maximum(w[None, :], tau[:, None]) * in_sample
+    for subset in ([0, 1], [4, 5, 6], list(range(n))):
+        s = np.asarray(subset)
+        sums = est[:, s].sum(axis=1)
+        truth = w[s].sum()
+        se = sums.std(ddof=1) / np.sqrt(trials)
+        assert abs(sums.mean() - truth) < 5 * se + 1e-9
