@@ -17,6 +17,7 @@ from .base import (
     hash_column,
 )
 from .bloom import BloomSketch, bloom_geometry
+from .bottomk import BottomKSketch
 from .cms import CmsSketch, cms_geometry
 from .cuckoo import CuckooSketch, cuckoo_geometry
 from .dd import DDSketch
@@ -42,6 +43,7 @@ _KINDS = {
     "sbf": ScalableBloomSketch,
     "dd": DDSketch,
     "req": ReqSketch,
+    "bottomk": BottomKSketch,
 }
 
 
@@ -77,6 +79,7 @@ __all__ = [
     "Sketch",
     "SketchSpec",
     "BloomSketch",
+    "BottomKSketch",
     "ScalableBloomSketch",
     "CuckooSketch",
     "HllSketch",

@@ -23,6 +23,7 @@ SPECS = [
     SketchSpec("sbf", {"initial_capacity": 512, "fpp": 0.01, "funnel": FUNNEL_LONG}),
     SketchSpec("dd", {"alpha": 0.01}),
     SketchSpec("req", {"k": 32}),
+    SketchSpec("bottomk", {"k": 128, "funnel": FUNNEL_LONG}),
 ]
 IDS = [s.kind for s in SPECS]
 
@@ -36,6 +37,7 @@ INCOMPATIBLE_TWINS = {
     "sbf": SketchSpec("sbf", {"initial_capacity": 511, "fpp": 0.01, "funnel": FUNNEL_LONG}),
     "dd": SketchSpec("dd", {"alpha": 0.02}),
     "req": SketchSpec("req", {"k": 64}),
+    "bottomk": SketchSpec("bottomk", {"k": 256, "funnel": FUNNEL_LONG}),
 }
 
 
@@ -95,7 +97,7 @@ def test_merge_equals_whole_build_or_within_bound(spec):
     right_inner = build(parts[1]).merge(build(parts[2]))
     right = build(parts[0]).merge(right_inner)
 
-    if spec.kind in ("bloom", "hll", "cms", "dd"):
+    if spec.kind in ("bloom", "hll", "cms", "dd", "bottomk"):
         whole = build(data)
         assert left.to_bytes() == right.to_bytes() == whole.to_bytes()
     elif spec.kind == "sbf":
@@ -140,7 +142,7 @@ def test_merge_commutativity(spec):
 
     ab = build(a_data).merge(build(b_data))
     ba = build(b_data).merge(build(a_data))
-    if spec.kind in ("bloom", "hll", "cms", "sbf", "dd"):
+    if spec.kind in ("bloom", "hll", "cms", "sbf", "dd", "bottomk"):
         assert ab.to_bytes() == ba.to_bytes()
     elif spec.kind == "cuckoo":
         uniq = np.unique(data)
@@ -168,6 +170,7 @@ def test_from_bytes_corruption_always_raises_valueerror():
         SketchSpec("fd", {"ell": 16}),
         SketchSpec("dd", {"alpha": 0.01, "max_bins": 256}),
         SketchSpec("sbf", {"initial_capacity": 128, "fpp": 0.02, "funnel": FUNNEL_LONG}),
+        SketchSpec("bottomk", {"k": 64, "funnel": FUNNEL_UTF8}),
     ]
     vals = _data(2000)
     for spec in all_specs:
