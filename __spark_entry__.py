@@ -222,7 +222,9 @@ def _q_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(A∪B)∪C == A∪(B∪C) on 3 splits of events.user_id — blob byte-equality
-    for bloom/hll/cms; bound/zero-FN preservation for cuckoo/kll/tdigest;
+    for bloom/hll/cms/theta/sbf/dd/bottomk (bottomk additionally: every
+    witness decodes to a real user_id and the estimate is in bound);
+    bound/zero-FN preservation for cuckoo/kll/tdigest;
     exact count/Frobenius additivity + certified spectral bound for fd
     (Frequent Directions over embeddings, Ghashami et al. mergeability)."""
     import numpy as np
@@ -250,6 +252,10 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bytes are merge-order-sensitive like kll/tdigest; both
         # bracketings must stay within the uniform view of the bound
         "req": SketchSpec("req", {"k": 32}),
+        # bottom-k value sample: canonical retained set ⇒ blob byte-equality
+        # across bracketings, PLUS every witness must decode to a real key
+        # and the (k-1)/θ estimate must sit within 3/√(k-1)
+        "bottomk": SketchSpec("bottomk", {"k": 1024}),
     }
     exact_users = {
         r.user_id: r.c
@@ -268,6 +274,13 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         right = a.copy().merge(b.copy().merge(c.copy()))
         if kind in ("bloom", "hll", "cms", "theta", "sbf", "dd"):
             ok = left.to_bytes() == right.to_bytes()
+        elif kind == "bottomk":
+            nd = len(exact_users)
+            ok = (
+                left.to_bytes() == right.to_bytes()
+                and abs(left.estimate() - nd) <= left.relative_error_bound() * nd
+                and all(u in exact_users for u in left.sample())
+            )
         elif kind == "mg":
             # counters are merge-order-sensitive; the bracketing bound is not
             ok = all(
@@ -1714,7 +1727,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_associativity": (
             "SELECT kind, true AS ok FROM (VALUES ('bloom'), ('cuckoo'), ('hll'), "
             "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta'), ('sbf'), ('dd'), "
-            "('req'), ('fd'), ('fold')) AS t(kind)"
+            "('req'), ('bottomk'), ('fd'), ('fold')) AS t(kind)"
         ),
         "grouped_hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "

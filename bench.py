@@ -355,6 +355,10 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
         lambda: collect_sketch(events, "value", SketchSpec("req", {"k": 32})),
     )
     timed(
+        "q_bottomk_users",
+        lambda: collect_sketch(events, "user_id", SketchSpec("bottomk", {"k": 4096})),
+    )
+    timed(
         "q_grouped_hll_returnflag",
         lambda: build_grouped(
             lineitem, "l_returnflag", "l_orderkey", SketchSpec("hll", {"p": 12}), salt=8

@@ -152,3 +152,31 @@ def test_distributed_build_byte_identical_to_local(spark):
     assert abs(sk.estimate() - 40_000) / 40_000 <= sk.relative_error_bound()
     # witnesses decode back to real column values
     assert all(s.startswith("item-") for s in sk.sample(50))
+
+
+def test_grouped_bottomk_stratified_distinct_samples(spark):
+    """Stratified distinct-key sampling in ONE grouped pass: per-key blobs
+    through the generic salted builder are byte-identical to local builds
+    over that key's rows, and below saturation each group's sample IS its
+    exact distinct set."""
+    import os
+
+    from guava_probably_spark.operators import build_grouped
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spec = SketchSpec("bottomk", {"k": 256})
+    g = build_grouped(events, "event_type", "user_id", spec, salt=4)
+    got = {r.event_type: Sketch.from_bytes(r.sketch) for r in g.collect()}
+    pdf = events.select("event_type", "user_id").toPandas()
+    assert set(got) == set(pdf["event_type"].unique())
+    for et, grp in pdf.groupby("event_type"):
+        local = BottomKSketch(256, funnel=FUNNEL_LONG)
+        local.update(grp["user_id"].to_numpy())
+        assert got[et].to_bytes() == local.to_bytes()
+        exact = {int(u) for u in grp["user_id"].unique()}
+        sample = set(got[et].sample())
+        if len(exact) <= 256:
+            assert sample == exact
+        else:
+            assert len(sample) == 256 and sample <= exact
