@@ -1070,16 +1070,78 @@ def _q_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_hll_distinct_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global HLL distinct over three (table, column) funnels — long keys,
-    string keys, and long document texts — each within 3·1.04/√m of exact."""
+    string keys, and long document texts — each within 3·1.04/√m of exact;
+    plus the ONE-SCAN table profiler (operators/profile.py) over four
+    events columns, where `within` bundles the profile's whole claim set:
+    distinct in bound, n/nulls exact, numeric min/max/mean exact + median
+    rank in the KLL band, top-1 heavy hitter bracketed by MG."""
     parts = [
         _hll_distinct("events", "user_id", "hll_events_distinct_users")(spark, sf_dir),
         _hll_distinct("lineitem", "l_partkey", "hll_lineitem_distinct_parts")(spark, sf_dir),
         _hll_distinct("documents", "text", "hll_documents_distinct_texts")(spark, sf_dir),
+        _profile_rows(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _profile_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiler branch of hll_distinct_grid — same (name, exact_distinct,
+    within) schema, one row per profiled events column."""
+    import numpy as np
+
+    from guava_probably_spark.operators import profile_summary
+
+    events = _t(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "value", "ts"]
+    prof = {r.column: r for r in profile_summary(events, columns=cols).collect()}
+    exact = events.agg(
+        F.count("*").alias("n"),
+        *[F.countDistinct(c).alias(f"d_{c}") for c in cols],
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.avg("value").alias("mean"),
+    ).collect()[0]
+    rows = []
+    for c in cols:
+        r = prof[c]
+        d = exact[f"d_{c}"]
+        ok = (
+            r.n == exact.n
+            and r.nulls == 0
+            and abs(r.distinct_est - d) <= r.distinct_rel_err * d
+        )
+        if c == "value":
+            ok = (
+                ok
+                and r.vmin == exact.vmin
+                and r.vmax == exact.vmax
+                and abs(r.mean - exact.mean) <= 1e-9 * abs(exact.mean)
+            )
+            vals = np.sort(
+                np.array(
+                    [x.value for x in events.select("value").collect()],
+                    dtype=np.float64,
+                )
+            )
+            rank = np.searchsorted(vals, r.q50) / len(vals)
+            ok = ok and abs(rank - 0.5) <= 3 * 1.7 / 200 + 0.01
+        if c == "event_type":
+            top_exact = (
+                events.groupBy("event_type").count().orderBy(F.desc("count")).first()
+            )
+            t = r.top_items[0]
+            ok = (
+                ok
+                and t.item == top_exact.event_type
+                and t.lo <= top_exact["count"] <= t.hi
+            )
+        rows.append(
+            Row(name=f"profile_events_{c}", exact_distinct=int(d), within=bool(ok))
+        )
+    return spark.createDataFrame(rows)
 
 
 def _q_membership_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1664,7 +1726,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'hll_lineitem_distinct_parts', "
             "count(DISTINCT l_partkey), true FROM lineitem "
             "UNION ALL SELECT 'hll_documents_distinct_texts', "
-            "count(DISTINCT text), true FROM documents"
+            "count(DISTINCT text), true FROM documents "
+            "UNION ALL SELECT 'profile_events_user_id', "
+            "count(DISTINCT user_id), true FROM events "
+            "UNION ALL SELECT 'profile_events_event_type', "
+            "count(DISTINCT event_type), true FROM events "
+            "UNION ALL SELECT 'profile_events_value', "
+            "count(DISTINCT value), true FROM events "
+            "UNION ALL SELECT 'profile_events_ts', "
+            "count(DISTINCT ts), true FROM events"
         ),
         "filter_membership_grid": (
             "SELECT 'bloom_events_membership' AS name, count(*) AS n_members, "

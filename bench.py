@@ -358,6 +358,14 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
         "q_bottomk_users",
         lambda: collect_sketch(events, "user_id", SketchSpec("bottomk", {"k": 4096})),
     )
+
+    def profile_all():
+        # one-scan 6-column profile: HLL + MG + KLL + exact stats per column
+        from guava_probably_spark.operators import profile_summary
+
+        return profile_summary(events).count()
+
+    timed("q_profile_events", profile_all)
     timed(
         "q_grouped_hll_returnflag",
         lambda: build_grouped(

@@ -30,3 +30,4 @@ from .grouped_mode import grouped_mode  # noqa: F401
 from .histogram import histogram_equidepth, histogram_equidepth_grouped  # noqa: F401
 from .rollup import cube_sketches, merge_level, rolling_merge, rollup_sketches  # noqa: F401
 from .overlap import source_overlap_matrix  # noqa: F401
+from .profile import profile_partials, profile_summary, profile_table  # noqa: F401

@@ -63,7 +63,7 @@ def main() -> None:
                     choices=["dedup", "sample", "split", "pack", "redact",
                              "decontaminate", "ngram-decontaminate", "quality",
                              "histogram", "boilerplate", "overlap", "dsir",
-                             "c4"])
+                             "c4", "profile"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     ap.add_argument("--id", default="doc_id")
@@ -224,6 +224,13 @@ def main() -> None:
         out = df.join(
             sel.select(F.col("id").alias(args.id), "logweight"), args.id
         )
+    elif args.op == "profile":
+        from guava_probably_spark.operators import profile_summary
+
+        # one-scan per-column profile; --stratify narrows to a column list
+        # (comma-separated), default = every profilable column
+        cols = args.stratify.split(",") if args.stratify else None
+        out = profile_summary(df, columns=cols)
     elif args.op == "c4":
         from guava_probably_spark.pipeline.textops import c4_quality_df
 

@@ -135,3 +135,14 @@ def test_curate_job_c4(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     s = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
     assert s["input_rows"] == 20 and s["output_rows"] == 10
+
+
+def test_curate_job_profile(tmp_path):
+    # one-scan column profile of sf0.001 documents: one output row per
+    # profilable column, both full-table and --stratify-narrowed
+    s = _run(tmp_path, "--op", "profile")
+    assert s["input_rows"] == 500
+    assert s["output_rows"] >= 3  # doc_id, source, text at minimum
+
+    s = _run(tmp_path, "--op", "profile", "--stratify", "doc_id,source")
+    assert s["output_rows"] == 2
