@@ -422,6 +422,18 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
     grouped_quantiles_conv()
     timed("q_grouped_quantiles_conv", grouped_quantiles_conv)
 
+    def corpus_digest_turns():
+        # one-scan multiset digest of (conv_id, turn_idx, text) — the
+        # per-turn text-equality invariant at corpus scale; pure codegen
+        # (md5 + nibble arithmetic), zero Python, one number per partition
+        from guava_probably_spark.pipeline.integrity import corpus_digest
+
+        df = spark.read.parquet(t_path)
+        return corpus_digest(df, ["conv_id", "turn_idx", "text"]).collect()[0].digest
+
+    corpus_digest_turns()
+    timed("q_corpus_digest_turns", corpus_digest_turns)
+
     def grouped_theta_daily():
         from guava_probably_spark.operators import grouped_theta
 

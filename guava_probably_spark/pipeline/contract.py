@@ -14,10 +14,11 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 
 from guava_probably_spark.pipeline import textexpr, textops
 from guava_probably_spark.pipeline.dsir import dsir_counts_sql_duck
+from guava_probably_spark.pipeline.integrity import corpus_digest_sql_duck
 from guava_probably_spark.pipeline.dedup import (
     exact_dedup,
     exact_jaccard_pairs,
@@ -196,11 +197,26 @@ def _q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document content fingerprints: oracle-matched 64-bit SimHash +
-    Karp–Rabin rolling hash, one projection-only pass each, joined on id."""
+    Karp–Rabin rolling hash, one projection-only pass each, joined on id.
+
+    Plus ONE corpus-level row (id = -1): the order/partition-invariant
+    multiset digest of (doc_id, text) from pipeline/integrity.py — two
+    independent salts in the simhash (as string) and roll_fp slots — the
+    one-scan 100-TB answer to "is this exactly the same corpus".  The
+    oracle recomputes the identical BIGINT values in DuckDB, so this row
+    is value-exact cross-engine, not a self-asserted boolean."""
+    from guava_probably_spark.pipeline.integrity import corpus_digest
+
     docs = _t(spark, sf_dir, "documents")
-    return simhash_df(docs, "doc_id", "text").join(
+    per_doc = simhash_df(docs, "doc_id", "text").join(
         rolling_fingerprint_df(docs, "doc_id", "text"), "id"
     )
+    d1 = corpus_digest(docs, ["doc_id", "text"]).collect()[0].digest
+    d2 = corpus_digest(docs, ["doc_id", "text"], salt="v2").collect()[0].digest
+    corpus_row = spark.createDataFrame(
+        [Row(id=-1, simhash=str(d1), roll_fp=int(d2))]
+    ).select("id", "simhash", F.col("roll_fp").cast("long"))
+    return per_doc.unionByName(corpus_row)
 
 
 def _q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1085,7 +1101,11 @@ def pipeline_oracle_sql() -> dict[str, str]:
             f"SELECT s.id, s.simhash, r.roll_fp FROM "
             f"({simhash_sql_duck('documents', 'doc_id', 'text')}) s JOIN "
             f"(SELECT doc_id AS id, {textexpr.rolling_hash_expr('text', 'duck')} "
-            f"AS roll_fp FROM documents) r ON s.id = r.id"
+            f"AS roll_fp FROM documents) r ON s.id = r.id "
+            f"UNION ALL SELECT CAST(-1 AS BIGINT), CAST(d1.digest AS VARCHAR), "
+            f"d2.digest FROM "
+            f"({corpus_digest_sql_duck('documents', ['doc_id', 'text'])}) d1, "
+            f"({corpus_digest_sql_duck('documents', ['doc_id', 'text'], salt='v2')}) d2"
         ),
         "simhash_near_pairs": (
             f"SELECT 'simhash' AS kind, a, b, hamming AS score "
