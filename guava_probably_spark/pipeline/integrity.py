@@ -136,6 +136,77 @@ def corpus_diff(
     return only_a.unionByName(only_b)
 
 
+def transcript_integrity(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Structural validation of a transcript table, per conversation —
+    the shape checks the BASELINE.json input contract implies, as ONE
+    window + ONE reusable-exchange groupBy (both partitioned on
+    ``conv_col``, so AQE plans a single shuffle; all whole-stage codegen,
+    no Python):
+
+    (conv_id, n_turns,
+     idx_ok        — turn_idx is exactly {0..n-1}: min 0, max n−1, no dups,
+     ts_monotone   — event time never decreases along turn order,
+     tool_tagged   — tool is non-NULL exactly on role='tool' turns,
+     null_texts    — NULL/empty text count,
+     same_role_adjacent — adjacent equal-role pairs; a SIGNAL, not a rule:
+                     legitimate multi-tool runs repeat roles).
+
+    Filter ``~idx_ok`` for the quarantine list; feed the corpus through
+    ``corpus_digest`` afterwards to pin the surviving bytes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    enriched = df.select(
+        conv_col,
+        idx_col,
+        role_col,
+        text_col,
+        tool_col,
+        ts_col,
+        F.lag(ts_col).over(w).alias("__prev_ts"),
+        F.lag(role_col).over(w).alias("__prev_role"),
+    )
+    c = F.col
+    return enriched.groupBy(conv_col).agg(
+        F.count("*").alias("n_turns"),
+        (
+            (F.min(idx_col) == 0)
+            & (F.max(idx_col) == F.count("*") - 1)
+            & (F.countDistinct(idx_col) == F.count("*"))
+        ).alias("idx_ok"),
+        (
+            F.min(
+                F.when(
+                    c("__prev_ts").isNull() | (c(ts_col) >= c("__prev_ts")), 1
+                ).otherwise(0)
+            )
+            == 1
+        ).alias("ts_monotone"),
+        (
+            F.min(
+                F.when(
+                    c(tool_col).isNotNull() == (c(role_col) == "tool"), 1
+                ).otherwise(0)
+            )
+            == 1
+        ).alias("tool_tagged"),
+        F.sum(
+            F.when(c(text_col).isNull() | (F.length(text_col) == 0), 1).otherwise(0)
+        ).alias("null_texts"),
+        F.sum(
+            F.when(c(role_col) == c("__prev_role"), 1).otherwise(0)
+        ).alias("same_role_adjacent"),
+    )
+
+
 def grouped_digest(
     df: DataFrame,
     group_cols: list[str] | tuple[str, ...],

@@ -145,3 +145,69 @@ def test_digest_expr_spark_duck_row_level_parity(spark):
         ).fetchall()
     ]
     assert sv == dv
+
+
+def test_transcript_integrity_fixture_is_clean(spark, transcripts_path):
+    from guava_probably_spark.pipeline.integrity import transcript_integrity
+
+    t = spark.read.parquet(transcripts_path)
+    rep = transcript_integrity(t)
+    bad = rep.filter(
+        "NOT idx_ok OR NOT ts_monotone OR NOT tool_tagged OR null_texts > 0"
+    ).count()
+    assert bad == 0
+    assert rep.count() == t.select("conv_id").distinct().count()
+
+
+def test_transcript_integrity_flags_each_violation_class(spark, transcripts_path):
+    from guava_probably_spark.pipeline.integrity import transcript_integrity
+
+    t = spark.read.parquet(transcripts_path)
+    # pick a conversation with >= 3 turns to corrupt
+    victim = (
+        t.groupBy("conv_id").count().filter("count >= 3").first().conv_id
+    )
+    is_v = F.col("conv_id") == victim
+
+    # drop a middle turn -> idx gap in exactly that conv
+    gapped = t.filter(~(is_v & (F.col("turn_idx") == 1)))
+    rep = {r.conv_id: r for r in transcript_integrity(gapped).collect()}
+    assert not rep[victim].idx_ok
+    assert all(r.idx_ok for c, r in rep.items() if c != victim)
+
+    # time travel on one turn -> ts_monotone false there only
+    warped = t.withColumn(
+        "ts",
+        F.when(is_v & (F.col("turn_idx") == 1), F.to_timestamp(F.lit("1999-01-01"))
+        ).otherwise(F.col("ts")),
+    )
+    rep = {r.conv_id: r for r in transcript_integrity(warped).collect()}
+    assert not rep[victim].ts_monotone
+    assert all(r.ts_monotone for c, r in rep.items() if c != victim)
+
+    # tool name on a non-tool turn -> tool_tagged false
+    mistagged = t.withColumn(
+        "tool",
+        F.when(is_v & (F.col("turn_idx") == 0) & (F.col("role") != "tool"),
+               F.lit("bash")).otherwise(F.col("tool")),
+    )
+    rep = {r.conv_id: r for r in transcript_integrity(mistagged).collect()}
+    assert not rep[victim].tool_tagged
+
+    # emptied text counts
+    blanked = t.withColumn(
+        "text", F.when(is_v & (F.col("turn_idx") == 0), F.lit("")).otherwise(F.col("text"))
+    )
+    rep = {r.conv_id: r for r in transcript_integrity(blanked).collect()}
+    assert rep[victim].null_texts == 1
+
+
+def test_transcript_integrity_single_shuffle_plan(spark, transcripts_path):
+    """Window and groupBy both partition on conv_id, so Catalyst satisfies
+    the aggregation's distribution requirement with the window's exchange:
+    the whole validation is exactly ONE shuffle."""
+    from guava_probably_spark.pipeline.integrity import transcript_integrity
+
+    t = spark.read.parquet(transcripts_path)
+    plan = transcript_integrity(t)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
