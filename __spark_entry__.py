@@ -256,6 +256,13 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # across bracketings, PLUS every witness must decode to a real key
         # and the (k-1)/θ estimate must sit within 3/√(k-1)
         "bottomk": SketchSpec("bottomk", {"k": 1024}),
+        # countsketch: elementwise signed-counter addition is exact ⇒ blob
+        # byte-equality (the HLL/CMS class), PLUS the unbiased-estimator
+        # guarantees must hold on the merged sketch: every per-user point
+        # estimate within √(3·F2/w) and the AMS F2 (self-join size)
+        # estimate within √(6/w)·F2 of the exact Σc² (Charikar et al. 2002;
+        # Thorup–Zhang 2004)
+        "countsketch": SketchSpec("countsketch", {"width": 4096, "depth": 5}),
     }
     exact_users = {
         r.user_id: r.c
@@ -280,6 +287,16 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 left.to_bytes() == right.to_bytes()
                 and abs(left.estimate() - nd) <= left.relative_error_bound() * nd
                 and all(u in exact_users for u in left.sample())
+            )
+        elif kind == "countsketch":
+            users = list(exact_users)
+            true_c = np.array([exact_users[u] for u in users], dtype=np.int64)
+            f2_exact = int((true_c.astype(object) ** 2).sum())
+            est = left.estimate(users)
+            ok = (
+                left.to_bytes() == right.to_bytes()
+                and np.abs(est - true_c).max() <= left.error_bound()
+                and abs(left.f2() - f2_exact) <= left.f2_bound() * f2_exact
             )
         elif kind == "mg":
             # counters are merge-order-sensitive; the bracketing bound is not
@@ -1797,7 +1814,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_associativity": (
             "SELECT kind, true AS ok FROM (VALUES ('bloom'), ('cuckoo'), ('hll'), "
             "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta'), ('sbf'), ('dd'), "
-            "('req'), ('bottomk'), ('fd'), ('fold')) AS t(kind)"
+            "('req'), ('bottomk'), ('countsketch'), ('fd'), ('fold')) AS t(kind)"
         ),
         "grouped_hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "

@@ -358,6 +358,12 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
         "q_bottomk_users",
         lambda: collect_sketch(events, "user_id", SketchSpec("bottomk", {"k": 4096})),
     )
+    timed(
+        "q_countsketch_users",
+        lambda: collect_sketch(
+            events, "user_id", SketchSpec("countsketch", {"width": 8192, "depth": 5})
+        ),
+    )
 
     def profile_all():
         # one-scan 6-column profile: HLL + MG + KLL + exact stats per column

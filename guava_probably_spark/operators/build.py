@@ -119,10 +119,13 @@ def _ingest_overflow(sk: Sketch, column) -> int:
     build path would be a silent false negative, so it flows into the
     partial's overflow column (bloom bits can't overflow; estimators
     never fail)."""
-    from ..sketches.base import FUNNEL_NONE, hash_column
+    from ..sketches.base import FUNNEL_NONE, FUNNEL_PREHASHED, hash_column
 
     ingest = getattr(sk, "ingest_hashes", None)
-    if sk.funnel == FUNNEL_NONE or ingest is None:
+    if sk.funnel in (FUNNEL_NONE, FUNNEL_PREHASHED) or ingest is None:
+        # FUNNEL_PREHASHED: the column already IS the 64-bit hash stream
+        # (JVM xxhash64) — update() derives (h1, h2) from it; murmur3
+        # re-hashing here would silently change the register domain
         sk.update(column)
         return 0
     _, h1, h2 = hash_column(column, sk.funnel)
@@ -168,10 +171,13 @@ def build_partials(df: DataFrame, col: str, spec: SketchSpec) -> DataFrame:
 def _bind_funnel(sk: Sketch, column: pa.Array) -> None:
     """Auto-bind a hashed sketch's funnel to the column's arrow type on first
     batch (string → UTF8 funnel, int → LONG funnel)."""
-    from ..sketches.base import FUNNEL_LONG, FUNNEL_NONE, FUNNEL_UTF8
+    from ..sketches.base import FUNNEL_LONG, FUNNEL_NONE, FUNNEL_PREHASHED, FUNNEL_UTF8
 
-    if sk.funnel == FUNNEL_NONE:
-        return  # value sketch, nothing to bind
+    if sk.funnel in (FUNNEL_NONE, FUNNEL_PREHASHED):
+        # value sketch: nothing to bind; prehashed: the int column is the
+        # hash stream, NOT a FUNNEL_LONG key column — rebinding would
+        # murmur3 the hashes and break byte-parity with the JVM prehash path
+        return
     if pa.types.is_integer(column.type):
         sk.funnel = FUNNEL_LONG
     elif pa.types.is_string(column.type) or pa.types.is_large_string(column.type):

@@ -19,6 +19,7 @@ from .base import (
 from .bloom import BloomSketch, bloom_geometry
 from .bottomk import BottomKSketch
 from .cms import CmsSketch, cms_geometry
+from .countsketch import CountSketch
 from .cuckoo import CuckooSketch, cuckoo_geometry
 from .dd import DDSketch
 from .req import ReqSketch
@@ -44,6 +45,7 @@ _KINDS = {
     "dd": DDSketch,
     "req": ReqSketch,
     "bottomk": BottomKSketch,
+    "countsketch": CountSketch,
 }
 
 
@@ -84,6 +86,7 @@ __all__ = [
     "CuckooSketch",
     "HllSketch",
     "CmsSketch",
+    "CountSketch",
     "KllSketch",
     "MisraGriesSketch",
     "ThetaSketch",

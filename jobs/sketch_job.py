@@ -52,7 +52,8 @@ def main() -> None:
     ap.add_argument("--key", default=None, help="grouped build: one sketch per key")
     ap.add_argument("--kind", required=True,
                     choices=["bloom", "cuckoo", "hll", "cms", "kll", "tdigest",
-                             "mg", "theta", "sbf", "dd", "req", "fd", "bottomk"])
+                             "mg", "theta", "sbf", "dd", "req", "fd", "bottomk",
+                             "countsketch"])
     ap.add_argument("--param", action="append", default=[], help="k=v, repeatable")
     ap.add_argument("--checkpoint", default=None, help="resumable per-file partials dir")
     ap.add_argument("--output", default=None, help="blob file (global) / parquet dir (grouped)")
