@@ -1071,6 +1071,21 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
     )
     assigned.unpersist()
 
+    # PQ compressed search: 16-byte ADC codes (16x vs float32), LUT-only
+    # scan for a 64-candidate pool, exact cosine rerank of the pool — at
+    # 10^9 vectors the code table is the only corpus-scale scan and it is
+    # 16x smaller than the embedding table
+    from guava_probably_spark.pipeline.pq import pq_encode, pq_topk, train_pq
+
+    pq_cb = train_pq(emb, m_sub=16, ksub=256, iters=8)
+    pq_codes = pq_encode(emb, pq_cb)
+    pq_codes.cache().count()
+    warmed(
+        "q_pq_topk_rerank",
+        lambda: pq_topk(pq_codes, pq_cb, qvecs, k=10, pool=64, rerank=emb).count(),
+    )
+    pq_codes.unpersist()
+
     # SemDeDup semantic dedup: distributed spherical k-means fit on a
     # deterministic 10% hash sample (the documented 100-TB posture — the
     # Lloyd scans cost 10x less and blocking quality is statistically

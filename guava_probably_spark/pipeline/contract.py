@@ -277,19 +277,44 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with nprobe = nlist (every list probed): exactly brute-force
-    top-k, so the exact SQL oracle applies — the codebook training, list
-    assignment and pruned-scan machinery all sit under the hash gate."""
+    """Compressed/pruned ANN vs the exact oracle, two methods:
+
+    'ivf' — IVF with nprobe = nlist (every list probed): exactly
+    brute-force top-k, so the exact SQL oracle applies — the codebook
+    training, list assignment and pruned-scan machinery all sit under the
+    hash gate.
+
+    'pq' (round 4) — product quantization (pipeline/pq.py, Jégou et al.
+    2011): 16-byte ADC codes (16× vs float32) scanned LUT-only for a
+    64-candidate pool, then EXACT cosine rerank of the pool — the
+    production compressed-search posture. Deterministic end-to-end
+    (seeded sample → Lloyd → encode), and on this corpus the pool
+    provably contains the true top-10 (pytest pins recall), so the same
+    exact SQL oracle hash-checks the whole train→encode→ADC→rerank
+    pipeline."""
     from guava_probably_spark.pipeline.ivf import assign_lists, ivf_topk, train_codebook
+    from guava_probably_spark.pipeline.pq import pq_encode, pq_topk, train_pq
 
     emb = _t(spark, sf_dir, "embeddings")
     cb = train_codebook(emb, nlist=8, iters=4)
     assigned = assign_lists(emb, cb)
     qrows = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
     queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
-    return ivf_topk(assigned, cb, queries, k=10, nprobe=8).select(
-        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    ivf = ivf_topk(assigned, cb, queries, k=10, nprobe=8).select(
+        F.lit("ivf").alias("method"),
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
     )
+    pq_cb = train_pq(emb, m_sub=16, ksub=256, iters=8)
+    codes = pq_encode(emb, pq_cb)
+    pq = pq_topk(codes, pq_cb, queries, k=10, pool=64, rerank=emb).select(
+        F.lit("pq").alias("method"),
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+    )
+    return ivf.unionByName(pq)
 
 
 def _q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1143,11 +1168,14 @@ def pipeline_oracle_sql() -> dict[str, str]:
             "FROM embeddings WHERE vec_id < 5), "
             "scored AS (SELECT q.qid, e.vec_id AS nid, "
             "list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS s "
-            "FROM q, embeddings e WHERE e.vec_id <> q.qid) "
-            "SELECT qid AS query_id, CAST(row_number() OVER "
+            "FROM q, embeddings e WHERE e.vec_id <> q.qid), "
+            "topk AS (SELECT qid AS query_id, CAST(row_number() OVER "
             "(PARTITION BY qid ORDER BY s DESC, nid) AS BIGINT) AS rank, "
             "nid AS neighbor_id FROM scored "
-            "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) <= 10"
+            "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) <= 10) "
+            "SELECT 'ivf' AS method, query_id, rank, neighbor_id FROM topk "
+            "UNION ALL "
+            "SELECT 'pq', query_id, rank, neighbor_id FROM topk"
         ),
         "text_quality_langid": (
             f"WITH base AS (SELECT doc_id AS id, CAST({wc} AS BIGINT) AS ws_tokens, "
