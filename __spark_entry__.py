@@ -263,6 +263,13 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # estimate within √(6/w)·F2 of the exact Σc² (Charikar et al. 2002;
         # Thorup–Zhang 2004)
         "countsketch": SketchSpec("countsketch", {"width": 4096, "depth": 5}),
+        # tuple (theta + per-distinct-key integer summaries): canonical
+        # retained set + exact integer sums ⇒ blob byte-equality across
+        # bracketings, PLUS the Horvitz–Thompson guarantees on the merged
+        # sketch: the distinct estimate within theta's 3/√(k−1) band and
+        # the distinct-key row-total (weights=1 ⇒ per-key multiplicities)
+        # within the Cohen–Kaplan plug-in standard error of the true count
+        "tuple": SketchSpec("tuple", {"k": 1024}),
     }
     exact_users = {
         r.user_id: r.c
@@ -287,6 +294,14 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 left.to_bytes() == right.to_bytes()
                 and abs(left.estimate() - nd) <= left.relative_error_bound() * nd
                 and all(u in exact_users for u in left.sample())
+            )
+        elif kind == "tuple":
+            nd = len(exact_users)
+            total_rows = sum(exact_users.values())
+            ok = (
+                left.to_bytes() == right.to_bytes()
+                and abs(left.estimate() - nd) <= left.relative_error_bound() * nd
+                and abs(left.sum_estimate() - total_rows) <= left.sum_error_estimate()
             )
         elif kind == "countsketch":
             users = list(exact_users)
@@ -1814,7 +1829,8 @@ def oracle_sql() -> dict[str, str]:
         "merge_associativity": (
             "SELECT kind, true AS ok FROM (VALUES ('bloom'), ('cuckoo'), ('hll'), "
             "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta'), ('sbf'), ('dd'), "
-            "('req'), ('bottomk'), ('countsketch'), ('fd'), ('fold')) AS t(kind)"
+            "('req'), ('bottomk'), ('countsketch'), ('tuple'), ('fd'), ('fold')) "
+            "AS t(kind)"
         ),
         "grouped_hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "

@@ -365,6 +365,17 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
         ),
     )
 
+    def tuple_user_values():
+        # distinct-key value totals from one KB blob, no distinct() shuffle
+        from guava_probably_spark.operators import collect_weighted_sketch
+
+        ev_w = events.selectExpr("user_id", "CAST(value * 100 AS LONG) AS w")
+        return collect_weighted_sketch(
+            ev_w, "user_id", "w", SketchSpec("tuple", {"k": 4096})
+        )
+
+    timed("q_tuple_user_values", tuple_user_values)
+
     def profile_all():
         # one-scan 6-column profile: HLL + MG + KLL + exact stats per column
         from guava_probably_spark.operators import profile_summary

@@ -5,9 +5,11 @@ from .build import (  # noqa: F401
     build_partials,
     build_partials_files_multi,
     build_partials_multi,
+    build_weighted_partials,
     collect_sketch,
     collect_sketches_files,
     collect_sketches_multi,
+    collect_weighted_sketch,
     tree_merge,
 )
 from .semijoin import sketch_antijoin, sketch_prune, sketch_semijoin  # noqa: F401

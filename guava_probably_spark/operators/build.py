@@ -252,6 +252,70 @@ def collect_sketch(
     return acc, n, overflow
 
 
+def build_weighted_partials(
+    df: DataFrame, key_col: str, value_col: str, spec: SketchSpec
+) -> DataFrame:
+    """One weighted partial per partition for sketches whose ``update``
+    takes (keys, weights) — tuple sketch per-key sums, CMS/CountSketch
+    weighted frequencies. Null keys are filtered JVM-side so the weight
+    column stays aligned with the hashed keys (the sketches raise on a
+    length mismatch rather than misalign silently)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        t0 = time.monotonic()
+        sk = spec.create()
+        n = 0
+        first = True
+        for batch in batches:
+            keys = batch.column(0)
+            if first:
+                _bind_funnel(sk, keys)
+                first = False
+            if len(keys) == 0:
+                continue
+            w = batch.column(1).to_numpy(zero_copy_only=False)
+            sk.update(keys, weights=w)
+            n += len(keys)
+        if n == 0:
+            return
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else -1
+        yield pa.RecordBatch.from_pydict(
+            {
+                "sketch": [sk.to_bytes()],
+                "n": [n],
+                "overflow": [0],
+                "part_id": [pid],
+                "secs": [time.monotonic() - t0],
+            },
+            schema=_PARTIAL_ARROW,
+        )
+
+    pruned = df.select(
+        F.col(key_col).alias("k"), F.col(value_col).cast("long").alias("w")
+    ).filter(F.col("k").isNotNull() & F.col("w").isNotNull())
+    return pruned.mapInArrow(fn, PARTIAL_SCHEMA)
+
+
+def collect_weighted_sketch(
+    df: DataFrame, key_col: str, value_col: str, spec: SketchSpec, fanin: int = 64
+) -> tuple[Sketch, int, int]:
+    """collect_sketch for (key, weight) sketches: same scan-once partials +
+    KB-blob tree merge, two columns in. The tuple-sketch entry point —
+    ``collect_weighted_sketch(turns, "conv_id", "n_tokens",
+    SketchSpec("tuple", {"k": 4096}))`` answers "estimated total tokens
+    across distinct conversations" from one blob."""
+    partials = tree_merge(
+        build_weighted_partials(df, key_col, value_col, spec), fanin
+    )
+    rows = partials.collect()
+    if not rows:
+        return spec.create(), 0, 0
+    return fold_sketch_rows((r.sketch, r.n, r.overflow) for r in rows)
+
+
 # ---------------------------------------------------------------------------
 # Multi-sketch single-pass build: one scan, many sketches.
 # At 100 TB the scan dominates; building HLL+bloom+CMS over the same column

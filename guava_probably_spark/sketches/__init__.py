@@ -30,6 +30,7 @@ from .fd import FrequentDirectionsSketch
 from .sbf import ScalableBloomSketch
 from .theta import ThetaSketch
 from .tdigest import TDigestSketch
+from .tuplesketch import TupleSketch
 
 _KINDS = {
     "bloom": BloomSketch,
@@ -46,6 +47,7 @@ _KINDS = {
     "req": ReqSketch,
     "bottomk": BottomKSketch,
     "countsketch": CountSketch,
+    "tuple": TupleSketch,
 }
 
 
@@ -91,6 +93,7 @@ __all__ = [
     "MisraGriesSketch",
     "ThetaSketch",
     "TDigestSketch",
+    "TupleSketch",
     "DDSketch",
     "IncompatibleSketchError",
     "bloom_geometry",

@@ -53,7 +53,13 @@ def main() -> None:
     ap.add_argument("--kind", required=True,
                     choices=["bloom", "cuckoo", "hll", "cms", "kll", "tdigest",
                              "mg", "theta", "sbf", "dd", "req", "fd", "bottomk",
-                             "countsketch"])
+                             "countsketch", "tuple"])
+    ap.add_argument(
+        "--value-col",
+        default=None,
+        help="weighted global build (tuple/cms/countsketch): per-row int "
+        "weight summed per key — tuple answers distinct-key value totals",
+    )
     ap.add_argument("--param", action="append", default=[], help="k=v, repeatable")
     ap.add_argument("--checkpoint", default=None, help="resumable per-file partials dir")
     ap.add_argument("--output", default=None, help="blob file (global) / parquet dir (grouped)")
@@ -130,7 +136,16 @@ def main() -> None:
             status["output"] = args.output
     else:
         df = load_transcripts(spark, args.input, args.format)
-        sk, rows, overflow = collect_sketch(df, args.col, spec)
+        if args.value_col:
+            from guava_probably_spark.operators import collect_weighted_sketch
+
+            sk, rows, overflow = collect_weighted_sketch(
+                df, args.col, args.value_col, spec
+            )
+            if hasattr(sk, "sum_estimate"):
+                status["sum_estimate"] = sk.sum_estimate()
+        else:
+            sk, rows, overflow = collect_sketch(df, args.col, spec)
         status.update(rows=rows, overflow=overflow)
         if hasattr(sk, "estimate"):
             status["estimate"] = sk.estimate()

@@ -60,3 +60,21 @@ def test_sketch_job_grouped_build(tmp_path):
     t = pq.read_table(out_dir)
     assert set(t.column_names) >= {"event_type", "sketch", "n"}
     assert t.num_rows == 5
+
+
+def test_sketch_job_tuple_weighted_build(tmp_path):
+    """--kind tuple --value-col: distinct-key value totals from the CLI.
+    sf0.001 events is far below k=1024 saturation, so the blob's
+    sum_estimate is the EXACT sum of event_id over all rows (every user
+    retained with its full sum)."""
+    from guava_probably_spark.sketches import Sketch
+
+    blob_path = str(tmp_path / "tuple.bin")
+    s = _run(tmp_path, "--col", "user_id", "--kind", "tuple",
+             "--param", "k=1024", "--value-col", "event_id",
+             "--output", blob_path)
+    sk = Sketch.from_bytes(open(blob_path, "rb").read())
+    assert s["rows"] == 1000
+    assert sk.estimate() == 15.0  # 15 distinct users, exact below saturation
+    assert sk.sum_estimate() == float(sum(range(1000)))  # exact Σ event_id
+    assert abs(s["sum_estimate"] - sk.sum_estimate()) < 1e-9
