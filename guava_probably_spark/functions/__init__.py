@@ -283,6 +283,45 @@ def mg_topk(k: int):
     return f
 
 
+@functools.cache
+def tuple_sum():
+    """Horvitz–Thompson distinct-key value total from a tuple-sketch
+    `sketch binary` column (TupleSketch.sum_estimate — exact below
+    saturation). Pairs with tuple_sum_se for the plug-in error band."""
+
+    @pandas_udf(DoubleType())
+    def f(blobs: pd.Series) -> pd.Series:
+        return pd.Series([Sketch.from_bytes(b).sum_estimate() for b in blobs])
+
+    return f
+
+
+@functools.cache
+def tuple_sum_se():
+    """3σ plug-in standard error of tuple_sum (Cohen–Kaplan 2007)."""
+
+    @pandas_udf(DoubleType())
+    def f(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [Sketch.from_bytes(b).sum_error_estimate() for b in blobs]
+        )
+
+    return f
+
+
+@functools.cache
+def cs_f2():
+    """AMS second frequency moment (self-join size) from a CountSketch
+    `sketch binary` column — median over rows of Σ counts², exact integer
+    arithmetic inside (CountSketch.f2)."""
+
+    @pandas_udf(LongType())
+    def f(blobs: pd.Series) -> pd.Series:
+        return pd.Series([int(Sketch.from_bytes(b).f2()) for b in blobs])
+
+    return f
+
+
 def register_sql(spark: SparkSession) -> None:
     """SQL veneer: spark.sql("SELECT hll_estimate(sketch) FROM ...")."""
     spark.udf.register("hll_estimate", hll_estimate())
@@ -294,6 +333,9 @@ def register_sql(spark: SparkSession) -> None:
     spark.udf.register("hll_fold", _sketch_fold_sql())
     spark.udf.register("sketch_fold", _sketch_fold_sql())
     spark.udf.register("mg_topk10", mg_topk(10))
+    spark.udf.register("tuple_sum", tuple_sum())
+    spark.udf.register("tuple_sum_se", tuple_sum_se())
+    spark.udf.register("cs_f2", cs_f2())
 
 
 @functools.cache

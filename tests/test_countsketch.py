@@ -199,3 +199,19 @@ def test_prehashed_funnel_parity_with_jvm_xxhash64(spark):
     mur = CountSketch(width=2048, depth=5, funnel=FUNNEL_UTF8)
     with pytest.raises((IncompatibleSketchError, ValueError)):
         local.merge(mur)
+
+
+def test_sql_cs_f2_matches_local(spark):
+    from guava_probably_spark.functions import register_sql
+
+    register_sql(spark)
+    sk = CountSketch(width=1024, depth=5, funnel=FUNNEL_LONG)
+    sk.update(np.arange(20_000, dtype=np.int64) % 500)
+    row = (
+        spark.createDataFrame([(sk.to_bytes(),)], "sketch binary")
+        .selectExpr("cs_f2(sketch) AS f2")
+        .first()
+    )
+    assert row.f2 == sk.f2()
+    # 500 keys x 40 repeats: exact F2 = 500 * 1600, estimate within bound
+    assert abs(row.f2 - 500 * 1600) <= sk.f2_bound() * 500 * 1600

@@ -158,3 +158,25 @@ def test_collect_weighted_sketch_null_keys_and_weights_filtered(spark):
     expected = df.filter("k IS NOT NULL AND w IS NOT NULL").count()
     assert n == expected
     assert sk.sum_estimate() == float(expected)
+
+
+def test_sql_tuple_sum_and_grouped_build(spark):
+    """SQL surface (tuple_sum / tuple_sum_se) over per-key tuple blobs from
+    the generic salted builder: below saturation each group's HT total IS
+    its exact row count, straight out of SQL."""
+    from guava_probably_spark.functions import register_sql
+    from guava_probably_spark.operators import build_grouped
+
+    register_sql(spark)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    g = build_grouped(ev, "event_type", "user_id", SketchSpec("tuple", {"k": 1024}), salt=4)
+    g.createOrReplaceTempView("tuple_groups_v")
+    rows = spark.sql(
+        "SELECT event_type, tuple_sum(sketch) AS total, tuple_sum_se(sketch) AS se "
+        "FROM tuple_groups_v"
+    ).collect()
+    exact = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r.total == float(exact[r.event_type])
+        assert r.se == 0.0  # below saturation: exact, zero reported error
