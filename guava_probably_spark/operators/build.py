@@ -561,6 +561,7 @@ def build_grouped(
     col: str,
     spec: SketchSpec,
     salt: int = 8,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-key sketches: (*keys, sketch binary, n bigint).
 
@@ -569,6 +570,12 @@ def build_grouped(
     Only phase 1 shuffles raw rows — unavoidable for per-key results — and
     phase 2 shuffles sketch blobs.  For >10^4 distinct keys prefer the
     vectorized ``grouped_hll`` (applyInPandas costs ~1 ms of Python/group).
+
+    ``weight_col``: per-row int64 weights for weighted sketches (tuple /
+    CMS / CountSketch) — "total tokens across distinct conversations PER
+    SEGMENT" is one grouped pass. Null keys/weights are filtered first so
+    weights stay aligned with the hashed keys (the sketches raise on
+    misalignment rather than corrupt silently).
     """
     keys = [key] if isinstance(key, str) else list(key)
     key_ddl = ", ".join(f"{k} {df.schema[k].dataType.simpleString()}" for k in keys)
@@ -587,7 +594,14 @@ def build_grouped(
         if col_is_int and pa.types.is_floating(column.type):
             column = column.cast(pa.int64())
         _bind_funnel(sk, column)
-        overflow = _ingest_overflow(sk, column)
+        if weight_col is not None:
+            import numpy as np
+
+            w = np.asarray(pdf["_w"], dtype=np.int64)
+            sk.update(column, weights=w)
+            overflow = 0
+        else:
+            overflow = _ingest_overflow(sk, column)
         if overflow:
             # the grouped output schema has no overflow column, so a group
             # exceeding a cuckoo's capacity must fail LOUDLY — dropping the
@@ -614,7 +628,13 @@ def build_grouped(
         row.update({"sketch": [acc.to_bytes()], "n": [n]})
         return pd.DataFrame(row)
 
-    salted = df.select(*keys, col).withColumn(
+    if weight_col is not None:
+        base = df.select(
+            *keys, col, F.col(weight_col).cast("long").alias("_w")
+        ).filter(F.col(col).isNotNull() & F.col("_w").isNotNull())
+    else:
+        base = df.select(*keys, col)
+    salted = base.withColumn(
         "_salt", F.coalesce(F.pmod(F.xxhash64(F.col(col)), F.lit(salt)), F.lit(0))
     )
     phase1 = salted.groupBy(*keys, "_salt").applyInPandas(build_fn, out_schema)

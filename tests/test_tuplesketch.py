@@ -180,3 +180,31 @@ def test_sql_tuple_sum_and_grouped_build(spark):
     for r in rows:
         assert r.total == float(exact[r.event_type])
         assert r.se == 0.0  # below saturation: exact, zero reported error
+
+
+def test_build_grouped_weighted_tuple_exact_per_group(spark):
+    """build_grouped(weight_col=...): per-key tuple blobs whose HT totals
+    are each group's exact value sum below saturation, byte-identical to
+    local per-group builds."""
+    from guava_probably_spark.operators import build_grouped
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    g = build_grouped(
+        ev, "event_type", "user_id",
+        SketchSpec("tuple", {"k": 1024}), salt=4, weight_col="event_id",
+    )
+    blobs = {r.event_type: bytes(r.sketch) for r in g.collect()}
+    rows = ev.select("event_type", "user_id", "event_id").collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.user_id, r.event_id))
+    assert set(blobs) == set(by_type)
+    for et, pairs in by_type.items():
+        local = TupleSketch(k=1024, funnel=FUNNEL_LONG)
+        local.update(
+            np.array([p[0] for p in pairs], np.int64),
+            weights=np.array([p[1] for p in pairs], np.int64),
+        )
+        assert blobs[et] == local.to_bytes()
+        got = Sketch.from_bytes(blobs[et])
+        assert got.sum_estimate() == float(sum(p[1] for p in pairs))
