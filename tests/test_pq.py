@@ -129,3 +129,17 @@ def test_param_guards(emb, spark):
         train_pq(emb, m_sub=7)  # 7 does not divide 64
     with pytest.raises(ValueError):
         train_pq(emb.filter("vec_id < 0"))  # empty table
+
+
+def test_rerank_join_is_broadcast(emb, codebook, queries):
+    """The exact-rerank join must broadcast the pool-sized candidate table
+    into the embedding scan — a shuffle join here would re-exchange the
+    corpus at 10^9 vectors for a pool of a few hundred rows."""
+    from guava_probably_spark.pipeline.pq import pq_encode, pq_topk
+    from guava_probably_spark.plans import physical_plan
+
+    codes = pq_encode(emb, codebook)
+    out = pq_topk(codes, codebook, queries, k=10, pool=64, rerank=emb)
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
