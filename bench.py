@@ -678,6 +678,23 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
         "q_minhash_verified_docs", minhash_verified
     )
 
+    def wminhash_verified():
+        # weighted near-dup (ICWS, pipeline/wmh.py) over the trigram
+        # MULTISET — full pipeline incl. exact Σmin/Σmax verify. 64 hashes
+        # / 32 bands (r = 2, the set row's miss-probability shape); ICWS
+        # spends ~3 transcendentals + 5 fmix64 per (trigram, perm) where
+        # set-MinHash spends one multiply, so ~2× the set row is the
+        # algorithm, not the plan.
+        from guava_probably_spark.pipeline.wmh import neardup_pairs_wminhash
+
+        return neardup_pairs_wminhash(
+            big_docs, "doc_id", "text", threshold=0.5, num_hashes=64, bands=32
+        ).count()
+
+    extras["wminhash_verified_pairs"] = warmed(
+        "q_wminhash_verified_docs", wminhash_verified
+    )
+
     def simhash_bulk():
         import pyarrow as pa
 

@@ -34,6 +34,13 @@ from guava_probably_spark.pipeline.dedup import (
     simhash_drop_stats,
     simhash_near_pairs,
 )
+from guava_probably_spark.pipeline.wmh import (
+    neardup_pairs_wminhash,
+    trigram_counts_df,
+    weighted_jaccard_pairs,
+    wmh_band_keys,
+    wmh_signatures_text,
+)
 from guava_probably_spark.pipeline.sampling import (
     hash_sample,
     hash_split,
@@ -127,6 +134,11 @@ __all__ = [
     "simhash_df",
     "simhash_drop_stats",
     "simhash_near_pairs",
+    "neardup_pairs_wminhash",
+    "trigram_counts_df",
+    "weighted_jaccard_pairs",
+    "wmh_band_keys",
+    "wmh_signatures_text",
     "assign_lists",
     "ivf_topk",
     "train_codebook",

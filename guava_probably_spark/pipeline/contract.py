@@ -172,13 +172,22 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH banded near-dup AND the exact all-pairs trigram-Jaccard
-    verifier (on a small id slice) in one grid — shared (a, b, inter, uni)
-    shape, disambiguated by `op`."""
+    """MinHash+LSH banded near-dup, the exact all-pairs trigram-Jaccard
+    verifier (on a small id slice), AND weighted-MinHash (ICWS,
+    pipeline/wmh.py) near-dup over the trigram MULTISET in one grid —
+    shared (a, b, inter, uni) shape, disambiguated by `op`. The weighted
+    branch's inter/uni are Σmin/Σmax of trigram counts (exact BIGINTs, so
+    the weighted-Jaccard semantics themselves are hash-checked against the
+    DuckDB multiset oracle, not just the pair list)."""
+    from guava_probably_spark.pipeline.wmh import neardup_pairs_wminhash
+
     docs = _t(spark, sf_dir, "documents")
     near = neardup_pairs_minhash(
         _aug_truncated(docs), "doc_id", "text", threshold=0.5
     ).select(F.lit("minhash_lsh").alias("op"), "a", "b", "inter", "uni")
+    wnear = neardup_pairs_wminhash(
+        _aug_truncated(docs), "doc_id", "text", threshold=0.5
+    ).select(F.lit("wminhash_weighted").alias("op"), "a", "b", "inter", "uni")
     small = docs.filter(F.col("doc_id") < 100)
     sh = shingle_df(small, "doc_id", "text")
     ids = small.select(F.col("doc_id").cast("long").alias("id"))
@@ -192,7 +201,7 @@ def _q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(100 * F.col("inter") >= F.col("uni"))
         .select(F.lit("allpairs_jaccard").alias("op"), "a", "b", "inter", "uni")
     )
-    return near.unionByName(allp)
+    return near.unionByName(allp).unionByName(wnear)
 
 
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -909,6 +918,28 @@ def _jaccard_pairs_sql(aug_sql: str, threshold_mul: tuple[int, int]) -> str:
     )
 
 
+def _wjaccard_pairs_sql(aug_sql: str, threshold_mul: tuple[int, int]) -> str:
+    """Exact weighted (multiset) trigram-Jaccard pairs over an augmented doc
+    relation: inter = Σ min(cnt_a, cnt_b), uni = total_a + total_b − inter
+    (min + max = a + b termwise). BIGINT casts because DuckDB widens
+    sum(BIGINT) to HUGEINT, which the driver's value hash distinguishes."""
+    tri = textexpr.trigrams_expr("text", "duck")
+    p, q = threshold_mul
+    return (
+        f"WITH aug AS ({aug_sql}), "
+        f"wc AS (SELECT doc_id AS id, s AS shingle, count(*) AS cnt FROM "
+        f"(SELECT doc_id, unnest({tri}) AS s FROM aug) GROUP BY 1, 2), "
+        f"totals AS (SELECT id, sum(cnt) AS t FROM wc GROUP BY id), "
+        f"inter AS (SELECT x.id AS a, y.id AS b, sum(least(x.cnt, y.cnt)) AS i "
+        f"FROM wc x JOIN wc y ON x.shingle = y.shingle AND x.id < y.id "
+        f"GROUP BY 1, 2) "
+        f"SELECT a, b, CAST(i AS BIGINT) AS inter, "
+        f"CAST(ta.t + tb.t - i AS BIGINT) AS uni FROM inter "
+        f"JOIN totals ta ON ta.id = a JOIN totals tb ON tb.id = b "
+        f"WHERE {q} * i >= {p} * (ta.t + tb.t - i)"
+    )
+
+
 def _simhash_pairs_sql() -> str:
     sim = simhash_sql_duck(f"({_AUG_SIMHASH_SQL})", "doc_id", "text")
     ham = (
@@ -1120,6 +1151,8 @@ def pipeline_oracle_sql() -> dict[str, str]:
             + _jaccard_pairs_sql(
                 "SELECT doc_id, text FROM documents WHERE doc_id < 100", (1, 100)
             )
+            + ") UNION ALL SELECT 'wminhash_weighted' AS op, a, b, inter, uni FROM ("
+            + _wjaccard_pairs_sql(_aug_truncated_sql(), (1, 2))
             + ")"
         ),
         "doc_fingerprints": (
