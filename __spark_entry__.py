@@ -405,6 +405,47 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         and dd_whole.to_bytes() == dd_parts.to_bytes()
     )
     rows.append(Row(kind="fold", ok=bool(fold_ok)))
+    # shll (sliding-window HLL, sketches/shll.py): canonical Pareto-frontier
+    # state ⇒ blob byte-equality across bracketings AND vs the whole build
+    # (the bloom/hll/cms class, despite variable-length state), through the
+    # two-column weighted build (timestamps ride the weight slot). PLUS the
+    # windowed guarantee on the merged sketch: distinct estimate over the
+    # trailing half-range within 3·1.04/√m of the exact windowed count, and
+    # the full-window registers byte-equal a plain HLL of the same elements.
+    from guava_probably_spark.operators import collect_weighted_sketch
+    from guava_probably_spark.sketches import SlidingHllSketch  # noqa: F401
+
+    ev_ts = events.withColumn("ts_epoch", F.col("ts").cast("timestamp").cast("long"))
+    s_splits = [
+        ev_ts.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    shll_spec = SketchSpec("shll", {"p": 12})
+    sa, sb, sc = (
+        collect_weighted_sketch(s, "user_id", "ts_epoch", shll_spec)[0]
+        for s in s_splits
+    )
+    s_whole = collect_weighted_sketch(ev_ts, "user_id", "ts_epoch", shll_spec)[0]
+    s_left = sa.copy().merge(sb.copy()).merge(sc.copy())
+    s_right = sa.copy().merge(sb.copy().merge(sc.copy()))
+    lo, hi = (
+        ev_ts.agg(F.min("ts_epoch"), F.max("ts_epoch")).collect()[0]
+    )
+    half = (hi - lo) // 2
+    exact_half = (
+        ev_ts.filter(F.col("ts_epoch") >= hi - half)
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    est_half = s_left.estimate_window(half)
+    hll_full, _, _ = collect_sketch(events, "user_id", SketchSpec("hll", {"p": 12}))
+    shll_ok = (
+        s_left.to_bytes() == s_right.to_bytes() == s_whole.to_bytes()
+        and s_left.to_hll().to_bytes() == hll_full.to_bytes()
+        and abs(est_half - exact_half)
+        <= max(s_left.relative_error_bound() * exact_half, 3.0)
+    )
+    rows.append(Row(kind="shll", ok=bool(shll_ok)))
     return spark.createDataFrame(rows)
 
 
@@ -781,7 +822,41 @@ def _q_hll_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll = within(
         exact7.join(est7, "day").withColumn("kind", F.lit("roll7"))
     )
-    return daily.unionByName(roll)
+
+    # sliding: ONE SlidingHllSketch blob (sketches/shll.py — timestamped
+    # register frontiers) answers EVERY trailing window after the fact —
+    # w1/w7/w30 actives from the same one-pass build, where daily+roll7
+    # fix the window grid at build time. Timestamps ride the weight slot
+    # of the generic two-column build; exactness of the comparison is
+    # timezone-shift-invariant (cutoff = max_ts − W in the same epoch map).
+    from guava_probably_spark.operators import collect_weighted_sketch
+
+    ev_ts = events.withColumn("ts_epoch", F.col("ts").cast("timestamp").cast("long"))
+    shll, _, _ = collect_weighted_sketch(
+        ev_ts, "user_id", "ts_epoch", SketchSpec("shll", {"p": 14})
+    )
+    srows = []
+    for wdays in (1, 7, 30):
+        w = wdays * 86400
+        exact_w = (
+            ev_ts.filter(F.col("ts_epoch") >= shll.max_ts - w)
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        est_w = shll.estimate_window(w)
+        srows.append(
+            Row(
+                kind="sliding",
+                day=f"w{wdays}",
+                exact_distinct=int(exact_w),
+                within=bool(abs(est_w - exact_w) <= max(bound * exact_w, 3.0)),
+            )
+        )
+    sliding = spark.createDataFrame(srows).select(
+        "kind", "day", F.col("exact_distinct").cast("long"), "within"
+    )
+    return daily.unionByName(roll).unionByName(sliding)
 
 
 def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1829,8 +1904,8 @@ def oracle_sql() -> dict[str, str]:
         "merge_associativity": (
             "SELECT kind, true AS ok FROM (VALUES ('bloom'), ('cuckoo'), ('hll'), "
             "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta'), ('sbf'), ('dd'), "
-            "('req'), ('bottomk'), ('countsketch'), ('tuple'), ('fd'), ('fold')) "
-            "AS t(kind)"
+            "('req'), ('bottomk'), ('countsketch'), ('tuple'), ('fd'), ('fold'), "
+            "('shll')) AS t(kind)"
         ),
         "grouped_hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
@@ -1894,7 +1969,12 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'roll7', a.day, count(DISTINCT u.user_id), true "
             "FROM days a JOIN days b ON b.rn BETWEEN a.rn - 6 AND a.rn "
-            "JOIN du u ON u.day = b.day GROUP BY a.day"
+            "JOIN du u ON u.day = b.day GROUP BY a.day "
+            "UNION ALL "
+            "SELECT 'sliding', 'w' || CAST(w AS VARCHAR), "
+            "(SELECT count(DISTINCT user_id) FROM events "
+            "WHERE epoch(ts) >= (SELECT max(epoch(ts)) FROM events) - w * 86400), "
+            "true FROM (VALUES (1), (7), (30)) AS t(w)"
         ),
         "setops_grid": (
             "WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0), "

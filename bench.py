@@ -376,6 +376,22 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
 
     timed("q_tuple_user_values", tuple_user_values)
 
+    def shll_windows():
+        # sliding-window HLL (sketches/shll.py): one pass over (user_id,
+        # ts) builds a blob that answers ANY trailing window; time the
+        # build + three window queries (w1/w7/w30 actives) from that blob
+        from guava_probably_spark.operators import collect_weighted_sketch
+
+        ev_ts = events.selectExpr(
+            "user_id", "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS ts_epoch"
+        )
+        sk, _, _ = collect_weighted_sketch(
+            ev_ts, "user_id", "ts_epoch", SketchSpec("shll", {"p": 14})
+        )
+        return [sk.estimate_window(d * 86400) for d in (1, 7, 30)]
+
+    timed("q_shll_window_users", shll_windows)
+
     def profile_all():
         # one-scan 6-column profile: HLL + MG + KLL + exact stats per column
         from guava_probably_spark.operators import profile_summary

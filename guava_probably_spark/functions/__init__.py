@@ -336,6 +336,28 @@ def register_sql(spark: SparkSession) -> None:
     spark.udf.register("tuple_sum", tuple_sum())
     spark.udf.register("tuple_sum_se", tuple_sum_se())
     spark.udf.register("cs_f2", cs_f2())
+    spark.udf.register("shll_window", shll_window())
+
+
+@functools.cache
+def shll_window():
+    """``shll_window(sketch, window_seconds)`` — distinct-count estimate
+    over the trailing window ending at the blob's newest timestamp, from a
+    sliding-HLL blob (sketches/shll.py). NULL window → all elements ever
+    seen (the plain-HLL estimate)."""
+
+    @pandas_udf(DoubleType())
+    def f(blobs: pd.Series, windows: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                Sketch.from_bytes(b).estimate_window(
+                    None if w is None or pd.isna(w) else float(w)
+                )
+                for b, w in zip(blobs, windows)
+            ]
+        )
+
+    return f
 
 
 @functools.cache

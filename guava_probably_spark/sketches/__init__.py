@@ -28,6 +28,7 @@ from .kll import KllSketch
 from .mg import MisraGriesSketch
 from .fd import FrequentDirectionsSketch
 from .sbf import ScalableBloomSketch
+from .shll import SlidingHllSketch
 from .theta import ThetaSketch
 from .tdigest import TDigestSketch
 from .tuplesketch import TupleSketch
@@ -48,6 +49,7 @@ _KINDS = {
     "bottomk": BottomKSketch,
     "countsketch": CountSketch,
     "tuple": TupleSketch,
+    "shll": SlidingHllSketch,
 }
 
 
@@ -94,6 +96,7 @@ __all__ = [
     "ThetaSketch",
     "TDigestSketch",
     "TupleSketch",
+    "SlidingHllSketch",
     "DDSketch",
     "IncompatibleSketchError",
     "bloom_geometry",
