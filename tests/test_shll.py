@@ -190,3 +190,33 @@ def test_shll_sql_window_udf(spark):
     assert got == sk.estimate_window(w)
     full = spark.sql("SELECT shll_window(sketch, NULL) AS e FROM shll_v").collect()[0].e
     assert full == sk.estimate()
+
+
+def test_grouped_weighted_shll_build(spark):
+    # per-key sliding windows through the generic weighted grouped build:
+    # each group's blob must be byte-identical to a local per-group build
+    # (the grouped-builds contract), and window estimates within bound
+    from pyspark.sql import functions as F
+
+    from guava_probably_spark.operators import build_grouped
+
+    keys, ts = _data(seed=11, n=12000, card=3000)
+    grp = (keys % 4).astype(int)
+    df = spark.createDataFrame(
+        [(int(g), int(k), int(t)) for g, k, t in zip(grp, keys, ts)],
+        ["g", "user_id", "ts_epoch"],
+    ).repartition(8)
+    out = build_grouped(
+        df, "g", "user_id", SketchSpec("shll", {"p": 12}), weight_col="ts_epoch"
+    )
+    rows = {r.g: bytes(r.sketch) for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    bound = 3 * 1.04 / (2**12) ** 0.5
+    for g in range(4):
+        sel = grp == g
+        local = _build(keys[sel], ts[sel])
+        assert rows[g] == local.to_bytes()
+        sk = Sketch.from_bytes(rows[g])
+        w = 300_000
+        exact = len(np.unique(keys[sel][ts[sel] >= local.max_ts - w]))
+        assert abs(sk.estimate_window(w) - exact) <= max(bound * exact, 3.0)
