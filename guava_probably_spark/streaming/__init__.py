@@ -49,13 +49,25 @@ def incremental_sketch_sink(
     state_path: str,
     query_name: str = "sketch_stream",
     on_update: Callable[[Sketch, int], None] | None = None,
+    weight_col: str | None = None,
 ):
     """writeStream.foreachBatch sink that folds every micro-batch into one
-    running sketch persisted at state_path (atomic rename per update)."""
-    from ..operators.build import collect_sketch
+    running sketch persisted at state_path (atomic rename per update).
+
+    ``weight_col`` routes to the two-column weighted build — the live
+    sliding-distinct counter: ``incremental_sketch_sink(stream, "user_id",
+    SketchSpec("shll", {"p": 14}), path, weight_col="ts_epoch")`` maintains
+    ONE blob from which ``shll_window(sketch, W)`` answers "distinct users
+    in the last W" at ANY moment (tuple-sketch running totals work the
+    same way). Merge associativity makes the fold restart-safe: replayed
+    micro-batches re-merge idempotently for the byte-canonical kinds."""
+    from ..operators.build import collect_sketch, collect_weighted_sketch
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        part, n, _ = collect_sketch(batch_df, col, spec)
+        if weight_col is not None:
+            part, n, _ = collect_weighted_sketch(batch_df, col, weight_col, spec)
+        else:
+            part, n, _ = collect_sketch(batch_df, col, spec)
         if n == 0:
             return
         if os.path.exists(state_path):

@@ -495,3 +495,52 @@ def test_windowed_mg_stream_heavy_hitters(spark, stream_dir, tmp_path):
         assert sk.e <= n // (64 + 1) + 1
         for item, c in sk.counters.items():
             assert c <= exact[item] <= c + sk.e, (w, item)
+
+
+def test_incremental_shll_sink_sliding_windows(spark, stream_dir, tmp_path):
+    """Live sliding-distinct counter: the stream folds into ONE shll blob;
+    after replay, any trailing window queried from the blob matches the
+    exact windowed COUNT(DISTINCT) within bound — and the blob is
+    byte-identical to a batch build over the same rows (restart-safety of
+    the canonical merge)."""
+    from guava_probably_spark.operators import collect_weighted_sketch
+
+    incoming, files = stream_dir
+    state = str(tmp_path / "shll.blob")
+    stream = spark.readStream.schema(TRANSCRIPT_DDL).parquet(incoming).withColumn(
+        "ts_epoch", F.col("ts").cast("timestamp").cast("long")
+    )
+    writer = incremental_sketch_sink(
+        stream,
+        "conv_id",
+        SketchSpec("shll", {"p": 13}),
+        state,
+        weight_col="ts_epoch",
+    )
+    q = writer.option("checkpointLocation", str(tmp_path / "ck_shll")).start()
+    try:
+        shutil.copy(files[0], incoming)
+        q.processAllAvailable()
+        shutil.copy(files[1], incoming)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(state, "rb") as f:
+        sk = Sketch.from_bytes(f.read())
+    all_rows = spark.read.parquet(incoming).withColumn(
+        "ts_epoch", F.col("ts").cast("timestamp").cast("long")
+    )
+    batch = collect_weighted_sketch(
+        all_rows, "conv_id", "ts_epoch", SketchSpec("shll", {"p": 13})
+    )[0]
+    assert sk.to_bytes() == batch.to_bytes()
+    lo, hi = all_rows.agg(F.min("ts_epoch"), F.max("ts_epoch")).collect()[0]
+    w = max((hi - lo) // 2, 1)
+    exact = (
+        all_rows.filter(F.col("ts_epoch") >= hi - w)
+        .select(F.countDistinct("conv_id").alias("c"))
+        .collect()[0]
+        .c
+    )
+    est = sk.estimate_window(w)
+    assert abs(est - exact) <= max(sk.relative_error_bound() * exact, 3.0)
