@@ -1473,7 +1473,9 @@ def main() -> None:
         "pressured": pressured,
         "mem_avail_min_gb": round(min(mem_vals), 1) if mem_vals else None,
         **extras,
-    }))
+        # compact separators: the r03 driver capture truncated this line
+        # mid-JSON at ~48 queries; with 70+ queries every byte counts
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -364,8 +364,9 @@ def shll_window():
 def _sketch_fold_sql():
     """SQL fold to a coarser parameter: ``sketch_fold(sketch, param)`` —
     HLL blobs fold to precision ``param`` (byte-identical to a direct build,
-    see HllSketch.fold_to), theta blobs to a smaller k (same exactness, see
-    ThetaSketch.fold_to), KLL to a smaller k and t-digest to a smaller δ
+    see HllSketch.fold_to; sliding-HLL blobs carry the same exact law —
+    SlidingHllSketch.fold_to), theta blobs to a smaller k (same exactness,
+    see ThetaSketch.fold_to), KLL to a smaller k and t-digest to a smaller δ
     (bound-preserving, not byte-identical — their compaction is history-
     dependent), DD by an integer grid multiplier m (γ→γᵐ — exact integer
     regrid that commutes with merge byte-for-byte while ``collapses == 0``;

@@ -314,6 +314,36 @@ def main() -> None:
             "event_type AS tool", "ts"))),
     ))
 
+    from guava_probably_spark.pipeline.dedup import pairs_from_band_rows
+    from guava_probably_spark.pipeline.wmh import wmh_band_keys
+    from guava_probably_spark.operators.build import build_weighted_partials, tree_merge as _tm
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    sections.append((
+        "Weighted-MinHash candidates (one scan, 8-byte keys only)",
+        "The ICWS kernel runs inside ONE `MapInArrow` over the pruned "
+        "(doc_id, text) scan — trigram strings never materialize, "
+        "signatures never leave the worker; only `bands` packed 8-byte "
+        "band keys per doc reach the single Exchange feeding the bucket "
+        "join. The corpus-scale explode exists nowhere in this plan.",
+        fmt(pairs_from_band_rows(
+            wmh_band_keys(docs, "doc_id", "text", 64, bands=32)
+        )),
+    ))
+    sections.append((
+        "Sliding-HLL weighted build (scan-once partials, KB-blob fold)",
+        "Timestamps ride the weight column through the generic weighted "
+        "partial builder: one `MapInArrow` per partition emits one "
+        "frontier blob; the tree merge folds blobs, so shuffle volume is "
+        "O(partitions × blob), independent of row count — the same shape "
+        "every sketch build in this library compiles to.",
+        fmt(_tm(build_weighted_partials(
+            events.selectExpr(
+                "user_id", "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS ts_epoch"
+            ),
+            "user_id", "ts_epoch", SketchSpec("shll", {"p": 12})), 64)),
+    ))
+
     out = [
         "# Physical plans of the core operators",
         "",
