@@ -1021,8 +1021,9 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
 
     def lm_score():
         # sketch-LM quality score: word-bigram CMS trained over the 400k-doc
-        # corpus in one pass (~80M grams), broadcast, then a vectorized
-        # probe + per-doc mean over a 4k-doc eval slice
+        # corpus (~80M gram instances, pre-aggregated JVM-side to distinct
+        # (gram, count) pairs before the weighted build), broadcast, then a
+        # vectorized probe + per-doc mean over a 4k-doc eval slice
         from guava_probably_spark.pipeline.textops import lm_quality_score
 
         ev = big_docs.filter(F.col("doc_id") % 100 == 0)

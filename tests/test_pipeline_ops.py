@@ -1071,6 +1071,56 @@ def test_lm_quality_score_matches_local_recompute(spark):
             )
 
 
+def test_lm_quality_pre_aggregate_paths_identical(spark):
+    """The weighted pre-aggregated train pass (groupBy gram → weighted CMS
+    build, the scale default) yields scores identical to the per-instance
+    stream, and the underlying CMS blob is byte-identical — integer bucket
+    sums are order- and batching-independent, so (gram, count) pairs and
+    count repeated instances land the same counts array and the same N."""
+    from guava_probably_spark.operators import collect_sketch
+    from guava_probably_spark.operators.build import collect_weighted_sketch
+    from guava_probably_spark.pipeline.contamination import _ngrams_df
+    from guava_probably_spark.pipeline.textops import lm_quality_score
+    from guava_probably_spark.sketches import SketchSpec
+    from guava_probably_spark.sketches.base import FUNNEL_LONG
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab, size=25))) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    a = {
+        r.id: r
+        for r in lm_quality_score(
+            df, df, "doc_id", "text", n=2, pre_aggregate=True
+        ).collect()
+    }
+    b = {
+        r.id: r
+        for r in lm_quality_score(
+            df, df, "doc_id", "text", n=2, pre_aggregate=False
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].ngrams == b[k].ngrams
+        assert a[k].avg_logprob == pytest.approx(b[k].avg_logprob, abs=0)
+
+    # blob byte-identity between the two build shapes
+    spec = SketchSpec("cms", {"epsilon": 1e-4, "delta": 1e-2, "funnel": FUNNEL_LONG})
+    g = (
+        _ngrams_df(df, "text", 2)
+        .withColumnRenamed("ng", "g")
+        .withColumn("g", F.xxhash64("g"))
+    )
+    inst, total_inst, _ = collect_sketch(g, "g", spec)
+    wtd, _, _ = collect_weighted_sketch(
+        g.groupBy("g").agg(F.count("*").alias("w")), "g", "w", spec
+    )
+    assert wtd.total == total_inst
+    assert wtd.to_bytes() == inst.to_bytes()
+
+
 def test_ngrams_df_matches_expression_form(spark):
     """The NGram-based scale path emits EXACTLY the gram lists of the
     pure-expression `_ngram_col` — unicode punctuation, whitespace runs,
