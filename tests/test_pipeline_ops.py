@@ -831,10 +831,12 @@ def test_ngram_overlap_contamination(spark):
     )
     assert not got[102].contaminated and got[102].hits == 0
     assert got[103].ngrams == 0 and not got[103].contaminated
-    # the readable string-gram path (hashed=False, the audit mode) and a
+    # the readable string-gram path (hashed=False, the audit mode), a
     # deliberately awful fpp (every train gram survives pruning — the join
-    # must still erase all false positives) agree with the default path
-    for kw in ({"hashed": False}, {"fpp": 0.9}):
+    # must still erase all false positives), and the forced-bloom branch
+    # (broadcast_grams=0 disables the small-eval broadcast semi-join the
+    # default path takes here) agree with the default path
+    for kw in ({"hashed": False}, {"fpp": 0.9}, {"broadcast_grams": 0}):
         alt = {
             r.id: r
             for r in ngram_overlap_contamination(
