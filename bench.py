@@ -986,11 +986,12 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
     extras["dsir_selected_grams"] = warmed("q_dsir_select_docs", dsir_select_docs)
 
     def ngram_decontam():
-        # GPT-3-style n-gram decontamination, EXACT: the filter builds on
-        # the SMALL side (the 4k-doc eval set → sub-MB bloom), the 400k-doc
-        # train corpus (~38M 13-grams) is scanned ONCE with the probe
-        # pruning inside the scan, and a broadcast join back to the eval
-        # grams erases the filter's false positives
+        # GPT-3-style n-gram decontamination, EXACT: the 4k-doc eval set's
+        # gram set is under the broadcast threshold, so the 400k-doc train
+        # corpus (~38M 13-grams) is scanned ONCE with a broadcast LEFT-SEMI
+        # join against the distinct eval grams — exact membership in pure
+        # codegen, no filter stage (the bloom probe path engages past ~2M
+        # eval grams, where the broadcast hash table stops being cheap)
         from guava_probably_spark.pipeline.contamination import (
             ngram_overlap_contamination,
         )
