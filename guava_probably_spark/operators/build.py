@@ -256,7 +256,7 @@ def build_weighted_partials(
     df: DataFrame, key_col: str, value_col: str, spec: SketchSpec
 ) -> DataFrame:
     """One weighted partial per partition for sketches whose ``update``
-    takes (keys, weights) — tuple sketch per-key sums, CMS/CountSketch
+    takes (keys, weights) — tuple sketch per-key sums, CMS/CountSketch/MG
     weighted frequencies. Null keys are filtered JVM-side so the weight
     column stays aligned with the hashed keys (the sketches raise on a
     length mismatch rather than misalign silently)."""

@@ -51,6 +51,41 @@ def _to_counts(values) -> tuple[list, np.ndarray]:
     return uniq.tolist(), counts
 
 
+def _to_weighted_counts(values, weights) -> tuple[list, np.ndarray]:
+    """(items, weights) → per-unique weight sums. Arrow C++ hash-agg fast
+    path; negative weights rejected (MG counters must stay monotone up)."""
+    w = np.asarray(weights, dtype=np.int64)
+    if len(w) and w.min() < 0:
+        raise ValueError("MG weights must be non-negative")
+    try:
+        import pyarrow as pa
+
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if isinstance(values, pa.Array):
+            if len(values) != len(w):
+                raise ValueError("values/weights length mismatch")
+            tb = (
+                pa.table({"k": values, "w": pa.array(w)})
+                .filter(values.is_valid())
+                .group_by("k")
+                .aggregate([("w", "sum")])
+            )
+            return tb.column("k").to_pylist(), tb.column("w_sum").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+    except ImportError:
+        pass
+    if len(np.asarray(values, dtype=object)) != len(w):
+        raise ValueError("values/weights length mismatch")
+    acc: dict = {}
+    for key, wt in zip(values, w):
+        if key is None:
+            continue
+        acc[key] = acc.get(key, 0) + int(wt)
+    return list(acc), np.array(list(acc.values()), dtype=np.int64)
+
+
 @register_kind
 class MisraGriesSketch(Sketch):
     KIND = KIND_MG
@@ -188,17 +223,28 @@ class MisraGriesSketch(Sketch):
         }
         self.e += t
 
-    def update(self, values) -> None:
-        items, counts = _to_counts(values)
+    def update(self, values, weights=None) -> None:
+        """Ingest a column batch; with ``weights``, item i counts for
+        weights[i] (DataSketches ItemsSketch parity). Weighted updates keep
+        every guarantee with n = total WEIGHT: the decrement round still
+        subtracts t from ≥ k+1 counters, so Σt ≤ W/(k+1) — which is what
+        lets an MG build ride pre-aggregated (item, count) pairs (the
+        CMS-style JVM-side combine) instead of raw instances."""
+        if weights is None:
+            items, counts = _to_counts(values)
+        else:
+            items, counts = _to_weighted_counts(values, weights)
         get = self.counters.get
         for key, c in zip(items, counts):
             self.counters[key] = get(key, 0) + int(c)
         self.n += int(counts.sum()) if len(counts) else 0
         self._decrement_round()
 
-    def put(self, e) -> None:
-        self.counters[e] = self.counters.get(e, 0) + 1
-        self.n += 1
+    def put(self, e, weight: int = 1) -> None:
+        if weight < 0:
+            raise ValueError("MG weight must be non-negative")
+        self.counters[e] = self.counters.get(e, 0) + int(weight)
+        self.n += int(weight)
         self._decrement_round()
 
     def put_all(self, values) -> None:

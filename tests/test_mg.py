@@ -143,3 +143,62 @@ def test_mg_unsupported_key_type_rejected_clearly():
     sk.put(3.14)
     with pytest.raises(TypeError, match="unsupported MG key type"):
         sk.to_bytes()
+
+
+def test_mg_weighted_update_equals_instance_stream():
+    """update(items, weights=c) lands the same counters as ingesting each
+    item c times (one batch each way — identical fold + one decrement
+    round), n counts total WEIGHT, and the e ≤ W/(k+1) bound holds; the
+    weighted put() agrees; negative weights are rejected."""
+    import pyarrow as pa
+
+    stream = _zipf_stream(20_000, 400, seed=13)
+    from collections import Counter
+
+    cnt = Counter(stream)
+    items = sorted(cnt)
+    weights = np.array([cnt[i] for i in items], dtype=np.int64)
+
+    a = MisraGriesSketch(k=48)
+    a.update(pa.array(items), weights=weights)
+    b = MisraGriesSketch(k=48)
+    b.update(pa.array(sorted(stream)))  # same per-key totals in one batch
+    assert a.n == b.n == len(stream)
+    assert a.counters == b.counters and a.e == b.e
+    assert a.e <= a.n // (48 + 1) + 1
+
+    # weighted put: same as repeating the element
+    p = MisraGriesSketch(k=8)
+    p.put("x", weight=5)
+    p.put("y", weight=2)
+    assert p.estimate_count("x") == 5 and p.n == 7
+    with pytest.raises(ValueError):
+        p.put("z", weight=-1)
+    with pytest.raises(ValueError):
+        MisraGriesSketch(k=8).update(pa.array(["a"]), weights=np.array([-2]))
+
+    # null items drop with their weights, like the unweighted path
+    nn = MisraGriesSketch(k=8)
+    nn.update(pa.array(["a", None, "b"]), weights=np.array([3, 9, 1]))
+    assert nn.n == 4 and nn.estimate_count("a") == 3
+
+
+def test_mg_weighted_distributed_build_matches_exact_heavy_hitters(spark):
+    """collect_weighted_sketch over pre-aggregated (word, count) pairs (the
+    JVM-side combine shape) keeps the no-FN guarantee vs exact counts and
+    each survivor's stored count is within the blob's own error bound."""
+    from guava_probably_spark.operators.build import collect_weighted_sketch
+
+    stream = _zipf_stream(30_000, 300, seed=29)
+    df = spark.createDataFrame([(s,) for s in stream], "w string")
+    pairs = df.groupBy("w").agg(F.count("*").alias("c"))
+    sk, _, _ = collect_weighted_sketch(pairs, "w", "c", SketchSpec("mg", {"k": 64}))
+    from collections import Counter
+
+    exact = Counter(stream)
+    assert sk.n == len(stream)
+    assert sk.e <= len(stream) // 65
+    for item, f in exact.items():
+        if f > sk.e:  # guaranteed survivor
+            c = sk.estimate_count(item)
+            assert 0 < c <= f and f <= c + sk.e, item
