@@ -62,6 +62,81 @@ def _mem_available_gb() -> float:
 
 def _note_mem(name: str) -> None:
     MEM_BEFORE[name] = round(_mem_available_gb(), 2)
+    QUERY_START[name] = time.monotonic()
+
+
+# -- contention self-identification (r4 take-5 finding) ----------------------
+# Structural fixes eliminated the Python-transfer theory for the 3-5x
+# excursions: a run caught q_ngram_decontam (zero Python in the scan) AND
+# q_lm_quality (200x less transfer) both at ~27 s vs their 5.5-8.5 s quiet
+# mode, pressured:[] and 83 GB free — the excursions are a contiguous TIME
+# WINDOW, not a query property. A 1.5-s /proc/stat sampler attributes each
+# query's window: low busy%% (we are descheduled / blocked) or steal%%
+# (hypervisor neighbors) marks the number as environmental in the artifact
+# itself. Queries outside norms land in the JSON's "contended" field.
+QUERY_START: dict = {}
+CPU_SAMPLES: list = []
+
+
+def _cpu_jiffies():
+    with open("/proc/stat") as f:
+        v = f.readline().split()[1:9]
+    user, nice, system, idle, iowait, irq, softirq, steal = map(int, v)
+    busy = user + nice + system + irq + softirq
+    return busy, steal, iowait, busy + idle + iowait + steal
+
+
+def _start_cpu_sampler() -> None:
+    import threading
+
+    def loop():
+        while True:
+            try:
+                CPU_SAMPLES.append((time.monotonic(),) + _cpu_jiffies())
+            except OSError:
+                return
+            time.sleep(1.5)
+
+    threading.Thread(target=loop, daemon=True).start()
+
+
+def _contended_queries(timings: dict) -> dict:
+    """Per-query CPU attribution for excursion-suspect windows. The window
+    for query q runs from its _note_mem stamp to the next query's stamp
+    (covers warm + every timed repeat — excursions are minutes-long)."""
+    starts = sorted(
+        ((t, q) for q, t in QUERY_START.items() if q in timings), key=lambda x: x[0]
+    )
+    out: dict = {}
+    profiles: dict = {}
+    for i, (t0, q) in enumerate(starts):
+        t1 = starts[i + 1][0] if i + 1 < len(starts) else time.monotonic()
+        lo = max((s for s in CPU_SAMPLES if s[0] <= t0), default=None)
+        hi = min((s for s in CPU_SAMPLES if s[0] >= t1), default=None)
+        if hi is None and CPU_SAMPLES and CPU_SAMPLES[-1][0] > t0 + 1.0:
+            hi = CPU_SAMPLES[-1]  # final query: last sample stands in
+        if lo is None or hi is None or hi[4] <= lo[4]:
+            continue
+        total = hi[4] - lo[4]
+        busy = 100.0 * (hi[1] - lo[1]) / total
+        steal = 100.0 * (hi[2] - lo[2]) / total
+        iowait = 100.0 * (hi[3] - lo[3]) / total
+        prof = {
+            "busy_pct": round(busy, 1),
+            "steal_pct": round(steal, 1),
+            "iowait_pct": round(iowait, 1),
+        }
+        profiles[q] = prof
+        # steal/iowait are conclusive external signals; low busy alone is
+        # NOT flagged (a driver-bound fold legitimately idles 31 cores)
+        if steal >= 1.5 or iowait >= 10.0:
+            out[q] = prof
+    # the slowest queries always carry their profile, flagged or not, so an
+    # excursion's window is comparable against its in-run neighbors
+    for q in sorted(timings, key=lambda q: -timings[q])[:6]:
+        if q in profiles:
+            out.setdefault(q, profiles[q])
+    return out
 
 
 def _sf() -> float:
@@ -1307,6 +1382,7 @@ def run_accuracy(spark, t_path: str) -> dict:
 def main() -> None:
     sf = _sf()
     rows = max(200_000, int(80_000_000 * sf))
+    _start_cpu_sampler()
 
     if "--accuracy" in sys.argv:
         t_path = transcripts_path(rows)
@@ -1474,6 +1550,11 @@ def main() -> None:
         # PRESSURE_GB of MemAvailable — treat their numbers as upper bounds
         "pressured": pressured,
         "mem_avail_min_gb": round(min(mem_vals), 1) if mem_vals else None,
+        # per-query CPU attribution for contention windows (busy/steal/
+        # iowait %% over the query's wall window): an entry here marks the
+        # number as environmental — low busy = descheduled or blocked,
+        # steal = hypervisor neighbors — not an operator cost
+        "contended": _contended_queries(timings),
         **extras,
         # compact separators: the r03 driver capture truncated this line
         # mid-JSON at ~48 queries; with 70+ queries every byte counts
