@@ -86,13 +86,38 @@ def _cpu_jiffies():
     return busy, steal, iowait, busy + idle + iowait + steal
 
 
+def _psi_totals():
+    """(cpu_some, mem_some, mem_full, io_some) stall totals in µs — PSI
+    counts time tasks spent STALLED (runnable-but-not-running / blocked on
+    reclaim / blocked on io), the signal busy/steal/iowait can't see:
+    a half-idle window with zero steal but high cpu-some = runnable-thread
+    oversubscription; mem-full = direct-reclaim stalls (the r2/r3
+    'reclaim pressure' mechanism, now measurable per query)."""
+    out = []
+    for res, want_full in (("cpu", False), ("memory", True), ("io", False)):
+        try:
+            with open(f"/proc/pressure/{res}") as f:
+                lines = f.read().splitlines()
+            some = int(lines[0].rsplit("=", 1)[1])
+            out.append(some)
+            if want_full:
+                out.append(int(lines[1].rsplit("=", 1)[1]))
+        except (OSError, IndexError, ValueError):
+            out.append(0)
+            if want_full:
+                out.append(0)
+    return tuple(out)  # (cpu_some, mem_some, mem_full, io_some)
+
+
 def _start_cpu_sampler() -> None:
     import threading
 
     def loop():
         while True:
             try:
-                CPU_SAMPLES.append((time.monotonic(),) + _cpu_jiffies())
+                CPU_SAMPLES.append(
+                    (time.monotonic(),) + _cpu_jiffies() + _psi_totals()
+                )
             except OSError:
                 return
             time.sleep(1.5)
@@ -126,10 +151,23 @@ def _contended_queries(timings: dict) -> dict:
             "steal_pct": round(steal, 1),
             "iowait_pct": round(iowait, 1),
         }
+        # PSI stall percentages over the wall window (µs totals / wall µs);
+        # only present when the sampler captured PSI (tuple len > 5)
+        cpu_stall = mem_stall = 0.0
+        if len(lo) > 8 and hi[0] > lo[0]:
+            wall_us = (hi[0] - lo[0]) * 1e6
+            cpu_stall = 100.0 * (hi[5] - lo[5]) / wall_us
+            mem_stall = 100.0 * (hi[7] - lo[7]) / wall_us  # memory FULL
+            io_stall = 100.0 * (hi[8] - lo[8]) / wall_us
+            prof["cpu_stall_pct"] = round(cpu_stall, 1)
+            if mem_stall >= 0.5:
+                prof["mem_stall_pct"] = round(mem_stall, 1)
+            if io_stall >= 0.5:
+                prof["io_stall_pct"] = round(io_stall, 1)
         profiles[q] = prof
-        # steal/iowait are conclusive external signals; low busy alone is
+        # steal/iowait/PSI are conclusive stall signals; low busy alone is
         # NOT flagged (a driver-bound fold legitimately idles 31 cores)
-        if steal >= 1.5 or iowait >= 10.0:
+        if steal >= 1.5 or iowait >= 10.0 or cpu_stall >= 25.0 or mem_stall >= 5.0:
             out[q] = prof
     # the slowest queries always carry their profile, flagged or not, so an
     # excursion's window is comparable against its in-run neighbors
