@@ -60,9 +60,28 @@ def _mem_available_gb() -> float:
     return float("nan")
 
 
+def _jvm_gc_ms():
+    """Cumulative JVM GC time (ms) across collectors, via the management
+    beans of the live py4j gateway — None when no JVM is up. GC threads
+    burn BUSY cycles, so a busy~90%/steal 0/stall 0 excursion with a large
+    per-window GC delta is attributed to collector storms, the one
+    mechanism /proc counters cannot separate from useful work."""
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if sc is None:
+            return None
+        beans = sc._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+    except Exception:
+        return None
+
+
 def _note_mem(name: str) -> None:
     MEM_BEFORE[name] = round(_mem_available_gb(), 2)
     QUERY_START[name] = time.monotonic()
+    GC_MS[name] = _jvm_gc_ms()
 
 
 # -- contention self-identification (r4 take-5 finding) ----------------------
@@ -75,6 +94,7 @@ def _note_mem(name: str) -> None:
 # (hypervisor neighbors) marks the number as environmental in the artifact
 # itself. Queries outside norms land in the JSON's "contended" field.
 QUERY_START: dict = {}
+GC_MS: dict = {}
 CPU_SAMPLES: list = []
 
 
@@ -134,8 +154,16 @@ def _contended_queries(timings: dict) -> dict:
     )
     out: dict = {}
     profiles: dict = {}
+    gc_now = _jvm_gc_ms()
     for i, (t0, q) in enumerate(starts):
         t1 = starts[i + 1][0] if i + 1 < len(starts) else time.monotonic()
+        gc0 = GC_MS.get(q)
+        gc1 = GC_MS.get(starts[i + 1][1]) if i + 1 < len(starts) else gc_now
+        gc_pct = (
+            100.0 * (gc1 - gc0) / ((t1 - t0) * 1000.0)
+            if gc0 is not None and gc1 is not None and t1 > t0
+            else 0.0
+        )
         lo = max((s for s in CPU_SAMPLES if s[0] <= t0), default=None)
         hi = min((s for s in CPU_SAMPLES if s[0] >= t1), default=None)
         if hi is None and CPU_SAMPLES and CPU_SAMPLES[-1][0] > t0 + 1.0:
@@ -164,10 +192,19 @@ def _contended_queries(timings: dict) -> dict:
                 prof["mem_stall_pct"] = round(mem_stall, 1)
             if io_stall >= 0.5:
                 prof["io_stall_pct"] = round(io_stall, 1)
+        gc_pct = max(0.0, gc_pct)
+        if gc_pct >= 1.0:
+            prof["gc_pct"] = round(gc_pct, 1)
         profiles[q] = prof
-        # steal/iowait/PSI are conclusive stall signals; low busy alone is
-        # NOT flagged (a driver-bound fold legitimately idles 31 cores)
-        if steal >= 1.5 or iowait >= 10.0 or cpu_stall >= 25.0 or mem_stall >= 5.0:
+        # steal/iowait/PSI/GC are conclusive stall signals; low busy alone
+        # is NOT flagged (a driver-bound fold legitimately idles 31 cores)
+        if (
+            steal >= 1.5
+            or iowait >= 10.0
+            or cpu_stall >= 25.0
+            or mem_stall >= 5.0
+            or gc_pct >= 20.0
+        ):
             out[q] = prof
     # the slowest queries always carry their profile, flagged or not, so an
     # excursion's window is comparable against its in-run neighbors
@@ -201,7 +238,15 @@ def make_session(cpus: int, batch: int = 16384):
         # GCs are rare and direct buffers balloon unreclaimed, progressively
         # throttling the Arrow boundary (measured 1.9s→26s/task drift without
         # the cap). The cap forces buffer recycling — stable throughput.
-        .config("spark.driver.extraJavaOptions", "-XX:MaxDirectMemorySize=4g")
+        # ReservedCodeCacheSize: JDK17 defaults to 240 MB; a 70-query run
+        # compiles hundreds of whole-stage-codegen classes and the PSI-
+        # attributed excursion signature (wall 2.5-5x, busy ~89%, steal 0,
+        # stall 0 — same work burning more cycles) matches JIT dropping to
+        # interpreter when the cache fills, bistable via UseCodeCacheFlushing.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:MaxDirectMemorySize=4g -XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .appName("gps-bench")
