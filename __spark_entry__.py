@@ -270,6 +270,11 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the distinct-key row-total (weights=1 ⇒ per-key multiplicities)
         # within the Cohen–Kaplan plug-in standard error of the true count
         "tuple": SketchSpec("tuple", {"k": 1024}),
+        # quotient filter (sketches/qf.py, Bender et al. PVLDB 2012): the
+        # canonical bit-packed table is a pure function of the fingerprint
+        # set, so merges are byte-associative — the bloom/hll/cms class,
+        # from the third classic filter family (and, unlike bloom, deletable)
+        "qf": SketchSpec("qf", {"capacity": 20000, "fpp": 0.01}),
     }
     exact_users = {
         r.user_id: r.c
@@ -286,7 +291,7 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, c = (collect_sketch(s, col, spec)[0] for s in splits)
         left = a.copy().merge(b.copy()).merge(c.copy())
         right = a.copy().merge(b.copy().merge(c.copy()))
-        if kind in ("bloom", "hll", "cms", "theta", "sbf", "dd"):
+        if kind in ("bloom", "hll", "cms", "theta", "sbf", "dd", "qf"):
             ok = left.to_bytes() == right.to_bytes()
         elif kind == "bottomk":
             nd = len(exact_users)
@@ -511,7 +516,8 @@ def _q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_expected_fpp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """expectedFpp within the configured bound across the FPP grid
-    (BASELINE.md row 3) for both filter kinds, built distributed — plus the
+    (BASELINE.md row 3) for the three filter kinds (bloom, cuckoo, quotient
+    filter), built distributed — plus the
     remaining ProbabilisticFilter contract ops (SURVEY §2.1 rows 6/12/15/16:
     containsAll, clear, copy, equals/hashCode) exercised on the
     distributed-built filters so every reference operator has a driver row."""
@@ -519,7 +525,7 @@ def _q_expected_fpp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = events.count()
     rows = []
     built = {}
-    for kind in ("bloom", "cuckoo"):
+    for kind in ("bloom", "cuckoo", "qf"):
         for fpp in (0.03, 0.01, 0.001):
             sk, _, ovf = collect_sketch(
                 events, "event_id", SketchSpec(kind, {"capacity": n, "fpp": fpp})
@@ -528,7 +534,7 @@ def _q_expected_fpp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok = ovf == 0 and sk.expected_fpp() <= fpp * 1.6
             rows.append(Row(name=f"{kind}_{fpp}", within=bool(ok)))
     ids = [r.event_id for r in events.select("event_id").limit(500).collect()]
-    for kind in ("bloom", "cuckoo"):
+    for kind in ("bloom", "cuckoo", "qf"):
         sk = built[(kind, 0.01)]
         contains_all = bool(all(sk.might_contain_batch(_np_ids(ids))))
         cp = sk.copy()
@@ -1253,12 +1259,15 @@ def _profile_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_membership_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter membership across kinds and funnels: bloom(events), cuckoo
-    (events), scalable bloom (events — the unknown-capacity one-pass build,
+    (events), quotient filter (events — sketches/qf.py, Bender et al. 2012,
+    the third filter family: canonical bit-packed table, byte-associative
+    merges), scalable bloom (events — the unknown-capacity one-pass build,
     distributed partial merge = canonical stage-set union), cuckoo over
     long UTF-8 document texts — zero false negatives everywhere, FP rate
     within bound where probed."""
     a = _membership("bloom", "bloom_events_membership")(spark, sf_dir)
     b = _membership("cuckoo", "cuckoo_events_membership")(spark, sf_dir)
+    qf = _membership("qf", "qf_events_membership")(spark, sf_dir)
     s = _sbf_membership_row(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()
@@ -1277,7 +1286,7 @@ def _q_membership_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    return a.unionByName(b).unionByName(s).unionByName(c)
+    return a.unionByName(b).unionByName(qf).unionByName(s).unionByName(c)
 
 
 def _sbf_membership_row(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1848,6 +1857,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0 AS BIGINT) AS false_negatives, true AS fp_within FROM events "
             "UNION ALL SELECT 'cuckoo_events_membership', count(*), "
             "CAST(0 AS BIGINT), true FROM events "
+            "UNION ALL SELECT 'qf_events_membership', count(*), "
+            "CAST(0 AS BIGINT), true FROM events "
             "UNION ALL SELECT 'sbf_events_membership', count(*), "
             "CAST(0 AS BIGINT), true FROM events "
             "UNION ALL SELECT 'documents_text_membership', count(*), "
@@ -1904,8 +1915,8 @@ def oracle_sql() -> dict[str, str]:
         "merge_associativity": (
             "SELECT kind, true AS ok FROM (VALUES ('bloom'), ('cuckoo'), ('hll'), "
             "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta'), ('sbf'), ('dd'), "
-            "('req'), ('bottomk'), ('countsketch'), ('tuple'), ('fd'), ('fold'), "
-            "('shll')) AS t(kind)"
+            "('req'), ('bottomk'), ('countsketch'), ('tuple'), ('qf'), ('fd'), "
+            "('fold'), ('shll')) AS t(kind)"
         ),
         "grouped_hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
@@ -1935,8 +1946,10 @@ def oracle_sql() -> dict[str, str]:
         "expected_fpp_grid": (
             "SELECT name, true AS within FROM (VALUES ('bloom_0.03'), ('bloom_0.01'), "
             "('bloom_0.001'), ('cuckoo_0.03'), ('cuckoo_0.01'), ('cuckoo_0.001'), "
+            "('qf_0.03'), ('qf_0.01'), ('qf_0.001'), "
             "('bloom_contains_all'), ('bloom_copy_equals'), ('bloom_clear'), "
-            "('cuckoo_contains_all'), ('cuckoo_copy_equals'), ('cuckoo_clear')"
+            "('cuckoo_contains_all'), ('cuckoo_copy_equals'), ('cuckoo_clear'), "
+            "('qf_contains_all'), ('qf_copy_equals'), ('qf_clear')"
             ") AS t(name)"
         ),
         "grouped_hll_highcard_parts": (

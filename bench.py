@@ -517,6 +517,14 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
         lambda: collect_sketch(events, "user_id", SketchSpec("bottomk", {"k": 4096})),
     )
     timed(
+        # quotient filter (sketches/qf.py): distributed build via canonical
+        # sorted-fingerprint merge; same shape as the bloom/cuckoo rows
+        "q_qf_events",
+        lambda: collect_sketch(
+            events, "event_id", SketchSpec("qf", {"capacity": n_events * 2, "fpp": 0.01})
+        ),
+    )
+    timed(
         "q_countsketch_users",
         lambda: collect_sketch(
             events, "user_id", SketchSpec("countsketch", {"width": 8192, "depth": 5})

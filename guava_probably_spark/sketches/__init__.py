@@ -26,6 +26,7 @@ from .req import ReqSketch
 from .hll import HllSketch
 from .kll import KllSketch
 from .mg import MisraGriesSketch
+from .qf import QuotientFilterSketch, qf_geometry
 from .fd import FrequentDirectionsSketch
 from .sbf import ScalableBloomSketch
 from .shll import SlidingHllSketch
@@ -50,6 +51,7 @@ _KINDS = {
     "countsketch": CountSketch,
     "tuple": TupleSketch,
     "shll": SlidingHllSketch,
+    "qf": QuotientFilterSketch,
 }
 
 
@@ -88,6 +90,7 @@ __all__ = [
     "BottomKSketch",
     "ScalableBloomSketch",
     "CuckooSketch",
+    "QuotientFilterSketch",
     "HllSketch",
     "CmsSketch",
     "CountSketch",
@@ -101,6 +104,7 @@ __all__ = [
     "IncompatibleSketchError",
     "bloom_geometry",
     "cuckoo_geometry",
+    "qf_geometry",
     "cms_geometry",
     "hash_column",
     "FUNNEL_UTF8",

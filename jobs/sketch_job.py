@@ -53,7 +53,7 @@ def main() -> None:
     ap.add_argument("--kind", required=True,
                     choices=["bloom", "cuckoo", "hll", "cms", "kll", "tdigest",
                              "mg", "theta", "sbf", "dd", "req", "fd", "bottomk",
-                             "countsketch", "tuple"])
+                             "countsketch", "tuple", "qf"])
     ap.add_argument(
         "--value-col",
         default=None,
@@ -149,7 +149,7 @@ def main() -> None:
         status.update(rows=rows, overflow=overflow)
         if hasattr(sk, "estimate"):
             status["estimate"] = sk.estimate()
-        if hasattr(sk, "expected_fpp") and args.kind in ("bloom", "cuckoo", "sbf"):
+        if hasattr(sk, "expected_fpp") and args.kind in ("bloom", "cuckoo", "sbf", "qf"):
             status["expected_fpp"] = sk.expected_fpp()
         if args.output:
             with open(args.output, "wb") as f:

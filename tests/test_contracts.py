@@ -26,6 +26,7 @@ SPECS = [
     SketchSpec("bottomk", {"k": 128, "funnel": FUNNEL_LONG}),
     SketchSpec("countsketch", {"width": 2048, "depth": 5, "funnel": FUNNEL_LONG}),
     SketchSpec("tuple", {"k": 128, "funnel": FUNNEL_LONG}),
+    SketchSpec("qf", {"capacity": 10000, "fpp": 0.01, "funnel": FUNNEL_LONG}),
 ]
 IDS = [s.kind for s in SPECS]
 
@@ -42,6 +43,7 @@ INCOMPATIBLE_TWINS = {
     "bottomk": SketchSpec("bottomk", {"k": 256, "funnel": FUNNEL_LONG}),
     "countsketch": SketchSpec("countsketch", {"width": 4096, "depth": 5, "funnel": FUNNEL_LONG}),
     "tuple": SketchSpec("tuple", {"k": 256, "funnel": FUNNEL_LONG}),
+    "qf": SketchSpec("qf", {"capacity": 9999, "fpp": 0.01, "funnel": FUNNEL_LONG}),
 }
 
 
@@ -101,7 +103,7 @@ def test_merge_equals_whole_build_or_within_bound(spec):
     right_inner = build(parts[1]).merge(build(parts[2]))
     right = build(parts[0]).merge(right_inner)
 
-    if spec.kind in ("bloom", "hll", "cms", "dd", "bottomk", "countsketch", "tuple"):
+    if spec.kind in ("bloom", "hll", "cms", "dd", "bottomk", "countsketch", "tuple", "qf"):
         whole = build(data)
         assert left.to_bytes() == right.to_bytes() == whole.to_bytes()
     elif spec.kind == "sbf":
@@ -146,7 +148,7 @@ def test_merge_commutativity(spec):
 
     ab = build(a_data).merge(build(b_data))
     ba = build(b_data).merge(build(a_data))
-    if spec.kind in ("bloom", "hll", "cms", "sbf", "dd", "bottomk", "countsketch", "tuple"):
+    if spec.kind in ("bloom", "hll", "cms", "sbf", "dd", "bottomk", "countsketch", "tuple", "qf"):
         assert ab.to_bytes() == ba.to_bytes()
     elif spec.kind == "cuckoo":
         uniq = np.unique(data)

@@ -1,0 +1,182 @@
+"""Quotient filter (sketches/qf.py, Bender et al. PVLDB 2012).
+
+The canonical-table claims are brute-forced here: the packed payload must
+decode back to the identical sorted fingerprint multiset, the metadata-bit
+layout must satisfy the classic QF invariants, and merges must be
+byte-associative / commutative / (set semantics) idempotent.
+"""
+
+import numpy as np
+import pytest
+
+from guava_probably_spark.sketches import (
+    QuotientFilterSketch,
+    Sketch,
+    SketchSpec,
+    qf_geometry,
+)
+from guava_probably_spark.sketches.base import FUNNEL_LONG, FUNNEL_UTF8
+from guava_probably_spark.sketches.qf import _pack_bits, _unpack_bits
+
+
+def _mk(capacity=5000, fpp=0.01, funnel=FUNNEL_LONG, **kw):
+    return QuotientFilterSketch(capacity, fpp, funnel=funnel, **kw)
+
+
+def _data(n=4000, seed=7, lo=0, hi=10**12):
+    rng = np.random.default_rng(seed)
+    return rng.integers(lo, hi, n, dtype=np.int64)
+
+
+def test_geometry_meets_fpp_target():
+    for cap, fpp in [(100, 0.05), (10_000, 0.01), (1_000_000, 0.001)]:
+        q, r = qf_geometry(cap, fpp)
+        alpha = cap / (1 << q)
+        assert alpha <= 0.95
+        assert alpha * 2.0**-r <= fpp * (1 + 1e-12)
+
+
+def test_pack_unpack_bits_roundtrip():
+    rng = np.random.default_rng(3)
+    for width in (2, 5, 8, 13, 31, 60):
+        vals = rng.integers(0, 1 << width, 997, dtype=np.uint64)
+        words = _pack_bits(vals, width)
+        assert len(words) == (997 * width + 63) // 64
+        back = _unpack_bits(words, 997, width)
+        assert (back == vals).all()
+
+
+def test_zero_false_negatives_and_fpp_bound():
+    sk = _mk(capacity=8000)
+    vals = _data(8000, seed=1)
+    sk.update(vals)
+    assert sk.might_contain_batch(vals).all()  # zero FN
+    probe = _data(20000, seed=2, lo=2 * 10**12, hi=4 * 10**12)
+    fp_rate = sk.might_contain_batch(probe).mean()
+    sigma = (0.01 * 0.99 / 20000) ** 0.5
+    assert fp_rate <= 0.01 + 4 * sigma
+    assert sk.expected_fpp() <= 0.01 * 1.05
+
+
+def test_payload_roundtrip_byte_identical_and_canonical():
+    sk = _mk()
+    sk.update(_data())
+    blob = sk.to_bytes()
+    sk2 = Sketch.from_bytes(blob)
+    assert isinstance(sk2, QuotientFilterSketch)
+    assert (sk2.fps == sk.fps).all()
+    assert sk2.to_bytes() == blob
+
+
+def test_table_layout_invariants_brute_force():
+    """Metadata bits on a SMALL table checked against a slot-by-slot
+    simulation of the textbook QF invariants."""
+    sk = QuotientFilterSketch(capacity=24, fpp=0.05, funnel=FUNNEL_LONG)
+    sk.update(_data(24, seed=9))
+    starts, counts, uq, slot_idx, total_slots = sk._table_layout()
+    # runs are disjoint, in-order, and start at or after their home slot
+    assert (starts >= uq).all()
+    ends = starts + counts
+    assert (starts[1:] >= ends[:-1]).all()
+    # every element's slot >= its quotient (shifting only moves right)
+    quot = (sk.fps >> np.uint64(sk.rbits)).astype(np.int64)
+    assert (slot_idx >= quot).all()
+    # a cluster's first run is unshifted: starts == home whenever the
+    # previous run ends at or before home
+    prev_end = np.concatenate(([0], ends[:-1]))
+    at_home = prev_end <= uq
+    assert (starts[at_home] == uq[at_home]).all()
+
+
+def test_multiset_semantics_and_remove():
+    sk = _mk(capacity=1000, dedup_build=False)
+    sk.update(np.array([5, 5, 5, 9], dtype=np.int64))
+    assert sk.size == 4
+    assert sk.remove(5) and sk.remove(5)
+    assert sk.might_contain(5)  # one copy left
+    assert sk.remove(5)
+    assert not sk.might_contain(5)
+    assert not sk.remove(5)  # already gone
+    assert sk.might_contain(9)
+    assert sk.size == 1
+
+
+def test_remove_batch_partial_counts():
+    sk = _mk(capacity=1000, dedup_build=False)
+    sk.update(np.array([1, 1, 2], dtype=np.int64))
+    removed = sk.remove_all(np.array([1, 1, 1, 2, 3], dtype=np.int64))
+    assert removed == 3  # two 1s + one 2; third 1 and the 3 miss
+    assert sk.is_empty()
+
+
+def test_dedup_build_collapses_duplicates():
+    sk = _mk(capacity=1000)
+    first = sk.update(np.array([7, 7, 7], dtype=np.int64))
+    assert sk.size == 1
+    assert first.all()  # pre-insert, none existed
+    again = sk.update(np.array([7], dtype=np.int64))
+    assert not again.any()
+
+
+def test_merge_byte_associative_commutative_idempotent():
+    data = _data(6000, seed=21)
+    parts = np.array_split(data, 3)
+
+    def build(chunk):
+        sk = _mk(capacity=6000)
+        sk.update(chunk)
+        return sk
+
+    left = build(parts[0]).merge(build(parts[1])).merge(build(parts[2]))
+    right = build(parts[0]).merge(build(parts[1]).merge(build(parts[2])))
+    whole = build(data)
+    assert left.to_bytes() == right.to_bytes() == whole.to_bytes()
+    # idempotent under set semantics
+    again = build(data).merge(build(data))
+    assert again.to_bytes() == whole.to_bytes()
+
+
+def test_incompatible_merge_raises():
+    a, b = _mk(capacity=5000), _mk(capacity=5001)
+    c = _mk(capacity=5000, dedup_build=False)
+    d = _mk(capacity=5000, funnel=FUNNEL_UTF8)
+    for other in (b, c, d):
+        assert not a.is_compatible(other)
+        with pytest.raises(ValueError):
+            a.merge(other)
+
+
+def test_overfill_grows_tail_and_reports_honest_fpp():
+    sk = _mk(capacity=64, fpp=0.02)
+    sk.update(_data(5000, seed=33))
+    assert sk.might_contain_batch(_data(5000, seed=33)).all()
+    assert sk.load_factor() > 1.0
+    assert sk.expected_fpp() > 0.02  # degradation visible, never hidden
+    blob = sk.to_bytes()
+    assert Sketch.from_bytes(blob).to_bytes() == blob
+
+
+def test_string_funnel_and_scalar_surface():
+    sk = QuotientFilterSketch(1000, 0.01, funnel=FUNNEL_UTF8)
+    assert sk.put("hello") and sk.might_contain("hello")
+    assert not sk.put("hello")  # already present (set semantics)
+    sk.put_all(["a", "b", "c"])
+    assert sk.contains_all(["a", "b", "c", "hello"])
+    sk.clear()
+    assert sk.is_empty()
+
+
+def test_distributed_build_matches_local(spark):
+    from guava_probably_spark.operators import collect_sketch
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("v")
+    )
+    spec = SketchSpec("qf", {"capacity": 40000, "fpp": 0.01, "funnel": FUNNEL_LONG})
+    sk, n, ovf = collect_sketch(df, "v", spec)
+    assert n == 20000 and ovf == 0
+    local = spec.create()
+    local.update(np.array([r.v for r in df.collect()], dtype=np.int64))
+    assert sk.to_bytes() == local.to_bytes()
