@@ -1261,13 +1261,15 @@ def _q_membership_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter membership across kinds and funnels: bloom(events), cuckoo
     (events), quotient filter (events — sketches/qf.py, Bender et al. 2012,
     the third filter family: canonical bit-packed table, byte-associative
-    merges), scalable bloom (events — the unknown-capacity one-pass build,
-    distributed partial merge = canonical stage-set union), cuckoo over
-    long UTF-8 document texts — zero false negatives everywhere, FP rate
-    within bound where probed."""
+    merges), frozen sharded XOR filters (events — the static serving-side
+    compaction, operators/freeze.py), scalable bloom (events — the
+    unknown-capacity one-pass build, distributed partial merge = canonical
+    stage-set union), cuckoo over long UTF-8 document texts — zero false
+    negatives everywhere, FP rate within bound where probed."""
     a = _membership("bloom", "bloom_events_membership")(spark, sf_dir)
     b = _membership("cuckoo", "cuckoo_events_membership")(spark, sf_dir)
     qf = _membership("qf", "qf_events_membership")(spark, sf_dir)
+    xr = _xor_frozen_membership_row(spark, sf_dir)
     s = _sbf_membership_row(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()
@@ -1286,7 +1288,46 @@ def _q_membership_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    return a.unionByName(b).unionByName(qf).unionByName(s).unionByName(c)
+    return (
+        a.unionByName(b)
+        .unionByName(qf)
+        .unionByName(xr)
+        .unionByName(s)
+        .unionByName(c)
+    )
+
+
+def _xor_frozen_membership_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen (serving-side) membership: sharded XOR-filter freeze of
+    events.event_id (operators/freeze.py — keys hash JVM-side, each
+    shard's filter solved executor-side, no key list on the driver), then
+    the probe path over the broadcast blob table: zero false negatives
+    over every member, non-member FP rate within the exact 2^-f bound
+    (sketches/xorf.py, Graf & Lemire 2020)."""
+    from guava_probably_spark.operators import freeze_filter, frozen_probe_udf
+
+    events = _t(spark, sf_dir, "events")
+    n_rows = events.count()
+    shards = 16
+    frozen = freeze_filter(events, "event_id", fbits=8, shards=shards)
+    probe = frozen_probe_udf(spark, frozen, shards)
+    fn_count = events.filter(~probe(F.xxhash64(F.col("event_id")))).count()
+    max_id = events.select(F.max("event_id").alias("m")).collect()[0].m
+    max_id = 0 if max_id is None else max_id
+    non = spark.range(max_id + 1, max_id + 1 + 5000).withColumnRenamed("id", "event_id")
+    fp_rate = non.filter(probe(F.xxhash64(F.col("event_id")))).count() / 5000.0
+    bound = 2.0**-8
+    sigma = (bound * (1.0 - bound) / 5000.0) ** 0.5
+    return spark.createDataFrame(
+        [
+            Row(
+                name="xor_frozen_membership",
+                n_members=int(n_rows),
+                false_negatives=int(fn_count),
+                fp_within=bool(fp_rate <= bound + 3 * sigma),
+            )
+        ]
+    )
 
 
 def _sbf_membership_row(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1858,6 +1899,8 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'cuckoo_events_membership', count(*), "
             "CAST(0 AS BIGINT), true FROM events "
             "UNION ALL SELECT 'qf_events_membership', count(*), "
+            "CAST(0 AS BIGINT), true FROM events "
+            "UNION ALL SELECT 'xor_frozen_membership', count(*), "
             "CAST(0 AS BIGINT), true FROM events "
             "UNION ALL SELECT 'sbf_events_membership', count(*), "
             "CAST(0 AS BIGINT), true FROM events "

@@ -524,6 +524,16 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
             events, "event_id", SketchSpec("qf", {"capacity": n_events * 2, "fpp": 0.01})
         ),
     )
+    def xor_freeze():
+        # serving-side compaction: sharded XOR-filter freeze + full-corpus
+        # probe (operators/freeze.py; keys hash JVM-side, blob table tiny)
+        from guava_probably_spark.operators import freeze_filter, frozen_probe_udf
+
+        frozen = freeze_filter(events, "event_id", fbits=8, shards=32)
+        probe = frozen_probe_udf(spark, frozen, 32)
+        return events.filter(probe(F.xxhash64(F.col("event_id")))).count()
+
+    timed("q_xor_freeze_probe", xor_freeze)
     timed(
         "q_countsketch_users",
         lambda: collect_sketch(

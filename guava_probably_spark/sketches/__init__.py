@@ -33,6 +33,7 @@ from .shll import SlidingHllSketch
 from .theta import ThetaSketch
 from .tdigest import TDigestSketch
 from .tuplesketch import TupleSketch
+from .xorf import XorFilter
 
 _KINDS = {
     "bloom": BloomSketch,
@@ -52,6 +53,7 @@ _KINDS = {
     "tuple": TupleSketch,
     "shll": SlidingHllSketch,
     "qf": QuotientFilterSketch,
+    "xor": XorFilter,
 }
 
 
@@ -91,6 +93,7 @@ __all__ = [
     "ScalableBloomSketch",
     "CuckooSketch",
     "QuotientFilterSketch",
+    "XorFilter",
     "HllSketch",
     "CmsSketch",
     "CountSketch",

@@ -45,6 +45,7 @@ KIND_COUNTSKETCH = 14
 KIND_TUPLE = 15
 KIND_SHLL = 16
 KIND_QF = 17
+KIND_XOR = 18
 
 # Funnels: how an element column is reduced to hashable bytes.  The funnel id
 # is part of filter compatibility, mirroring Guava Funnel identity semantics

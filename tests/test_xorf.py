@@ -1,0 +1,139 @@
+"""XOR filter (sketches/xorf.py, Graf & Lemire 2020) and the sharded
+freeze operator (operators/freeze.py)."""
+
+import numpy as np
+import pytest
+
+from guava_probably_spark.sketches import Sketch, XorFilter
+from guava_probably_spark.sketches.base import FUNNEL_LONG, FUNNEL_PREHASHED
+
+
+def _hashes(n=20000, seed=5):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2**63, n, dtype=np.int64).astype(np.uint64)
+
+
+def test_zero_false_negatives_and_exact_fpp():
+    keys = _hashes()
+    f = XorFilter.build_from_hashes(keys, fbits=8)
+    assert f.contains_hashes(keys, keys).all()
+    non = _hashes(40000, seed=6)
+    fp = f.contains_hashes(non, non).mean()
+    sigma = (2**-8 * (1 - 2**-8) / 40000) ** 0.5
+    assert fp <= 2**-8 + 4 * sigma
+    assert f.expected_fpp() == 2**-8
+    assert 9.0 < f.bits_per_key() < 10.5  # ~1.23 * 8
+
+
+def test_fbits_grid_fpp_scales():
+    keys = _hashes(5000)
+    non = _hashes(200000, seed=9)
+    for fbits in (8, 16):
+        f = XorFilter.build_from_hashes(keys, fbits=fbits)
+        assert f.contains_hashes(keys, keys).all()
+        fp = f.contains_hashes(non, non).mean()
+        assert fp <= 2.0**-fbits * 3 + 1e-4
+
+
+def test_build_deterministic_and_dedup():
+    keys = _hashes(8000)
+    f1 = XorFilter.build_from_hashes(keys, fbits=8)
+    shuffled = keys.copy()
+    np.random.default_rng(0).shuffle(shuffled)
+    f2 = XorFilter.build_from_hashes(np.concatenate([shuffled, keys[:100]]), fbits=8)
+    assert f1.to_bytes() == f2.to_bytes()  # order + duplicates irrelevant
+    assert f1.n == len(np.unique(keys))
+
+
+def test_roundtrip_and_corruption():
+    f = XorFilter.build_from_hashes(_hashes(3000), fbits=16)
+    blob = f.to_bytes()
+    f2 = Sketch.from_bytes(blob)
+    assert isinstance(f2, XorFilter) and f2.to_bytes() == blob
+    with pytest.raises(ValueError):
+        Sketch.from_bytes(blob[: len(blob) // 2])
+
+
+def test_static_contract_raises():
+    f = XorFilter.build_from_hashes(_hashes(100))
+    with pytest.raises(NotImplementedError):
+        f.update([1, 2, 3])
+    with pytest.raises(NotImplementedError):
+        f.merge(XorFilter.build_from_hashes(_hashes(100, seed=8)))
+
+
+def test_empty_build():
+    f = XorFilter.build_from_hashes(np.zeros(0, dtype=np.uint64))
+    assert f.is_empty()
+    assert not f.contains_hashes(_hashes(10), _hashes(10)).any()
+    blob = f.to_bytes()
+    assert Sketch.from_bytes(blob).to_bytes() == blob
+
+
+def test_scalar_and_funnel_surface():
+    f = XorFilter.build_from_hashes(_hashes(1000), fbits=8, funnel=FUNNEL_LONG)
+    # scalar probes go through element_to_hash → murmur h1 domain; the
+    # build above used raw hashes, so just assert the call path works
+    assert isinstance(f.might_contain(42), bool)
+
+
+def test_freeze_filter_sharded(spark):
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.operators import (
+        freeze_filter,
+        frozen_probe_udf,
+        frozen_semijoin,
+    )
+
+    shards = 16
+    df = spark.range(0, 30000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("k")
+    )
+    frozen = freeze_filter(df, "k", fbits=8, shards=shards)
+    rows = frozen.collect()
+    assert 1 <= len(rows) <= shards
+    assert sum(r.n for r in rows) == df.select("k").distinct().count()
+
+    probe = frozen_probe_udf(spark, frozen, shards)
+    # zero false negatives over every member
+    misses = df.filter(~probe(F.xxhash64(F.col("k")))).count()
+    assert misses == 0
+    # FP rate on guaranteed non-members within the 2^-8 bound
+    non = spark.range(2_000_000, 2_040_000).withColumnRenamed("id", "k")
+    fp = non.filter(probe(F.xxhash64(F.col("k")))).count() / 40000
+    sigma = (2**-8 * (1 - 2**-8) / 40000) ** 0.5
+    assert fp <= 2**-8 + 4 * sigma
+
+    pruned = frozen_semijoin(spark, df, "k", frozen, shards)
+    assert pruned.count() == df.count()  # members all survive
+
+
+def test_freeze_deterministic_across_partitionings(spark):
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.operators import freeze_filter
+
+    df = spark.range(0, 20000).select((F.col("id") % 7919).alias("k"))
+    a = {r.shard: bytes(r.sketch) for r in freeze_filter(df, "k", shards=8).collect()}
+    b = {
+        r.shard: bytes(r.sketch)
+        for r in freeze_filter(df.repartition(13), "k", shards=8).collect()
+    }
+    assert a == b
+
+
+def test_frozen_null_keys_probe_false(spark):
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.operators import freeze_filter, frozen_probe_udf
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("k")
+    )
+    frozen = freeze_filter(df, "k", shards=4)
+    probe = frozen_probe_udf(spark, frozen, 4)
+    n_null_hits = df.filter(F.col("k").isNull() & probe(F.xxhash64(F.col("k")))).count()
+    assert n_null_hits == 0
+    n_miss = df.filter(F.col("k").isNotNull() & ~probe(F.xxhash64(F.col("k")))).count()
+    assert n_miss == 0
