@@ -76,42 +76,37 @@ def qf_geometry(capacity: int, fpp: float) -> tuple[int, int]:
 
 
 def _pack_bits(values: np.ndarray, width: int) -> np.ndarray:
-    """Pack n width-bit values (little-endian bit order) into uint64 words."""
+    """Pack n width-bit values (little-endian bit order) into uint64 words.
+
+    Goes through a (n, width) u8 bit matrix + ``np.packbits`` — all C loops
+    (a scattered ``bitwise_or.at`` over per-value word positions measured
+    ~10× slower on the 2^q-slot tables this serializes)."""
     n = len(values)
-    total_bits = n * width
-    out = np.zeros((total_bits + 63) // 64, dtype=np.uint64)
+    nwords = (n * width + 63) // 64
+    out = np.zeros(nwords, dtype=np.uint64)
     if n == 0:
         return out
-    v = values.astype(np.uint64)
-    bitpos = np.arange(n, dtype=np.uint64) * np.uint64(width)
-    word = (bitpos >> np.uint64(6)).astype(np.int64)
-    off = bitpos & np.uint64(63)
-    np.bitwise_or.at(out, word, v << off)
-    spill = (off.astype(np.int64) + width) > 64
-    if spill.any():
-        np.bitwise_or.at(
-            out, word[spill] + 1, v[spill] >> (np.uint64(64) - off[spill])
-        )
-    return out
+    sh = np.arange(width, dtype=np.uint64)
+    bits = ((values.astype(np.uint64)[:, None] >> sh) & np.uint64(1)).astype(np.uint8)
+    by = np.packbits(bits.ravel(), bitorder="little")
+    buf = np.zeros(nwords * 8, dtype=np.uint8)
+    buf[: len(by)] = by
+    return buf.view(np.uint64)
 
 
 def _unpack_bits(words: np.ndarray, n: int, width: int) -> np.ndarray:
     """Inverse of :func:`_pack_bits`; returns n uint64 values."""
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
-    bitpos = np.arange(n, dtype=np.uint64) * np.uint64(width)
-    word = (bitpos >> np.uint64(6)).astype(np.int64)
-    off = bitpos & np.uint64(63)
-    lo = words[word] >> off
-    need_hi = (off.astype(np.int64) + width) > 64
-    if need_hi.any():
-        word2 = np.minimum(word + 1, len(words) - 1)
-        hi = np.where(
-            need_hi, words[word2] << (np.uint64(64) - off), np.uint64(0)
-        )
-        lo = lo | hi
-    mask = np.uint64((1 << width) - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
-    return lo & mask
+    bits = np.unpackbits(
+        words.view(np.uint8), bitorder="little", count=n * width
+    ).reshape(n, width)
+    # one OR pass per bit plane: O(width·n) u64 ops, no (n, width) u64
+    # temporary (a broadcast multiply-reduce there measured ~15× slower)
+    out = np.zeros(n, dtype=np.uint64)
+    for k in range(width):
+        out |= bits[:, k].astype(np.uint64) << np.uint64(k)
+    return out
 
 
 def _bits_at(words: np.ndarray, idx: np.ndarray) -> np.ndarray:
@@ -213,8 +208,20 @@ class QuotientFilterSketch(Sketch):
         )
         return starts, counts, uq, slot_idx, total_slots
 
+    # Below this load the packed table is mostly empty slots: serialize the
+    # sorted fingerprint array itself (the table is a lossless re-encoding
+    # of it) — same size at 8 B/fp vs (r+3)/8 B over 2^q slots, but O(n)
+    # instead of O(2^q) to encode/decode.  This is what tree-fold PARTIALS
+    # ship (each partition holds a fraction of the keys); the final
+    # serving-load blob still serializes the classic table.  The mode is a
+    # pure function of the state, so blob determinism/byte-equality across
+    # merge orders is unaffected.
+    _SPARSE_LOAD_DEN = 4
+
     def _payload_bytes(self) -> bytes:
         n = len(self.fps)
+        if n * self._SPARSE_LOAD_DEN < (1 << self.qbits):
+            return struct.pack("<qq", n, -1) + self.fps.tobytes()
         starts, counts, uq, slot_idx, total_slots = self._table_layout()
         nwords = (total_slots + 63) // 64
         occ = np.zeros(nwords, dtype=np.uint64)
@@ -260,6 +267,21 @@ class QuotientFilterSketch(Sketch):
         if qbits + rbits > 64 or rbits == 0:
             raise ValueError(f"corrupt qf geometry q={qbits} r={rbits}")
         n, total_slots = struct.unpack_from("<qq", payload, 0)
+        if total_slots == -1:  # sparse transport mode: raw sorted fps
+            if n < 0 or len(payload) != 16 + 8 * n or n * cls._SPARSE_LOAD_DEN >= (
+                1 << qbits
+            ):
+                raise ValueError(
+                    f"corrupt sparse qf payload: {len(payload)} bytes for n={n}"
+                )
+            fps = np.frombuffer(payload, dtype=np.uint64, offset=16)
+            pb = qbits + rbits
+            if (fps[1:] < fps[:-1]).any() or (
+                n and pb < 64 and (fps >> np.uint64(pb)).any()
+            ):
+                raise ValueError("corrupt sparse qf payload: not canonical")
+            sk.fps = fps.copy()
+            return sk
         nwords = (total_slots + 63) // 64
         rem_nwords = (total_slots * rbits + 63) // 64
         expect = 16 + (3 * nwords + rem_nwords) * 8
@@ -407,12 +429,13 @@ class QuotientFilterSketch(Sketch):
 
     # -- merge -----------------------------------------------------------------
     def merge(self, other: "QuotientFilterSketch") -> "QuotientFilterSketch":
+        # lazy like ingest: append the other side's fingerprints and let the
+        # next consolidation do ONE sort — a driver fold over P partials is
+        # O(total log total) instead of P re-sorts of the accumulator
         self._check_compatible(other)
-        merged = np.concatenate([self.fps, other.fps])
-        merged.sort(kind="stable")
-        if self.dedup_build:
-            merged = np.unique(merged)
-        self.fps = merged
+        fp_other = other.fps
+        if len(fp_other):
+            self._pending.append(fp_other)
         return self
 
     # -- introspection ---------------------------------------------------------

@@ -177,6 +177,9 @@ def test_from_bytes_corruption_always_raises_valueerror():
         SketchSpec("dd", {"alpha": 0.01, "max_bins": 256}),
         SketchSpec("sbf", {"initial_capacity": 128, "fpp": 0.02, "funnel": FUNNEL_LONG}),
         SketchSpec("bottomk", {"k": 64, "funnel": FUNNEL_UTF8}),
+        # small capacity → table-mode payload (the SPECS qf entry fuzzes
+        # the sparse transport mode)
+        SketchSpec("qf", {"capacity": 128, "fpp": 0.02, "funnel": FUNNEL_LONG}),
     ]
     vals = _data(2000)
     for spec in all_specs:

@@ -180,3 +180,36 @@ def test_distributed_build_matches_local(spark):
     local = spec.create()
     local.update(np.array([r.v for r in df.collect()], dtype=np.int64))
     assert sk.to_bytes() == local.to_bytes()
+
+
+def test_sparse_transport_mode_roundtrip_and_merge_class():
+    """Partial-load blobs serialize the sorted fingerprint array (O(n)),
+    serving-load blobs the packed table (O(2^q)); both round-trip
+    byte-identical and mixing modes through merges stays byte-equal to
+    the whole build."""
+    cap = 50000
+    data = _data(30000, seed=41)  # 30000*4 >= 2^16 slots -> table mode whole
+    parts = np.array_split(data, 6)  # 5000*4 < 2^16 -> sparse partials
+
+    def build(chunk):
+        sk = _mk(capacity=cap)
+        sk.update(chunk)
+        return sk
+
+    def payload_mode(sk):
+        import struct
+
+        blob = sk.to_bytes()
+        (plen,) = struct.unpack_from("<I", blob, 8)
+        _, slots = struct.unpack_from("<qq", blob, 12 + plen)
+        return "sparse" if slots == -1 else "table"
+
+    partials = [build(p) for p in parts]
+    assert all(payload_mode(p) == "sparse" for p in partials)
+    for p in partials:  # sparse blobs round-trip byte-identical
+        assert Sketch.from_bytes(p.to_bytes()).to_bytes() == p.to_bytes()
+    acc = partials[0]
+    for p in partials[1:]:
+        acc = acc.merge(Sketch.from_bytes(p.to_bytes()))
+    whole = build(data)
+    assert acc.to_bytes() == whole.to_bytes()
