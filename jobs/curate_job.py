@@ -24,6 +24,9 @@
                    distinct docs — C4-style corpus-frequent line removal)
     --op overlap   --stratify source [--sketch-k 4096] (all-pairs
                    source-overlap matrix from per-key theta blobs)
+    --op freeze    [--bins 64] (distinct --id keys -> sharded static XOR
+                   filters, the serving-side membership compaction;
+                   --bins is the shard count)
     --op dsir      --train /data/target --k 100000 [--temperature 1.0
                    --seed 42] (DSIR importance resampling: keep the k
                    input docs whose hashed-ngram distribution looks like
@@ -63,7 +66,7 @@ def main() -> None:
                     choices=["dedup", "sample", "split", "pack", "redact",
                              "decontaminate", "ngram-decontaminate", "quality",
                              "histogram", "boilerplate", "overlap", "dsir",
-                             "c4", "profile"])
+                             "c4", "profile", "freeze"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     ap.add_argument("--id", default="doc_id")
@@ -231,6 +234,13 @@ def main() -> None:
         # (comma-separated), default = every profilable column
         cols = args.stratify.split(",") if args.stratify else None
         out = profile_summary(df, columns=cols)
+    elif args.op == "freeze":
+        from guava_probably_spark.operators import freeze_filter
+
+        # serving-side compaction: distinct --id keys -> sharded static XOR
+        # filters (operators/freeze.py); --bins doubles as the shard count
+        shards = args.bins if args.bins else 64
+        out = freeze_filter(df, args.id, fbits=8, shards=shards)
     elif args.op == "c4":
         from guava_probably_spark.pipeline.textops import c4_quality_df
 

@@ -146,3 +146,9 @@ def test_curate_job_profile(tmp_path):
 
     s = _run(tmp_path, "--op", "profile", "--stratify", "doc_id,source")
     assert s["output_rows"] == 2
+
+
+def test_curate_job_freeze(tmp_path):
+    s = _run(tmp_path, "--op", "freeze", "--id", "doc_id", "--bins", "8")
+    # one row per non-empty shard, each carrying an XOR-filter blob
+    assert 1 <= s["output_rows"] <= 8

@@ -213,3 +213,28 @@ def test_sparse_transport_mode_roundtrip_and_merge_class():
         acc = acc.merge(Sketch.from_bytes(p.to_bytes()))
     whole = build(data)
     assert acc.to_bytes() == whole.to_bytes()
+
+
+def test_grouped_qf_blobs_match_local(spark):
+    """Per-key qf blobs through the generic salted grouped build are
+    byte-identical to local per-group builds (the canonical-state class)."""
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.operators import build_grouped
+    from guava_probably_spark.sketches import Sketch
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") * 37 % 5001).alias("v")
+    )
+    spec = SketchSpec("qf", {"capacity": 8000, "fpp": 0.01, "funnel": FUNNEL_LONG})
+    g = build_grouped(df, "g", "v", spec, salt=4)
+    blobs = {r.g: bytes(r.sketch) for r in g.collect()}
+    assert len(blobs) == 7
+    for grp, blob in blobs.items():
+        local = spec.create()
+        vals = np.array(
+            [r.v for r in df.filter(F.col("g") == grp).collect()], dtype=np.int64
+        )
+        local.update(vals)
+        assert blob == local.to_bytes()
+        assert Sketch.from_bytes(blob).might_contain_batch(vals).all()
