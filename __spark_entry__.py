@@ -275,6 +275,12 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # set, so merges are byte-associative — the bloom/hll/cms class,
         # from the third classic filter family (and, unlike bloom, deletable)
         "qf": SketchSpec("qf", {"capacity": 20000, "fpp": 0.01}),
+        # varopt (sketches/varopt.py, Cohen et al. SODA 2009): variance-
+        # optimal weighted sample; merge-order-sensitive (the kll class)
+        # but BOTH bracketings must satisfy the exact invariants — sample
+        # size k, Σ est_weight == row count exactly (unit weights), every
+        # witness a real key
+        "varopt": SketchSpec("varopt", {"k": 256}),
     }
     exact_users = {
         r.user_id: r.c
@@ -318,6 +324,19 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 and np.abs(est - true_c).max() <= left.error_bound()
                 and abs(left.f2() - f2_exact) <= left.f2_bound() * f2_exact
             )
+        elif kind == "varopt":
+            total_rows = sum(exact_users.values())
+            ok = True
+            for sk in (left, right):
+                got = sk.sample()
+                ok = (
+                    ok
+                    and sk.size == 256
+                    and abs(sk.total_estimate() - total_rows) <= 1e-6 * total_rows
+                    # rows are the items (unit weights), so a hot user_id
+                    # may legitimately witness more than once
+                    and all(u in exact_users for u, _ in got)
+                )
         elif kind == "mg":
             # counters are merge-order-sensitive; the bracketing bound is not
             ok = all(
@@ -1958,8 +1977,8 @@ def oracle_sql() -> dict[str, str]:
         "merge_associativity": (
             "SELECT kind, true AS ok FROM (VALUES ('bloom'), ('cuckoo'), ('hll'), "
             "('cms'), ('kll'), ('tdigest'), ('mg'), ('theta'), ('sbf'), ('dd'), "
-            "('req'), ('bottomk'), ('countsketch'), ('tuple'), ('qf'), ('fd'), "
-            "('fold'), ('shll')) AS t(kind)"
+            "('req'), ('bottomk'), ('countsketch'), ('tuple'), ('qf'), "
+            "('varopt'), ('fd'), ('fold'), ('shll')) AS t(kind)"
         ),
         "grouped_hll_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "

@@ -524,6 +524,18 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
             events, "event_id", SketchSpec("qf", {"capacity": n_events * 2, "fpp": 0.01})
         ),
     )
+    def varopt_sample():
+        # variance-optimal weighted sample: rows are items, value*100 the
+        # weight; one blob answers any subset-sum question over the sample
+        from guava_probably_spark.operators import collect_weighted_sketch
+
+        ev_w = events.selectExpr("user_id", "CAST(value * 100 AS LONG) + 1 AS w")
+        return collect_weighted_sketch(
+            ev_w, "user_id", "w", SketchSpec("varopt", {"k": 4096})
+        )
+
+    timed("q_varopt_users", varopt_sample)
+
     def xor_freeze():
         # serving-side compaction: sharded XOR-filter freeze + full-corpus
         # probe (operators/freeze.py; keys hash JVM-side, blob table tiny)

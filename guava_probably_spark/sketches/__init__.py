@@ -33,6 +33,7 @@ from .shll import SlidingHllSketch
 from .theta import ThetaSketch
 from .tdigest import TDigestSketch
 from .tuplesketch import TupleSketch
+from .varopt import VarOptSketch
 from .xorf import XorFilter
 
 _KINDS = {
@@ -54,6 +55,7 @@ _KINDS = {
     "shll": SlidingHllSketch,
     "qf": QuotientFilterSketch,
     "xor": XorFilter,
+    "varopt": VarOptSketch,
 }
 
 
@@ -94,6 +96,7 @@ __all__ = [
     "CuckooSketch",
     "QuotientFilterSketch",
     "XorFilter",
+    "VarOptSketch",
     "HllSketch",
     "CmsSketch",
     "CountSketch",

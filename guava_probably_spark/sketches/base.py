@@ -46,6 +46,7 @@ KIND_TUPLE = 15
 KIND_SHLL = 16
 KIND_QF = 17
 KIND_XOR = 18
+KIND_VAROPT = 19
 
 # Funnels: how an element column is reduced to hashable bytes.  The funnel id
 # is part of filter compatibility, mirroring Guava Funnel identity semantics

@@ -53,7 +53,7 @@ def main() -> None:
     ap.add_argument("--kind", required=True,
                     choices=["bloom", "cuckoo", "hll", "cms", "kll", "tdigest",
                              "mg", "theta", "sbf", "dd", "req", "fd", "bottomk",
-                             "countsketch", "tuple", "qf"])
+                             "countsketch", "tuple", "qf", "varopt"])
     ap.add_argument(
         "--value-col",
         default=None,

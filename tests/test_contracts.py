@@ -180,6 +180,7 @@ def test_from_bytes_corruption_always_raises_valueerror():
         # small capacity → table-mode payload (the SPECS qf entry fuzzes
         # the sparse transport mode)
         SketchSpec("qf", {"capacity": 128, "fpp": 0.02, "funnel": FUNNEL_LONG}),
+        SketchSpec("varopt", {"k": 64, "funnel": FUNNEL_LONG}),
     ]
     vals = _data(2000)
     for spec in all_specs:
