@@ -337,6 +337,53 @@ def register_sql(spark: SparkSession) -> None:
     spark.udf.register("tuple_sum_se", tuple_sum_se())
     spark.udf.register("cs_f2", cs_f2())
     spark.udf.register("shll_window", shll_window())
+    spark.udf.register("sketch_contains", sketch_contains())
+    spark.udf.register("varopt_total", varopt_total())
+
+
+@functools.cache
+def sketch_contains():
+    """``sketch_contains(sketch, value)`` — membership probe against a
+    filter BLOB COLUMN (bloom/cuckoo/qf/sbf/xor), for the per-key-filter
+    join shape where each row carries its group's blob: rows are grouped
+    by distinct blob and each group probes as ONE vectorized batch, so the
+    per-row Python cost is amortized to the number of distinct blobs in
+    the Arrow batch (≈ number of groups), not the number of rows."""
+    import numpy as np
+
+    @pandas_udf(BooleanType())
+    def f(blobs: pd.Series, values: pd.Series) -> pd.Series:
+        n = len(values)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return pd.Series(out)
+        keys = blobs.map(lambda b: None if b is None else bytes(b))
+        for kb in keys.dropna().unique():
+            sk = _cached_sketch(kb)
+            m = (keys == kb).to_numpy(dtype=bool)
+            arr = _coerce_for_funnel(pa.Array.from_pandas(values[m]), sk)
+            res = _expand_nulls(arr, sk.might_contain_batch(arr), False)
+            out[m] = np.asarray(res, dtype=bool)
+        return pd.Series(out)
+
+    return f
+
+
+@functools.cache
+def varopt_total():
+    """``varopt_total(sketch)`` — Σ est_weight of a VarOpt blob, which
+    equals the total ingested weight exactly (sketches/varopt.py)."""
+
+    @pandas_udf(DoubleType())
+    def f(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                float("nan") if b is None else _cached_sketch(bytes(b)).total_estimate()
+                for b in blobs
+            ]
+        )
+
+    return f
 
 
 @functools.cache

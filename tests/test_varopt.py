@@ -166,3 +166,34 @@ def test_distributed_weighted_build(spark):
     assert abs(sk.total_estimate() - true_total) <= 1e-6 * true_total
     keys = {kk for kk, _ in sk.sample()}
     assert keys <= set(range(30000))
+
+
+def test_sql_surface_sketch_contains_and_varopt_total(spark):
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.functions import register_sql
+    from guava_probably_spark.operators import build_grouped, collect_weighted_sketch
+
+    register_sql(spark)
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 997).alias("v")
+    )
+    # per-group qf blobs joined back to rows: every (g, v) row must probe True
+    g = build_grouped(
+        df, "g", "v", SketchSpec("qf", {"capacity": 4000, "fpp": 0.01, "funnel": FUNNEL_LONG})
+    )
+    joined = df.join(g, "g")
+    joined.createOrReplaceTempView("qv")
+    misses = spark.sql(
+        "SELECT count(*) c FROM qv WHERE NOT sketch_contains(sketch, v)"
+    ).collect()[0].c
+    assert misses == 0  # zero FN through the SQL surface
+    # varopt_total == exact total weight through SQL
+    wdf = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") % 13 + 1).alias("w"))
+    sk, _, _ = collect_weighted_sketch(
+        wdf, "k", "w", SketchSpec("varopt", {"k": 200, "funnel": FUNNEL_LONG})
+    )
+    spark.createDataFrame([(bytearray(sk.to_bytes()),)], "sketch binary").createOrReplaceTempView("vv")
+    total = spark.sql("SELECT varopt_total(sketch) t FROM vv").collect()[0].t
+    exact = wdf.agg(F.sum("w")).collect()[0][0]
+    assert abs(total - exact) <= 1e-6 * exact
