@@ -117,6 +117,27 @@ def main() -> None:
         fmt(aj),
     ))
 
+    from guava_probably_spark.operators import freeze_filter, frozen_semijoin
+
+    frozen = freeze_filter(events, "event_id", fbits=8, shards=8)
+    sections.append((
+        "XOR-filter freeze (serving-side compaction)",
+        "Keys hash JVM-side (`xxhash64` in the projection — no value bytes "
+        "cross the Python boundary), ONE Exchange routes hashes to shards, "
+        "and each shard's filter solves inside `FlatMapGroupsInPandas`; "
+        "the output is the KB-scale (shard, blob) table — no key list "
+        "ever reaches the driver.",
+        fmt(frozen),
+    ))
+    sections.append((
+        "Frozen-filter probe (sharded serving path)",
+        "The fact scan is filtered by an `ArrowEvalPython` probe over the "
+        "broadcast blob table, keyed by `xxhash64` computed in codegen — "
+        "no join, no shuffle; FPs are exactly 2^-f and a downstream exact "
+        "join can rescue them where needed.",
+        fmt(frozen_semijoin(spark, events, "event_id", frozen, 8)),
+    ))
+
     for i in range(2):
         half = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == i)
         gh = build_grouped(half, "event_type", "user_id", SketchSpec("hll", {"p": 12}), salt=2)
