@@ -419,7 +419,24 @@ def _q_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd_a, dd_b = (collect_sketch(s, "value", specs["dd"])[0] for s in splits[:2])
     dd_whole = dd_a.copy().merge(dd_b.copy()).fold_to(2)
     dd_parts = dd_a.fold_to(2).merge(dd_b.fold_to(2))
+    # qf: fp >> delta — fold commutes with merge byte-for-byte, and the
+    # SQL sketch_fold dispatch produces the identical blob
+    qf_a, qf_b = (collect_sketch(s, "user_id", specs["qf"])[0] for s in splits[:2])
+    qf_r2 = qf_a.rbits - 2
+    spark.createDataFrame(
+        [Row(sketch=qf_a.to_bytes(), param=qf_r2)]
+    ).createOrReplaceTempView("fold_qf_v")
+    qf_sql_folded = bytes(
+        spark.sql("SELECT sketch_fold(sketch, param) AS f FROM fold_qf_v").collect()[0].f
+    )
+    qf_fold_ok = (
+        qf_sql_folded == qf_a.fold_to(qf_r2).to_bytes()
+        and qf_a.copy().merge(qf_b.copy()).fold_to(qf_r2).to_bytes()
+        == qf_a.fold_to(qf_r2).merge(qf_b.fold_to(qf_r2)).to_bytes()
+    )
     fold_ok = (
+        qf_fold_ok
+        and
         folded["hll"] == hll10.to_bytes()
         and folded["theta"] == th64.to_bytes()
         and folded["cms"] == cms_full.fold_to(4).to_bytes()

@@ -438,6 +438,35 @@ class QuotientFilterSketch(Sketch):
             self._pending.append(fp_other)
         return self
 
+    # -- cross-parameter fold --------------------------------------------------
+    def fold_to(self, rbits: int) -> "QuotientFilterSketch":
+        """EXACT fold to fewer remainder bits: since fp = quot·2^r + rem,
+        dropping Δ = r − r' low remainder bits is ``fp >> Δ`` — the folded
+        fingerprint set equals that of a filter built directly at (q, r')
+        over the same keys (FPP grows 2^Δ×), and the fold commutes with
+        merge byte-for-byte (shift-then-union == union-then-shift; dedup
+        after either).  The mixed-parameter sketch-table story: fold the
+        finer side down, then merge — SQL-reachable via
+        ``sketch_fold(sketch, r')``."""
+        rbits = int(rbits)
+        if rbits > self.rbits:
+            raise ValueError(f"cannot fold r={self.rbits} UP to {rbits}")
+        if rbits < 1:
+            raise ValueError("rbits must be >= 1")
+        delta = self.rbits - rbits
+        out = QuotientFilterSketch.__new__(QuotientFilterSketch)
+        Sketch.__init__(out, self.funnel)
+        out.capacity = self.capacity
+        out.design_fpp = min(1.0 - 1e-12, self.design_fpp * (1 << delta))
+        out.qbits, out.rbits = self.qbits, rbits
+        out.dedup_build = self.dedup_build
+        fps = self.fps >> np.uint64(delta)
+        if self.dedup_build:
+            fps = np.unique(fps)
+        out._sorted = fps
+        out._pending = []
+        return out
+
     # -- introspection ---------------------------------------------------------
     def expected_fpp(self) -> float:
         n = len(self.fps)

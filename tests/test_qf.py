@@ -238,3 +238,38 @@ def test_grouped_qf_blobs_match_local(spark):
         local.update(vals)
         assert blob == local.to_bytes()
         assert Sketch.from_bytes(blob).might_contain_batch(vals).all()
+
+
+def test_fold_to_exact_and_commutes_with_merge():
+    """fp >> delta: folded fps equal a direct (q, r') build's fps, the
+    fold commutes with merge byte-for-byte, and FN stays zero at the
+    coarser precision."""
+    data = _data(8000, seed=51)
+    a_data, b_data = data[:4000], data[4000:]
+
+    def build(chunk):
+        sk = _mk(capacity=8000, fpp=0.001)
+        sk.update(chunk)
+        return sk
+
+    whole = build(data)
+    r2 = whole.rbits - 3
+    folded = whole.fold_to(r2)
+    assert folded.rbits == r2 and folded.qbits == whole.qbits
+    # fps match a direct build at the SAME geometry
+    direct = _mk(capacity=8000, fpp=0.001)
+    direct.rbits = r2  # same q, coarser r
+    direct.update(data)
+    assert (folded.fps == direct.fps).all()
+    # fold commutes with merge, byte-for-byte
+    fa, fb = build(a_data), build(b_data)
+    assert (
+        fa.copy().merge(fb.copy()).fold_to(r2).to_bytes()
+        == fa.fold_to(r2).merge(fb.fold_to(r2)).to_bytes()
+    )
+    # zero FN survives the fold; honest fpp grows ~2^3
+    assert folded.might_contain_batch(data).all()
+    assert folded.expected_fpp() > whole.expected_fpp() * 4
+    # SQL reachability rides the generic sketch_fold dispatch (fold_to)
+    with pytest.raises(ValueError):
+        whole.fold_to(whole.rbits + 1)
