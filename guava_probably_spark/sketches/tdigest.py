@@ -39,6 +39,7 @@ class TDigestSketch(Sketch):
         self.means = np.empty(0, dtype=np.float64)
         self.weights = np.empty(0, dtype=np.float64)
         self._buf: list[np.ndarray] = []
+        self._bufw: list[np.ndarray] = []
         self._buf_n = 0
         self._compressed = True  # means/weights are in canonical k1 form
         self.n = 0
@@ -57,10 +58,11 @@ class TDigestSketch(Sketch):
             return
         if self._buf:
             bx = np.concatenate(self._buf)
-            bw = np.ones(len(bx), dtype=np.float64)
+            bw = np.concatenate(self._bufw)
             x = np.concatenate([self.means, bx])
             w = np.concatenate([self.weights, bw])
             self._buf = []
+            self._bufw = []
             self._buf_n = 0
         else:
             x, w = self.means, self.weights
@@ -83,14 +85,31 @@ class TDigestSketch(Sketch):
         self._compressed = True
 
     # -------------------------------------------------------------- updates
-    def update(self, values) -> None:
+    def update(self, values, weights=None) -> None:
+        """Values in; optional per-value weights (a weight-w value is
+        exactly w copies in the weighted CDF — quantile/rank/cdf then
+        answer over the WEIGHTED distribution, e.g. token-weighted doc
+        lengths). NaN / negative / zero weights drop the value, the same
+        guard as the weighted samplers."""
         v = _to_float_array(values)
+        if weights is None:
+            w = np.ones(len(v), dtype=np.float64)
+        else:
+            w = np.asarray(weights, dtype=np.float64)
+            if len(w) != len(v):
+                raise ValueError(
+                    f"weights must align with values ({len(v)} vs {len(w)})"
+                )
+            ok = np.isfinite(w) & (w > 0)
+            if not ok.all():
+                v, w = v[ok], w[ok]
         if len(v) == 0:
             return
         self.n += len(v)
         self.vmin = min(self.vmin, float(v.min()))
         self.vmax = max(self.vmax, float(v.max()))
         self._buf.append(v)
+        self._bufw.append(w)
         self._buf_n += len(v)
         self._compressed = False
         if self._buf_n >= _BUFFER_LIMIT:
@@ -103,16 +122,18 @@ class TDigestSketch(Sketch):
     def merge(self, other: "TDigestSketch") -> "TDigestSketch":
         """Merge other into self WITHOUT mutating other (a broadcast/shared
         digest must not have its buffer flushed as a merge side effect):
-        other's buffered raw values fold in as weight-1 centroids."""
+        other's buffered raw values fold in with their buffered weights."""
         self._check_compatible(other)
         self._compress()
         obuf = (
             [np.concatenate(other._buf)] if other._buf else []
         )
+        obufw = (
+            [np.concatenate(other._bufw)] if other._buf else []
+        )
         self.means = np.concatenate([self.means, other.means] + obuf)
         self.weights = np.concatenate(
-            [self.weights, other.weights]
-            + ([np.ones(len(obuf[0]), dtype=np.float64)] if obuf else [])
+            [self.weights, other.weights] + obufw
         )
         self._compressed = False
         self.n += other.n
@@ -213,6 +234,7 @@ class TDigestSketch(Sketch):
         Sketch.__init__(sk, FUNNEL_NONE)
         sk.delta = delta
         sk._buf = []
+        sk._bufw = []
         sk._buf_n = 0
         sk._compressed = True  # blobs serialize the canonical form
         sk.n, sk.vmin, sk.vmax, nc = struct.unpack_from("<qddq", payload, 0)

@@ -417,3 +417,55 @@ def test_cms_fold_exact_byte_identity_and_merge_commutation(spark):
     blob = spark.sql("SELECT sketch_fold(sketch, 4) AS s FROM cms_fold_v").collect()[0].s
     assert bytes(blob) == f.to_bytes()
     assert Sketch.from_bytes(bytes(blob)).w == 1024
+
+
+def test_tdigest_weighted_quantiles_match_expanded():
+    """A weight-w value is w copies in the weighted CDF: quantiles of the
+    weighted build sit within the rank bound of the exact weighted
+    distribution, and total weight is preserved exactly."""
+    import numpy as np
+
+    from guava_probably_spark.sketches import TDigestSketch
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(100, 25, 4000)
+    w = rng.integers(1, 50, 4000).astype(np.float64)
+    sk = TDigestSketch(delta=200.0)
+    sk.update(vals, weights=w)
+    sk._compress()  # weights are centroid state; flush the batch buffer
+    assert abs(sk.weights.sum() - w.sum()) <= 1e-6 * w.sum()
+    # exact weighted CDF
+    order = np.argsort(vals)
+    sv, sw = vals[order], w[order]
+    cdf = np.cumsum(sw) / sw.sum()
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        est = float(sk.quantile(q))
+        rank = float(np.interp(est, sv, cdf))
+        assert abs(rank - q) <= sk.rank_error_bound() + 0.01
+    # NaN / nonpositive weights drop the value
+    sk2 = TDigestSketch(delta=100.0)
+    sk2.update(np.array([1.0, 2.0, 3.0]), weights=np.array([np.nan, -1.0, 5.0]))
+    sk2._compress()
+    assert sk2.weights.sum() == 5.0
+
+
+def test_tdigest_weighted_distributed_build(spark):
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.operators import collect_weighted_sketch
+    from guava_probably_spark.sketches import SketchSpec
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 500).cast("double").alias("v"),
+        (F.col("id") % 9 + 1).alias("w"),
+    )
+    sk, n, _ = collect_weighted_sketch(
+        df, "v", "w", SketchSpec("tdigest", {"delta": 200.0})
+    )
+    assert n == 20000
+    total = df.agg(F.sum("w")).collect()[0][0]
+    assert abs(sk.weights.sum() - total) <= 1e-6 * total
+    med = float(sk.quantile(0.5))
+    # exact weighted median of (id % 500) weighted by (id % 9 + 1): the
+    # weight pattern is uniform across v, so the weighted median ~ 250
+    assert 230 <= med <= 270
