@@ -39,6 +39,21 @@ def _to_float_array(values) -> np.ndarray:
     return v[~np.isnan(v)]
 
 
+def _to_float_aligned(values) -> np.ndarray:
+    """Like :func:`_to_float_array` but POSITION-PRESERVING (nulls → NaN,
+    nothing dropped) so a parallel weights array stays aligned."""
+    try:
+        import pyarrow as pa
+
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if isinstance(values, pa.Array):
+            values = values.cast(pa.float64()).to_numpy(zero_copy_only=False)
+    except ImportError:
+        pass
+    return np.asarray(values, dtype=np.float64).ravel()
+
+
 @register_kind
 class KllSketch(Sketch):
     KIND = KIND_KLL
@@ -79,7 +94,37 @@ class KllSketch(Sketch):
                 break  # nothing compactable (all levels below cap)
 
     # -------------------------------------------------------------- updates
-    def update(self, values) -> None:
+    def update(self, values, weights=None) -> None:
+        """Values in; optional positive integer weights — a weight-w value
+        is w copies of the weighted CDF.  Weighted inserts binary-decompose
+        each weight into the compactor levels (bit b of w → one copy at
+        level b, weight 2^b), exactly the mechanism levelwise ``merge``
+        already uses, so rank error vs the WEIGHTED distribution carries
+        the same O(1/k) behavior (validated empirically in tests).
+        Fractional weights are rounded; weights < 1 after rounding (and
+        NaN) drop the value, like the weighted samplers."""
+        if weights is not None:
+            v = _to_float_aligned(values)
+            w = np.rint(np.asarray(weights, dtype=np.float64))
+            if len(w) != len(v):
+                raise ValueError(
+                    f"weights must align with values ({len(v)} vs {len(w)})"
+                )
+            ok = np.isfinite(v) & np.isfinite(w) & (w >= 1)
+            v, w = v[ok], w[ok].astype(np.int64)
+            if len(v) == 0:
+                return
+            self.n += int(w.sum())
+            top = int(w.max()).bit_length()
+            for b in range(top):
+                sel = (w >> b) & 1 == 1
+                if not sel.any():
+                    continue
+                while len(self.levels) <= b:
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[b] = np.concatenate([self.levels[b], v[sel]])
+                self._compact()
+            return
         v = _to_float_array(values)
         if len(v) == 0:
             return

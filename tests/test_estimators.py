@@ -469,3 +469,36 @@ def test_tdigest_weighted_distributed_build(spark):
     # exact weighted median of (id % 500) weighted by (id % 9 + 1): the
     # weight pattern is uniform across v, so the weighted median ~ 250
     assert 230 <= med <= 270
+
+
+def test_kll_weighted_quantiles_match_expanded():
+    """Weighted KLL == the expanded multiset: quantiles within the k
+    bound of the exact weighted CDF; weight bits land as level inserts."""
+    import numpy as np
+
+    from guava_probably_spark.sketches import KllSketch
+
+    rng = np.random.default_rng(9)
+    vals = rng.normal(50, 12, 3000)
+    w = rng.integers(1, 40, 3000)
+    sk = KllSketch(k=200)
+    sk.update(vals, weights=w)
+    assert sk.n == int(w.sum())
+    # exact weighted CDF via expansion (small enough here)
+    expanded = np.repeat(vals, w)
+    srt = np.sort(expanded)
+    for q in (0.1, 0.5, 0.9):
+        est = float(sk.quantile(q))
+        rank = np.searchsorted(srt, est) / len(srt)
+        assert abs(rank - q) <= sk.rank_error_bound() + 0.005
+    # weighted and unit builds agree with each other on the same multiset
+    unit = KllSketch(k=200)
+    unit.update(expanded)
+    for q in (0.25, 0.75):
+        r1 = np.searchsorted(srt, float(sk.quantile(q))) / len(srt)
+        r2 = np.searchsorted(srt, float(unit.quantile(q))) / len(srt)
+        assert abs(r1 - r2) <= 2 * sk.rank_error_bound()
+    # NaN values / sub-1 weights drop
+    sk2 = KllSketch(k=64)
+    sk2.update(np.array([np.nan, 2.0, 3.0]), weights=np.array([5, 0.2, 4]))
+    assert sk2.n == 4
