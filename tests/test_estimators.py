@@ -502,3 +502,32 @@ def test_kll_weighted_quantiles_match_expanded():
     sk2 = KllSketch(k=64)
     sk2.update(np.array([np.nan, 2.0, 3.0]), weights=np.array([5, 0.2, 4]))
     assert sk2.n == 4
+
+
+def test_grouped_weighted_tdigest_quantiles(spark):
+    """Per-key token-weighted quantiles: build_grouped(weight_col=...) +
+    the weighted t-digest compose with zero new plumbing — each group's
+    median sits at rank 0.5 of ITS exact weighted CDF."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.operators import build_grouped
+    from guava_probably_spark.sketches import SketchSpec, Sketch
+
+    df = spark.range(0, 30000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+        (F.col("id") % 7 + 1).alias("w"),
+    )
+    g = build_grouped(
+        df, "g", "v", SketchSpec("tdigest", {"delta": 200.0}), weight_col="w"
+    )
+    rows = {r.g: Sketch.from_bytes(bytes(r.sketch)) for r in g.collect()}
+    assert len(rows) == 4
+    pdf = df.toPandas()
+    for grp, sk in rows.items():
+        sub = pdf[pdf.g == grp]
+        srt = np.sort(np.repeat(sub.v.to_numpy(), sub.w.to_numpy()))
+        rank = np.searchsorted(srt, float(sk.quantile(0.5))) / len(srt)
+        assert abs(rank - 0.5) <= sk.rank_error_bound() + 0.01
+        assert abs(sk.weights.sum() - sub.w.sum()) <= 1e-6 * sub.w.sum()
