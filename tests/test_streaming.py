@@ -544,3 +544,41 @@ def test_incremental_shll_sink_sliding_windows(spark, stream_dir, tmp_path):
     )
     est = sk.estimate_window(w)
     assert abs(est - exact) <= max(sk.relative_error_bound() * exact, 3.0)
+
+
+def test_incremental_sink_qf_replay_idempotent(spark, stream_dir, tmp_path):
+    """Quotient filter through the incremental sink: the running blob
+    answers membership with zero FN over everything streamed, and —
+    because the canonical set-union merge is IDEMPOTENT — re-merging a
+    replayed micro-batch leaves the state byte-identical (the
+    restart-safety story for the byte-canonical kinds, checked for real)."""
+    incoming, files = stream_dir
+    state = str(tmp_path / "qf.blob")
+    stream = spark.readStream.schema(TRANSCRIPT_DDL).parquet(incoming)
+    writer = incremental_sketch_sink(
+        stream, "conv_id", SketchSpec("qf", {"capacity": 200_000, "fpp": 0.01}), state
+    )
+    q = writer.option("checkpointLocation", str(tmp_path / "ckq")).start()
+    try:
+        shutil.copy(files[0], incoming)
+        q.processAllAvailable()
+        shutil.copy(files[1], incoming)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(state, "rb") as f:
+        blob = f.read()
+    sk = Sketch.from_bytes(blob)
+    convs = [
+        r.conv_id for r in spark.read.parquet(incoming).select("conv_id").distinct().collect()
+    ]
+    assert sk.might_contain_batch(convs).all()  # zero FN over the stream
+    # replay idempotence: folding batch 1 in again changes nothing
+    from guava_probably_spark.operators import collect_sketch
+
+    batch1 = spark.read.schema(TRANSCRIPT_DDL).parquet(files[0])
+    part, _, _ = collect_sketch(
+        batch1, "conv_id", SketchSpec("qf", {"capacity": 200_000, "fpp": 0.01})
+    )
+    sk.merge(part)
+    assert sk.to_bytes() == blob
