@@ -181,12 +181,20 @@ def test_from_bytes_corruption_always_raises_valueerror():
         # the sparse transport mode)
         SketchSpec("qf", {"capacity": 128, "fpp": 0.02, "funnel": FUNNEL_LONG}),
         SketchSpec("varopt", {"k": 64, "funnel": FUNNEL_LONG}),
+        SketchSpec("xor", {"fbits": 8}),  # built via build_from_hashes below
     ]
     vals = _data(2000)
     for spec in all_specs:
         sk = spec.create()
         if spec.kind == "fd":
             sk.update(np.asarray(vals, dtype=np.float64).reshape(-1, 8))
+            blob = sk.to_bytes()
+        elif spec.kind == "xor":
+            from guava_probably_spark.sketches import XorFilter
+
+            sk = XorFilter.build_from_hashes(
+                np.asarray(vals).astype(np.uint64), fbits=8
+            )
             blob = sk.to_bytes()
         else:
             try:
