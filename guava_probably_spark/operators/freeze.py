@@ -76,13 +76,15 @@ def frozen_probe_udf(spark: SparkSession, frozen: DataFrame, shards: int):
     for r in rows:
         blobs[int(r.shard)] = bytes(r.sketch)
     bc = spark.sparkContext.broadcast(blobs)
+    # per-worker decode cache OUTSIDE the udf body: each executor decodes
+    # each shard blob once, not once per Arrow batch
+    cache: dict[int, XorFilter] = {}
 
     @pandas_udf(BooleanType())
     def probe(hashes: pd.Series) -> pd.Series:
         from ..sketches.base import Sketch
 
         table = bc.value
-        cache: dict[int, XorFilter] = {}
         h = hashes.to_numpy(dtype=np.int64, na_value=0)
         isnull = hashes.isna().to_numpy()
         shard = np.mod(h, shards)

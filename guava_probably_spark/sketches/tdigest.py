@@ -91,16 +91,22 @@ class TDigestSketch(Sketch):
         answer over the WEIGHTED distribution, e.g. token-weighted doc
         lengths). NaN / negative / zero weights drop the value, the same
         guard as the weighted samplers."""
-        v = _to_float_array(values)
         if weights is None:
+            v = _to_float_array(values)
             w = np.ones(len(v), dtype=np.float64)
         else:
+            # position-preserving conversion: a NaN/null VALUE must not
+            # shift the weight alignment (the unweighted path's NaN drop
+            # happens jointly below)
+            from .kll import _to_float_aligned
+
+            v = _to_float_aligned(values)
             w = np.asarray(weights, dtype=np.float64)
             if len(w) != len(v):
                 raise ValueError(
                     f"weights must align with values ({len(v)} vs {len(w)})"
                 )
-            ok = np.isfinite(w) & (w > 0)
+            ok = np.isfinite(v) & np.isfinite(w) & (w > 0)
             if not ok.all():
                 v, w = v[ok], w[ok]
         if len(v) == 0:

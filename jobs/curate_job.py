@@ -24,9 +24,8 @@
                    distinct docs — C4-style corpus-frequent line removal)
     --op overlap   --stratify source [--sketch-k 4096] (all-pairs
                    source-overlap matrix from per-key theta blobs)
-    --op freeze    [--bins 64] (distinct --id keys -> sharded static XOR
-                   filters, the serving-side membership compaction;
-                   --bins is the shard count)
+    --op freeze    [--shards 64] (distinct --id keys -> sharded static
+                   XOR filters, the serving-side membership compaction)
     --op dsir      --train /data/target --k 100000 [--temperature 1.0
                    --seed 42] (DSIR importance resampling: keep the k
                    input docs whose hashed-ngram distribution looks like
@@ -97,6 +96,8 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.5)
     # histogram
     ap.add_argument("--bins", type=int, default=20)
+    ap.add_argument("--shards", type=int, default=64,
+                    help="freeze op: shard count for the sharded XOR build")
     # boilerplate
     ap.add_argument("--min-docs", type=int, default=3)
     # overlap
@@ -237,10 +238,9 @@ def main() -> None:
     elif args.op == "freeze":
         from guava_probably_spark.operators import freeze_filter
 
-        # serving-side compaction: distinct --id keys -> sharded static XOR
-        # filters (operators/freeze.py); --bins doubles as the shard count
-        shards = args.bins if args.bins else 64
-        out = freeze_filter(df, args.id, fbits=8, shards=shards)
+        # serving-side compaction: distinct --id keys -> sharded static
+        # XOR filters (operators/freeze.py)
+        out = freeze_filter(df, args.id, fbits=8, shards=args.shards)
     elif args.op == "c4":
         from guava_probably_spark.pipeline.textops import c4_quality_df
 

@@ -149,6 +149,6 @@ def test_curate_job_profile(tmp_path):
 
 
 def test_curate_job_freeze(tmp_path):
-    s = _run(tmp_path, "--op", "freeze", "--id", "doc_id", "--bins", "8")
+    s = _run(tmp_path, "--op", "freeze", "--id", "doc_id", "--shards", "8")
     # one row per non-empty shard, each carrying an XOR-filter blob
     assert 1 <= s["output_rows"] <= 8

@@ -531,3 +531,21 @@ def test_grouped_weighted_tdigest_quantiles(spark):
         rank = np.searchsorted(srt, float(sk.quantile(0.5))) / len(srt)
         assert abs(rank - 0.5) <= sk.rank_error_bound() + 0.01
         assert abs(sk.weights.sum() - sub.w.sum()) <= 1e-6 * sub.w.sum()
+
+
+def test_tdigest_weighted_nan_values_stay_aligned():
+    """A NaN VALUE must drop jointly with its weight, not shift the weight
+    alignment (review find: _to_float_array dropped NaN before the length
+    check, crashing — or worse, silently misaligning — weighted updates)."""
+    import numpy as np
+
+    from guava_probably_spark.sketches import TDigestSketch
+
+    sk = TDigestSketch(delta=100.0)
+    sk.update(
+        np.array([1.0, np.nan, 3.0, np.nan, 5.0]),
+        weights=np.array([2.0, 7.0, 4.0, 9.0, 6.0]),
+    )
+    sk._compress()
+    assert sk.weights.sum() == 12.0  # 2 + 4 + 6; the NaN rows' 7/9 dropped
+    assert sk.vmin == 1.0 and sk.vmax == 5.0
