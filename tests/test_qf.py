@@ -273,3 +273,74 @@ def test_fold_to_exact_and_commutes_with_merge():
     # SQL reachability rides the generic sketch_fold dispatch (fold_to)
     with pytest.raises(ValueError):
         whole.fold_to(whole.rbits + 1)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(st.integers(min_value=0, max_value=2**40), min_size=0, max_size=300),
+    cut=st.integers(min_value=0, max_value=300),
+    dedup=st.booleans(),
+)
+def test_qf_merge_split_equals_whole_property(data, cut, dedup):
+    """For ANY multiset and ANY split point, building the two halves
+    separately and merging equals the whole build byte-for-byte — in both
+    set and multiset modes."""
+    vals = np.array(data, dtype=np.int64)
+    cut = min(cut, len(vals))
+
+    def build(chunk):
+        sk = QuotientFilterSketch(512, 0.02, funnel=FUNNEL_LONG, dedup_build=dedup)
+        if len(chunk):
+            sk.update(chunk)
+        return sk
+
+    merged = build(vals[:cut]).merge(build(vals[cut:]))
+    assert merged.to_bytes() == build(vals).to_bytes()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(st.integers(min_value=0, max_value=2**50), min_size=1, max_size=200),
+    delta=st.integers(min_value=0, max_value=3),
+)
+def test_qf_fold_merge_commutation_property(data, delta):
+    vals = np.array(data, dtype=np.int64)
+    half = len(vals) // 2
+
+    def build(chunk):
+        sk = QuotientFilterSketch(256, 0.01, funnel=FUNNEL_LONG)
+        if len(chunk):
+            sk.update(chunk)
+        return sk
+
+    a, b = build(vals[:half]), build(vals[half:])
+    r2 = a.rbits - delta
+    if r2 < 1:
+        return
+    assert (
+        a.copy().merge(b.copy()).fold_to(r2).to_bytes()
+        == a.fold_to(r2).merge(b.fold_to(r2)).to_bytes()
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    present=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=100),
+)
+def test_qf_multiset_remove_then_probe_property(present):
+    """remove() of each inserted copy in any multiset leaves exactly the
+    remaining copies probe-true (no false negatives among survivors)."""
+    vals = np.array(present, dtype=np.int64)
+    sk = QuotientFilterSketch(512, 0.02, funnel=FUNNEL_LONG, dedup_build=False)
+    sk.update(vals)
+    # remove one copy of each distinct value; survivors = multiset minus one each
+    uniq, counts = np.unique(vals, return_counts=True)
+    removed = sk.remove_all(uniq)
+    assert removed == len(uniq)
+    survivors = uniq[counts > 1]
+    if len(survivors):
+        assert sk.might_contain_batch(survivors).all()
+    assert sk.size == len(vals) - len(uniq)
