@@ -12,7 +12,13 @@ from .build import (  # noqa: F401
     collect_weighted_sketch,
     tree_merge,
 )
-from .freeze import freeze_filter, frozen_probe_udf, frozen_semijoin  # noqa: F401
+from .freeze import (  # noqa: F401
+    freeze_filter,
+    freeze_map,
+    frozen_lookup_udf,
+    frozen_probe_udf,
+    frozen_semijoin,
+)
 from .semijoin import sketch_antijoin, sketch_prune, sketch_semijoin  # noqa: F401
 from .checkpoint import (  # noqa: F401
     ResumeStats,

@@ -106,6 +106,85 @@ def frozen_probe_udf(spark: SparkSession, frozen: DataFrame, shards: int):
     return probe
 
 
+def freeze_map(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    fbits: int = 8,
+    vbits: int = 8,
+    shards: int = 64,
+) -> DataFrame:
+    """Distinct (key, value) pairs → ``shards`` static XOR-map blobs
+    (sketches/xormap.py) — the serving-side replacement for a broadcast
+    join against a small-value dimension: lookups return the EXACT
+    ``vbits``-bit value for every frozen key at ~1.23·(f+v) bits/key with
+    no key bytes stored.  Values must be non-negative ints < 2^vbits;
+    duplicate keys must agree on the value (the per-shard solve raises
+    otherwise — a silent pick would mislabel)."""
+    from ..sketches.xormap import XorStaticMap
+
+    hashed = df.select(
+        F.xxhash64(F.col(key_col)).alias("h"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
+    sharded = hashed.withColumn("shard", F.pmod(F.col("h"), F.lit(shards)))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+        v = pdf["v"].to_numpy(dtype=np.int64)
+        sk = XorStaticMap.build_from_hashes(
+            h, v, fbits=fbits, vbits=vbits, funnel=FUNNEL_PREHASHED
+        )
+        return pd.DataFrame(
+            {"shard": [shard], "sketch": [sk.to_bytes()], "n": [sk.n]}
+        )
+
+    return sharded.groupBy("shard").applyInPandas(build, schema=FROZEN_SCHEMA)
+
+
+def frozen_lookup_udf(spark: SparkSession, frozen: DataFrame, shards: int):
+    """Value-lookup column over a frozen map table: apply to the
+    PRE-HASHED key (``lookup(F.xxhash64(F.col("k")))``); returns the
+    stored value, or NULL when the fingerprint misses (strangers at
+    2^-f; frozen keys never miss)."""
+    from pyspark.sql.types import LongType
+
+    from ..sketches.base import Sketch
+
+    rows = frozen.collect()
+    blobs: list[bytes | None] = [None] * shards
+    for r in rows:
+        blobs[int(r.shard)] = bytes(r.sketch)
+    bc = spark.sparkContext.broadcast(blobs)
+    cache: dict[int, object] = {}
+
+    @pandas_udf(LongType())
+    def lookup(hashes: pd.Series) -> pd.Series:
+        table = bc.value
+        h = hashes.to_numpy(dtype=np.int64, na_value=0)
+        isnull = hashes.isna().to_numpy()
+        shard = np.mod(h, shards)
+        out = np.zeros(len(h), dtype=np.float64)
+        out[:] = np.nan
+        for s in np.unique(shard):
+            blob = table[int(s)]
+            if blob is None:
+                continue
+            sk = cache.get(int(s))
+            if sk is None:
+                sk = Sketch.from_bytes(blob)
+                cache[int(s)] = sk
+            m = shard == s
+            found, vals = sk.lookup_hashes(h[m].view(np.uint64))
+            res = np.where(found, vals.astype(np.float64), np.nan)
+            out[m] = res
+        out[isnull] = np.nan
+        return pd.Series(out).astype("Int64")
+
+    return lookup
+
+
 def frozen_semijoin(
     spark: SparkSession,
     fact: DataFrame,

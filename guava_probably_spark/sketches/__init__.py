@@ -35,6 +35,7 @@ from .tdigest import TDigestSketch
 from .tuplesketch import TupleSketch
 from .varopt import VarOptSketch
 from .xorf import XorFilter
+from .xormap import XorStaticMap
 
 _KINDS = {
     "bloom": BloomSketch,
@@ -56,6 +57,7 @@ _KINDS = {
     "qf": QuotientFilterSketch,
     "xor": XorFilter,
     "varopt": VarOptSketch,
+    "xormap": XorStaticMap,
 }
 
 
@@ -97,6 +99,7 @@ __all__ = [
     "QuotientFilterSketch",
     "XorFilter",
     "VarOptSketch",
+    "XorStaticMap",
     "HllSketch",
     "CmsSketch",
     "CountSketch",

@@ -47,6 +47,7 @@ KIND_SHLL = 16
 KIND_QF = 17
 KIND_XOR = 18
 KIND_VAROPT = 19
+KIND_XORMAP = 20
 
 # Funnels: how an element column is reduced to hashable bytes.  The funnel id
 # is part of filter compatibility, mirroring Guava Funnel identity semantics

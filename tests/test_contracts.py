@@ -182,6 +182,7 @@ def test_from_bytes_corruption_always_raises_valueerror():
         SketchSpec("qf", {"capacity": 128, "fpp": 0.02, "funnel": FUNNEL_LONG}),
         SketchSpec("varopt", {"k": 64, "funnel": FUNNEL_LONG}),
         SketchSpec("xor", {"fbits": 8}),  # built via build_from_hashes below
+        SketchSpec("xormap", {"fbits": 8, "vbits": 8}),
     ]
     vals = _data(2000)
     for spec in all_specs:
@@ -194,6 +195,14 @@ def test_from_bytes_corruption_always_raises_valueerror():
 
             sk = XorFilter.build_from_hashes(
                 np.asarray(vals).astype(np.uint64), fbits=8
+            )
+            blob = sk.to_bytes()
+        elif spec.kind == "xormap":
+            from guava_probably_spark.sketches import XorStaticMap
+
+            hh = np.unique(np.asarray(vals).astype(np.uint64))
+            sk = XorStaticMap.build_from_hashes(
+                hh, (hh % 256).astype(np.int64), fbits=8, vbits=8
             )
             blob = sk.to_bytes()
         else:

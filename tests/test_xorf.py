@@ -137,3 +137,101 @@ def test_frozen_null_keys_probe_false(spark):
     assert n_null_hits == 0
     n_miss = df.filter(F.col("k").isNotNull() & ~probe(F.xxhash64(F.col("k")))).count()
     assert n_miss == 0
+
+
+# ---------------------------------------------------------------- XOR map
+
+def test_xormap_exact_lookup_and_stranger_rate():
+    from guava_probably_spark.sketches import XorStaticMap
+
+    h = np.unique(_hashes(30000, seed=2))
+    v = (h % 200).astype(np.int64) % 256
+    m = XorStaticMap.build_from_hashes(h, v, fbits=8, vbits=8)
+    found, vals = m.lookup_hashes(h)
+    assert found.all() and (vals == v).all()  # members exact, zero FN
+    strangers = _hashes(50000, seed=3)
+    f2, _ = m.lookup_hashes(strangers)
+    sigma = (2**-8 * (1 - 2**-8) / 50000) ** 0.5
+    assert f2.mean() <= 2**-8 + 4 * sigma
+    assert 18 < m.bits_per_key() < 21  # ~1.23 * 16
+
+
+def test_xormap_duplicate_conflict_raises_and_agreeing_dedups():
+    from guava_probably_spark.sketches import XorStaticMap
+
+    h = np.array([5, 5, 9], dtype=np.uint64)
+    with pytest.raises(ValueError):
+        XorStaticMap.build_from_hashes(h, np.array([1, 2, 3]))
+    m = XorStaticMap.build_from_hashes(h, np.array([1, 1, 3]))
+    assert m.n == 2
+    found, vals = m.lookup_hashes(np.array([5, 9], dtype=np.uint64))
+    assert found.all() and vals.tolist() == [1, 3]
+
+
+def test_xormap_roundtrip_corruption_and_static_contract():
+    from guava_probably_spark.sketches import XorStaticMap
+
+    h = np.unique(_hashes(5000))
+    m = XorStaticMap.build_from_hashes(h, (h % 31).astype(np.int64), vbits=5)
+    blob = m.to_bytes()
+    m2 = Sketch.from_bytes(blob)
+    assert m2.to_bytes() == blob
+    found, vals = m2.lookup_hashes(h)
+    assert found.all() and (vals == (h % 31).astype(np.int64)).all()
+    with pytest.raises(ValueError):
+        Sketch.from_bytes(blob[: len(blob) - 7])
+    with pytest.raises(NotImplementedError):
+        m.update([1])
+    with pytest.raises(NotImplementedError):
+        m.merge(m2)
+    with pytest.raises(ValueError):  # value overflow for vbits
+        XorStaticMap.build_from_hashes(h[:10], np.full(10, 99), vbits=5)
+
+
+def test_freeze_map_replaces_broadcast_join(spark):
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.operators import freeze_map, frozen_lookup_udf
+
+    shards = 8
+    dim = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("label")
+    )
+    frozen = freeze_map(dim, "k", "label", vbits=7, shards=shards)
+    lookup = frozen_lookup_udf(spark, frozen, shards)
+    fact = spark.range(0, 20000).select(F.col("id").alias("k"))
+    got = fact.select("k", lookup(F.xxhash64(F.col("k"))).alias("label"))
+    # every frozen key resolves to its exact label (== the join answer)
+    mism = got.filter(F.col("label") != F.col("k") % 97).count()
+    nulls = got.filter(F.col("label").isNull()).count()
+    assert mism == 0 and nulls == 0
+    # strangers resolve NULL except the 2^-8 fingerprint tail
+    far = spark.range(10_000_000, 10_040_000).select(F.col("id").alias("k"))
+    hits = far.select(lookup(F.xxhash64(F.col("k"))).alias("l")).filter(
+        F.col("l").isNotNull()
+    ).count()
+    sigma = (2**-8 * (1 - 2**-8) / 40000) ** 0.5
+    assert hits / 40000 <= 2**-8 + 4 * sigma
+
+
+def test_freeze_map_deterministic_and_conflict_raises(spark):
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.operators import freeze_map
+
+    dim = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    a = {r.shard: bytes(r.sketch) for r in freeze_map(dim, "k", "v", shards=4).collect()}
+    b = {
+        r.shard: bytes(r.sketch)
+        for r in freeze_map(dim.repartition(7), "k", "v", shards=4).collect()
+    }
+    assert a == b
+    conflicted = dim.union(
+        spark.range(0, 10).select(F.col("id").alias("k"), F.lit(12).alias("v"))
+    )
+    import py4j
+
+    with pytest.raises(Exception):
+        freeze_map(conflicted, "k", "v", shards=4).collect()
