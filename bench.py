@@ -546,6 +546,24 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
         return events.filter(probe(F.xxhash64(F.col("event_id")))).count()
 
     timed("q_xor_freeze_probe", xor_freeze)
+
+    def xor_map_lookup():
+        # key->value retrieval replacing a broadcast join: freeze per-user
+        # labels, then annotate the full corpus with one vectorized probe
+        from guava_probably_spark.operators import freeze_map, frozen_lookup_udf
+
+        dim = events.select("user_id").distinct().select(
+            F.col("user_id"), (F.col("user_id") % 64).alias("label")
+        )
+        frozen = freeze_map(dim, "user_id", "label", vbits=6, shards=32)
+        lookup = frozen_lookup_udf(spark, frozen, 32)
+        return (
+            events.select(lookup(F.xxhash64(F.col("user_id"))).alias("l"))
+            .filter(F.col("l").isNotNull())
+            .count()
+        )
+
+    timed("q_xor_map_lookup", xor_map_lookup)
     timed(
         "q_countsketch_users",
         lambda: collect_sketch(

@@ -197,3 +197,33 @@ def test_sql_surface_sketch_contains_and_varopt_total(spark):
     total = spark.sql("SELECT varopt_total(sketch) t FROM vv").collect()[0].t
     exact = wdf.agg(F.sum("w")).collect()[0][0]
     assert abs(total - exact) <= 1e-6 * exact
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.01, max_value=1e6, allow_nan=False), min_size=1, max_size=400
+    ),
+    cut=st.integers(min_value=0, max_value=400),
+    k=st.integers(min_value=2, max_value=64),
+)
+def test_varopt_exact_total_property(weights, cut, k):
+    """For ANY weights, split point and k: merged total == whole total ==
+    true Σw (to float addition), size == min(k, n), all est >= 0."""
+    w = np.asarray(weights)
+    keys = np.arange(len(w), dtype=np.int64)
+    cut = min(cut, len(w))
+
+    def build(idx):
+        sk = VarOptSketch(k=k, funnel=FUNNEL_LONG)
+        if len(idx):
+            sk.update(keys[idx], weights=w[idx])
+        return sk
+
+    merged = build(np.arange(cut)).merge(build(np.arange(cut, len(w))))
+    assert merged.size == min(k, len(w))
+    assert abs(merged.total_estimate() - w.sum()) <= 1e-9 * max(w.sum(), 1.0)
+    assert all(est > 0 for _, est in merged.sample())
