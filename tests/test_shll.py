@@ -220,3 +220,34 @@ def test_grouped_weighted_shll_build(spark):
         w = 300_000
         exact = len(np.unique(keys[sel][ts[sel] >= local.max_ts - w]))
         assert abs(sk.estimate_window(w) - exact) <= max(bound * exact, 3.0)
+
+
+def test_grouped_shll_windowed_actives_per_key(spark):
+    """Per-key any-window distinct counts through the generic salted
+    weighted builder (timestamps in the weight slot) — zero new plumbing:
+    each group's trailing-half-range estimate within the HLL band of its
+    exact windowed distinct."""
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.operators import build_grouped
+    from guava_probably_spark.sketches import SketchSpec, Sketch
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").withColumn(
+        "ts_epoch", F.col("ts").cast("timestamp").cast("long")
+    )
+    g = build_grouped(
+        ev, "event_type", "user_id", SketchSpec("shll", {"p": 12}), weight_col="ts_epoch"
+    )
+    rows = {r.event_type: Sketch.from_bytes(bytes(r.sketch)) for r in g.collect()}
+    assert len(rows) == ev.select("event_type").distinct().count()
+    lo, hi = ev.agg(F.min("ts_epoch"), F.max("ts_epoch")).collect()[0]
+    half = (hi - lo) // 2
+    for et, sk in rows.items():
+        exact = (
+            ev.filter((F.col("event_type") == et) & (F.col("ts_epoch") >= hi - half))
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        est = sk.estimate_window(half)
+        assert abs(est - exact) <= max(3 * 1.04 / 2**6 * exact, 5)

@@ -227,3 +227,20 @@ def test_varopt_exact_total_property(weights, cut, k):
     assert merged.size == min(k, len(w))
     assert abs(merged.total_estimate() - w.sum()) <= 1e-9 * max(w.sum(), 1.0)
     assert all(est > 0 for _, est in merged.sample())
+
+
+def test_grouped_varopt_exact_totals_per_key(spark):
+    """Per-key variance-optimal samples through the generic salted grouped
+    builder: every group's Σ est_weight equals its exact row count."""
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.operators import build_grouped
+    from guava_probably_spark.sketches import Sketch
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    g = build_grouped(ev, "event_type", "user_id", SketchSpec("varopt", {"k": 64}))
+    rows = {r.event_type: Sketch.from_bytes(bytes(r.sketch)) for r in g.collect()}
+    for et, sk in rows.items():
+        n = ev.filter(F.col("event_type") == et).count()
+        assert abs(sk.total_estimate() - n) <= 1e-6 * n
+        assert sk.size == min(64, n)
