@@ -339,6 +339,52 @@ def register_sql(spark: SparkSession) -> None:
     spark.udf.register("shll_window", shll_window())
     spark.udf.register("sketch_contains", sketch_contains())
     spark.udf.register("varopt_total", varopt_total())
+    spark.udf.register("sketch_ks", sketch_ks())
+
+
+def ks_distance(a, b, grid: int = 512) -> float:
+    """Kolmogorov–Smirnov distance sup|F_a − F_b| between two quantile
+    sketches (KLL / t-digest / REQ / DD — anything with quantile+rank):
+    both CDFs are evaluated on the union of each sketch's ``grid``-point
+    quantile grid, so the sup is found to within the grid resolution.
+    Error ≤ rank_error_bound(a) + rank_error_bound(b) + 2/grid — the
+    corpus-drift monitor: compare this week's value distribution to last
+    week's from two KB blobs, no raw data."""
+    import numpy as np
+
+    qs = np.linspace(0.0, 1.0, grid + 1)
+    pts = np.unique(
+        np.concatenate(
+            [np.atleast_1d(a.quantile(qs)), np.atleast_1d(b.quantile(qs))]
+        )
+    )
+    pts = pts[np.isfinite(pts)]
+    if len(pts) == 0:
+        return 0.0
+    ra = np.atleast_1d(a.rank(pts))
+    rb = np.atleast_1d(b.rank(pts))
+    return float(np.abs(ra - rb).max())
+
+
+@functools.cache
+def sketch_ks():
+    """``sketch_ks(sketch_a, sketch_b)`` — KS distance between two
+    quantile-sketch blobs (see :func:`ks_distance`); NULL when either
+    side is NULL."""
+
+    @pandas_udf(DoubleType())
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(a, b):
+            if ba is None or bb is None:
+                out.append(float("nan"))
+            else:
+                out.append(
+                    ks_distance(_cached_sketch(bytes(ba)), _cached_sketch(bytes(bb)))
+                )
+        return pd.Series(out)
+
+    return f
 
 
 @functools.cache

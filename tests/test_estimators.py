@@ -549,3 +549,47 @@ def test_tdigest_weighted_nan_values_stay_aligned():
     sk._compress()
     assert sk.weights.sum() == 12.0  # 2 + 4 + 6; the NaN rows' 7/9 dropped
     assert sk.vmin == 1.0 and sk.vmax == 5.0
+
+
+def test_ks_distance_detects_shift_and_null_case():
+    """KS between two quantile blobs: ~2Φ(δ/2)−1 for a mean shift δ of
+    same-σ normals, ~0 for identical distributions — within the combined
+    rank bounds. Works for KLL and t-digest alike."""
+    import math
+
+    import numpy as np
+
+    from guava_probably_spark.functions import ks_distance
+    from guava_probably_spark.sketches import KllSketch, TDigestSketch
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0.0, 1.0, 60000)
+    shifted = rng.normal(0.5, 1.0, 60000)
+    true_ks = math.erf(0.5 / (2 * math.sqrt(2)))  # 2*Phi(delta/2) - 1
+    for mk in (lambda: KllSketch(k=200), lambda: TDigestSketch(delta=200.0)):
+        a, b, c = mk(), mk(), mk()
+        a.update(base)
+        b.update(shifted)
+        c.update(rng.normal(0.0, 1.0, 60000))
+        tol = a.rank_error_bound() + b.rank_error_bound() + 2 / 512 + 0.01
+        assert abs(ks_distance(a, b) - true_ks) <= tol
+        assert ks_distance(a, c) <= tol  # same distribution -> no alarm
+
+
+def test_sketch_ks_sql_surface(spark):
+    import numpy as np
+
+    from guava_probably_spark.functions import register_sql
+    from guava_probably_spark.sketches import KllSketch
+
+    register_sql(spark)
+    rng = np.random.default_rng(3)
+    a, b = KllSketch(k=200), KllSketch(k=200)
+    a.update(rng.exponential(1.0, 30000))
+    b.update(rng.exponential(2.0, 30000))
+    spark.createDataFrame(
+        [(bytearray(a.to_bytes()), bytearray(b.to_bytes()))], "a binary, b binary"
+    ).createOrReplaceTempView("ksv")
+    d = spark.sql("SELECT sketch_ks(a, b) d FROM ksv").collect()[0].d
+    # exact KS between Exp(1) and Exp(1/2): sup at x = 2 ln 2, value 0.25
+    assert abs(d - 0.25) <= 2 * a.rank_error_bound() + 0.02
