@@ -366,6 +366,30 @@ def ks_distance(a, b, grid: int = 512) -> float:
     return float(np.abs(ra - rb).max())
 
 
+def mg_share_drift(a, b, min_hi: float = 0.0) -> list:
+    """Categorical drift between two Misra–Gries blobs: for every item
+    retained on EITHER side, the interval [lo, hi] certainly containing
+    its frequency-share change |f_a/n_a − f_b/n_b| (interval arithmetic
+    over the MG brackets c ≤ f ≤ c+e; an item absent from one side has
+    f ∈ [0, e] there).  Returns [(item, lo, hi)] sorted by hi descending,
+    filtered to hi ≥ ``min_hi`` — the categorical sibling of
+    :func:`ks_distance`: "which event types / sources / tools shifted
+    share between snapshots", from two KB blobs, with certified brackets
+    (lo > 0 ⇒ the shift is REAL, not summary error)."""
+    out = []
+    na, nb = max(a.n, 1), max(b.n, 1)
+    for item in set(a.counters) | set(b.counters):
+        ca, cb = a.counters.get(item, 0), b.counters.get(item, 0)
+        lo_a, hi_a = ca / na, (ca + a.e) / na
+        lo_b, hi_b = cb / nb, (cb + b.e) / nb
+        lo = max(0.0, max(lo_a - hi_b, lo_b - hi_a))
+        hi = max(hi_a - lo_b, hi_b - lo_a)
+        if hi >= min_hi:
+            out.append((item, lo, hi))
+    out.sort(key=lambda t: (-t[2], str(t[0])))
+    return out
+
+
 @functools.cache
 def sketch_ks():
     """``sketch_ks(sketch_a, sketch_b)`` — KS distance between two

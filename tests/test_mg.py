@@ -202,3 +202,42 @@ def test_mg_weighted_distributed_build_matches_exact_heavy_hitters(spark):
         if f > sk.e:  # guaranteed survivor
             c = sk.estimate_count(item)
             assert 0 < c <= f and f <= c + sk.e, item
+
+
+def test_mg_share_drift_brackets_contain_truth():
+    """Drift brackets from two MG blobs certainly contain the true share
+    change for every retained item; a planted 10-point share shift shows
+    lo > 0 (certified real), while identical streams certify ~0 hi for
+    the heavy items."""
+    import numpy as np
+
+    from guava_probably_spark.functions import mg_share_drift
+    from guava_probably_spark.sketches import MisraGriesSketch
+    from guava_probably_spark.sketches.base import FUNNEL_UTF8
+
+    rng = np.random.default_rng(4)
+    # stream A: item 'hot' at 30%; stream B: 'hot' at 20% (10-point drop)
+    def stream(hot_share, n=30000, seed=1):
+        r = np.random.default_rng(seed)
+        tail = [f"t{int(i)}" for i in r.integers(0, 500, n)]
+        n_hot = int(hot_share * n)
+        return ["hot"] * n_hot + tail[: n - n_hot]
+
+    sa = stream(0.30, seed=2)
+    sb = stream(0.20, seed=3)
+    a = MisraGriesSketch(k=256, funnel=FUNNEL_UTF8)
+    b = MisraGriesSketch(k=256, funnel=FUNNEL_UTF8)
+    a.update(sa)
+    b.update(sb)
+    drift = dict((i, (lo, hi)) for i, lo, hi in mg_share_drift(a, b))
+    lo, hi = drift["hot"]
+    true = abs(sa.count("hot") / len(sa) - sb.count("hot") / len(sb))
+    assert lo <= true <= hi  # bracket contains the truth
+    assert lo > 0.05  # the shift is certified real, not summary noise
+    # top of the sorted list is the planted item
+    assert mg_share_drift(a, b)[0][0] == "hot"
+    # identical streams: every bracket's lo == 0 (no false certification)
+    c = MisraGriesSketch(k=256, funnel=FUNNEL_UTF8)
+    c.update(sa)
+    for item, lo2, hi2 in mg_share_drift(a, c):
+        assert lo2 == 0.0
