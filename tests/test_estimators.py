@@ -593,3 +593,23 @@ def test_sketch_ks_sql_surface(spark):
     d = spark.sql("SELECT sketch_ks(a, b) d FROM ksv").collect()[0].d
     # exact KS between Exp(1) and Exp(1/2): sup at x = 2 ln 2, value 0.25
     assert abs(d - 0.25) <= 2 * a.rank_error_bound() + 0.02
+
+
+def test_ks_distance_works_for_dd_and_req():
+    """The KS monitor's kind claim: DD and REQ blobs (value-relative and
+    sharp-tail quantile sketches) feed ks_distance too — a lognormal
+    log-space shift of 0.4 has the same KS as the underlying normals."""
+    import math
+
+    import numpy as np
+
+    from guava_probably_spark.functions import ks_distance
+    from guava_probably_spark.sketches import DDSketch, ReqSketch
+
+    rng = np.random.default_rng(7)
+    true = math.erf(0.4 / (2 * math.sqrt(2)))
+    for mk in (lambda: DDSketch(alpha=0.01), lambda: ReqSketch(k=32)):
+        a, b = mk(), mk()
+        a.update(rng.lognormal(0, 1, 40000))
+        b.update(rng.lognormal(0.4, 1, 40000))
+        assert abs(ks_distance(a, b) - true) <= 0.03
