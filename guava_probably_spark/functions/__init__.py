@@ -401,12 +401,12 @@ def sketch_ks():
         out = []
         for ba, bb in zip(a, b):
             if ba is None or bb is None:
-                out.append(float("nan"))
+                out.append(None)  # SQL NULL, not NaN: IS NOT NULL must filter it
             else:
                 out.append(
                     ks_distance(_cached_sketch(bytes(ba)), _cached_sketch(bytes(bb)))
                 )
-        return pd.Series(out)
+        return pd.Series(out, dtype="object")
 
     return f
 
@@ -448,9 +448,10 @@ def varopt_total():
     def f(blobs: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                float("nan") if b is None else _cached_sketch(bytes(b)).total_estimate()
+                None if b is None else _cached_sketch(bytes(b)).total_estimate()
                 for b in blobs
-            ]
+            ],
+            dtype="object",  # object series: None -> SQL NULL (NaN would not be)
         )
 
     return f

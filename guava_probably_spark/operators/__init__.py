@@ -15,7 +15,9 @@ from .build import (  # noqa: F401
 from .freeze import (  # noqa: F401
     freeze_filter,
     freeze_map,
+    frozen_lookup_join,
     frozen_lookup_udf,
+    frozen_probe_join,
     frozen_probe_udf,
     frozen_semijoin,
 )

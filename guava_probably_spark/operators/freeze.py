@@ -11,11 +11,22 @@ reaches the driver; driver-visible state is shards × ~1.23·f·n/shards
 bits.  Pick ``shards`` so a shard's distinct keys fit executor memory
 (~10 M keys/shard is comfortable; 4096 shards covers 4·10^10 keys).
 
-Probes broadcast the blob table and route each probe hash to its shard —
-one gather+XOR per probe, FPP exactly 2^-f.  Keys are hashed JVM-side
-with ``xxhash64`` (the FUNNEL_PREHASHED domain): the value bytes never
-cross the JVM→Python boundary in either build or probe, the same fast
-path the grouped prehash builds use.
+Probes come in two shapes, matched to the blob-table size:
+
+- **broadcast** (``frozen_probe_udf`` / ``frozen_lookup_udf``): collect
+  the blob table, broadcast, route each probe hash to its shard — one
+  gather+XOR per probe, FPP exactly 2^-f.  Right up to a few hundred MB
+  of blobs.
+- **join** (``frozen_probe_join`` / ``frozen_lookup_join``): at the
+  4·10^10-key regime the blob table is ~50 GB — beyond broadcast.  Probe
+  hashes route to their shard JVM-side and JOIN the blob table on
+  ``shard``; each task probes its shard's rows against that one blob
+  executor-side.  No driver collect of blobs anywhere on this path.
+
+``frozen_semijoin`` auto-selects between them on the measured blob bytes.
+Keys are hashed JVM-side with ``xxhash64`` (the FUNNEL_PREHASHED domain):
+the value bytes never cross the JVM→Python boundary in either build or
+probe, the same fast path the grouped prehash builds use.
 """
 
 from __future__ import annotations
@@ -29,7 +40,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import BooleanType, LongType
 
 from ..sketches.base import FUNNEL_PREHASHED
 from ..sketches.xorf import XorFilter
@@ -76,13 +87,13 @@ def frozen_probe_udf(spark: SparkSession, frozen: DataFrame, shards: int):
     for r in rows:
         blobs[int(r.shard)] = bytes(r.sketch)
     bc = spark.sparkContext.broadcast(blobs)
-    # per-worker decode cache OUTSIDE the udf body: each executor decodes
-    # each shard blob once, not once per Arrow batch
-    cache: dict[int, XorFilter] = {}
 
     @pandas_udf(BooleanType())
     def probe(hashes: pd.Series) -> pd.Series:
-        from ..sketches.base import Sketch
+        # decode through the module-level byte-keyed cache (shared across
+        # tasks within a python worker) — a closure-captured dict would be
+        # re-pickled with the UDF and re-decoded once per TASK
+        from ..functions import _cached_sketch
 
         table = bc.value
         h = hashes.to_numpy(dtype=np.int64, na_value=0)
@@ -93,10 +104,7 @@ def frozen_probe_udf(spark: SparkSession, frozen: DataFrame, shards: int):
             blob = table[int(s)]
             if blob is None:
                 continue
-            sk = cache.get(int(s))
-            if sk is None:
-                sk = Sketch.from_bytes(blob)
-                cache[int(s)] = sk
+            sk = _cached_sketch(blob)
             m = shard == s
             hu = h[m].view(np.uint64)
             out[m] = sk.contains_hashes(hu, hu)
@@ -148,19 +156,16 @@ def frozen_lookup_udf(spark: SparkSession, frozen: DataFrame, shards: int):
     PRE-HASHED key (``lookup(F.xxhash64(F.col("k")))``); returns the
     stored value, or NULL when the fingerprint misses (strangers at
     2^-f; frozen keys never miss)."""
-    from pyspark.sql.types import LongType
-
-    from ..sketches.base import Sketch
-
     rows = frozen.collect()
     blobs: list[bytes | None] = [None] * shards
     for r in rows:
         blobs[int(r.shard)] = bytes(r.sketch)
     bc = spark.sparkContext.broadcast(blobs)
-    cache: dict[int, object] = {}
 
     @pandas_udf(LongType())
     def lookup(hashes: pd.Series) -> pd.Series:
+        from ..functions import _cached_sketch  # per-worker blob cache
+
         table = bc.value
         h = hashes.to_numpy(dtype=np.int64, na_value=0)
         isnull = hashes.isna().to_numpy()
@@ -171,10 +176,7 @@ def frozen_lookup_udf(spark: SparkSession, frozen: DataFrame, shards: int):
             blob = table[int(s)]
             if blob is None:
                 continue
-            sk = cache.get(int(s))
-            if sk is None:
-                sk = Sketch.from_bytes(blob)
-                cache[int(s)] = sk
+            sk = _cached_sketch(blob)
             m = shard == s
             found, vals = sk.lookup_hashes(h[m].view(np.uint64))
             res = np.where(found, vals.astype(np.float64), np.nan)
@@ -185,15 +187,110 @@ def frozen_lookup_udf(spark: SparkSession, frozen: DataFrame, shards: int):
     return lookup
 
 
+@pandas_udf(BooleanType())
+def _blob_probe(blobs: pd.Series, hashes: pd.Series) -> pd.Series:
+    """(blob, prehash) → membership; rows group by distinct blob so the
+    decode cost per Arrow batch is the number of distinct blobs (≈ shards
+    present in the partition), via the module-level byte-keyed cache."""
+    from ..functions import _cached_sketch
+
+    h = hashes.to_numpy(dtype=np.int64, na_value=0)
+    isnull = hashes.isna().to_numpy()
+    out = np.zeros(len(h), dtype=bool)
+    keys = blobs.map(lambda b: None if b is None else bytes(b))
+    for kb in keys.dropna().unique():
+        sk = _cached_sketch(kb)
+        m = (keys == kb).to_numpy(dtype=bool) & ~isnull
+        hu = h[m].view(np.uint64)
+        out[m] = sk.contains_hashes(hu, hu)
+    return pd.Series(out)
+
+
+@pandas_udf(LongType())
+def _blob_lookup(blobs: pd.Series, hashes: pd.Series) -> pd.Series:
+    """(blob, prehash) → stored value or NULL — the join-path twin of
+    ``frozen_lookup_udf``."""
+    from ..functions import _cached_sketch
+
+    h = hashes.to_numpy(dtype=np.int64, na_value=0)
+    isnull = hashes.isna().to_numpy()
+    out = np.full(len(h), np.nan, dtype=np.float64)
+    keys = blobs.map(lambda b: None if b is None else bytes(b))
+    for kb in keys.dropna().unique():
+        sk = _cached_sketch(kb)
+        m = (keys == kb).to_numpy(dtype=bool) & ~isnull
+        found, vals = sk.lookup_hashes(h[m].view(np.uint64))
+        out[m] = np.where(found, vals.astype(np.float64), np.nan)
+    return pd.Series(out).astype("Int64")
+
+
+def _join_blobs(fact: DataFrame, fact_col: str, frozen: DataFrame, shards: int):
+    """Route each fact row's xxhash64 to its shard and LEFT-join the blob
+    table on shard — a shuffle-hash join (hinted: the blob table is big
+    enough to have forced this path, never broadcast) that lands every
+    probe row next to exactly its shard's blob.  No driver collect."""
+    hashed = fact.withColumn("__gp_h", F.xxhash64(F.col(fact_col))).withColumn(
+        "__gp_shard", F.pmod(F.col("__gp_h"), F.lit(shards))
+    )
+    blobt = frozen.select(
+        F.col("shard").alias("__gp_shard"), F.col("sketch").alias("__gp_blob")
+    ).hint("shuffle_hash")
+    return hashed.join(blobt, "__gp_shard", "left")
+
+
+def frozen_probe_join(
+    fact: DataFrame, fact_col: str, frozen: DataFrame, shards: int
+) -> DataFrame:
+    """Prune ``fact`` against a frozen filter WITHOUT driver-side blob
+    state: shard-route + join + executor-side probe (module doc).  Missing
+    shards join NULL blobs and probe False, matching the broadcast path."""
+    joined = _join_blobs(fact, fact_col, frozen, shards)
+    return (
+        joined.filter(_blob_probe(F.col("__gp_blob"), F.col("__gp_h")))
+        .drop("__gp_h", "__gp_shard", "__gp_blob")
+    )
+
+
+def frozen_lookup_join(
+    fact: DataFrame,
+    fact_col: str,
+    frozen: DataFrame,
+    shards: int,
+    out_col: str = "frozen_value",
+) -> DataFrame:
+    """``fact`` + a value column looked up from a frozen map, via the
+    join path (no driver blob state); NULL where the fingerprint misses."""
+    joined = _join_blobs(fact, fact_col, frozen, shards)
+    return (
+        joined.withColumn(out_col, _blob_lookup(F.col("__gp_blob"), F.col("__gp_h")))
+        .drop("__gp_h", "__gp_shard", "__gp_blob")
+    )
+
+
+# Blob tables beyond this many bytes take the join path: a broadcast at
+# ~50 GB (4·10^10 keys) is undeliverable, and even below Spark's hard cap
+# a multi-GB broadcast per probe query is driver/network-hostile.
+BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
 def frozen_semijoin(
     spark: SparkSession,
     fact: DataFrame,
     fact_col: str,
     frozen: DataFrame,
     shards: int,
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Prune ``fact`` to rows whose key probes the frozen filter — the
     serving-side analogue of ``sketch_semijoin`` (FPs at 2^-f survive;
-    follow with an exact join where exactness matters)."""
-    probe = frozen_probe_udf(spark, frozen, shards)
-    return fact.filter(probe(F.xxhash64(F.col(fact_col))))
+    follow with an exact join where exactness matters).
+
+    Auto-selects the probe shape on measured blob bytes: broadcast-UDF
+    under ``broadcast_max_bytes``, shard-join above (module doc) — the
+    one-row aggregate that sizes the table is KB-scale driver traffic
+    either way."""
+    total = frozen.agg(F.sum(F.length("sketch"))).collect()[0][0] or 0
+    if total <= broadcast_max_bytes:
+        probe = frozen_probe_udf(spark, frozen, shards)
+        return fact.filter(probe(F.xxhash64(F.col(fact_col))))
+    return frozen_probe_join(fact, fact_col, frozen, shards)

@@ -75,22 +75,34 @@ def qf_geometry(capacity: int, fpp: float) -> tuple[int, int]:
     return q, r
 
 
+_PACK_CHUNK = 1 << 20  # values per packing chunk; a multiple of 8, so every
+# full chunk spans a whole number of bytes for any width and chunked output
+# is byte-identical to a one-shot pack
+
+
 def _pack_bits(values: np.ndarray, width: int) -> np.ndarray:
     """Pack n width-bit values (little-endian bit order) into uint64 words.
 
-    Goes through a (n, width) u8 bit matrix + ``np.packbits`` — all C loops
-    (a scattered ``bitwise_or.at`` over per-value word positions measured
-    ~10× slower on the 2^q-slot tables this serializes)."""
+    Goes through a (chunk, width) u8 bit matrix + ``np.packbits`` — all C
+    loops (a scattered ``bitwise_or.at`` over per-value word positions
+    measured ~10× slower on the 2^q-slot tables this serializes).  Packing
+    runs in ``_PACK_CHUNK``-value chunks so the transient bit matrix is
+    bounded (~``width`` MB) instead of O(n·width) — at serving load
+    (capacity 1e9, q=30, r=10) a one-shot matrix would be a ~10 GB
+    transient for a ~1.7 GB blob.  Output bytes are identical either way."""
     n = len(values)
     nwords = (n * width + 63) // 64
-    out = np.zeros(nwords, dtype=np.uint64)
-    if n == 0:
-        return out
-    sh = np.arange(width, dtype=np.uint64)
-    bits = ((values.astype(np.uint64)[:, None] >> sh) & np.uint64(1)).astype(np.uint8)
-    by = np.packbits(bits.ravel(), bitorder="little")
     buf = np.zeros(nwords * 8, dtype=np.uint8)
-    buf[: len(by)] = by
+    if n == 0:
+        return buf.view(np.uint64)
+    sh = np.arange(width, dtype=np.uint64)
+    off = 0
+    for s in range(0, n, _PACK_CHUNK):
+        v = values[s : s + _PACK_CHUNK].astype(np.uint64)
+        bits = ((v[:, None] >> sh) & np.uint64(1)).astype(np.uint8)
+        by = np.packbits(bits.ravel(), bitorder="little")
+        buf[off : off + len(by)] = by
+        off += len(by)  # full chunks advance exactly CHUNK*width/8 bytes
     return buf.view(np.uint64)
 
 
@@ -106,6 +118,37 @@ def _unpack_bits(words: np.ndarray, n: int, width: int) -> np.ndarray:
     out = np.zeros(n, dtype=np.uint64)
     for k in range(width):
         out |= bits[:, k].astype(np.uint64) << np.uint64(k)
+    return out
+
+
+def _gather_packed(
+    words: np.ndarray, idx: np.ndarray, width: int, n_slots: int
+) -> np.ndarray:
+    """Values at SORTED slot indices ``idx`` from a packed bit array —
+    the decode twin of the chunked pack: unpacks ``_PACK_CHUNK`` slots at
+    a time (chunk byte-offsets are whole bytes since CHUNK·width % 8 == 0)
+    so decoding a dense 2^q-slot table never materializes an
+    O(n_slots) uint64 temporary."""
+    out = np.zeros(len(idx), dtype=np.uint64)
+    if len(idx) == 0:
+        return out
+    bview = words.view(np.uint8)
+    for s in range(0, n_slots, _PACK_CHUNK):
+        e = min(s + _PACK_CHUNK, n_slots)
+        lo = int(np.searchsorted(idx, s))
+        hi = int(np.searchsorted(idx, e))
+        if lo == hi:
+            continue
+        b0 = s * width // 8
+        nbits = (e - s) * width
+        bits = np.unpackbits(
+            bview[b0 : b0 + (nbits + 7) // 8], bitorder="little", count=nbits
+        ).reshape(e - s, width)
+        rows = bits[idx[lo:hi] - s]
+        vals = np.zeros(hi - lo, dtype=np.uint64)
+        for k in range(width):
+            vals |= rows[:, k].astype(np.uint64) << np.uint64(k)
+        out[lo:hi] = vals
     return out
 
 
@@ -242,11 +285,27 @@ class QuotientFilterSketch(Sketch):
             np.bitwise_or.at(
                 shift, sh_idx >> 6, bit << (sh_idx & 63).astype(np.uint64)
             )
-        # remainders at their slots (empty slots stay 0)
-        rem_slots = np.zeros(total_slots, dtype=np.uint64)
-        if n:
-            rem_slots[slot_idx] = self.fps & np.uint64((1 << self.rbits) - 1)
-        rem_words = _pack_bits(rem_slots, self.rbits)
+        # remainders at their slots (empty slots stay 0), packed in slot
+        # chunks: slot_idx is strictly increasing, so each chunk's occupants
+        # are one searchsorted range — no O(total_slots) u64 temporary
+        # (8·2^q bytes, ~8 GB at q=30) is ever materialized
+        rem_nwords = (total_slots * self.rbits + 63) // 64
+        rem_buf = np.zeros(rem_nwords * 8, dtype=np.uint8)
+        rmask = np.uint64((1 << self.rbits) - 1)
+        off = 0
+        for s in range(0, total_slots, _PACK_CHUNK):
+            e = min(s + _PACK_CHUNK, total_slots)
+            chunk = np.zeros(e - s, dtype=np.uint64)
+            if n:
+                lo = int(np.searchsorted(slot_idx, s))
+                hi = int(np.searchsorted(slot_idx, e))
+                chunk[slot_idx[lo:hi] - s] = self.fps[lo:hi] & rmask
+            by = _pack_bits(chunk, self.rbits).view(np.uint8)[
+                : ((e - s) * self.rbits + 7) // 8
+            ]
+            rem_buf[off : off + len(by)] = by
+            off += len(by)
+        rem_words = rem_buf.view(np.uint64)
         return (
             struct.pack("<qq", n, total_slots)
             + occ.tobytes()
@@ -313,8 +372,9 @@ class QuotientFilterSketch(Sketch):
             raise ValueError("corrupt qf table: run/occupied mismatch")
         run_id = np.cumsum(is_start) - 1
         quot = uq[run_id]
-        rem_slots = _unpack_bits(rem_words, total_slots, rbits)
-        fps = (quot.astype(np.uint64) << np.uint64(rbits)) | rem_slots[used]
+        fps = (quot.astype(np.uint64) << np.uint64(rbits)) | _gather_packed(
+            rem_words, used, rbits, total_slots
+        )
         if (fps[1:] < fps[:-1]).any():
             # canonical tables enumerate fingerprints in sorted order
             raise ValueError("corrupt qf table: fingerprints not in canonical order")
@@ -331,12 +391,15 @@ class QuotientFilterSketch(Sketch):
         existed = (
             self.fps[pos] == fp if len(self.fps) else np.zeros(len(fp), dtype=bool)
         )
-        if self.dedup_build:
-            fresh = np.unique(fp[~existed])
-            if len(fresh):
-                self.fps = np.sort(np.concatenate([self.fps, fresh]))
-        else:
-            self.fps = np.sort(np.concatenate([self.fps, fp]))
+        # merge-in-place (searchsorted + insert): one O(n + batch) memcpy
+        # per call instead of a full re-sort, so the guava-style scalar
+        # streaming surface (put per element) is O(n^2) memcpy, not
+        # O(n^2 log n) sort — the accessed `self.fps` property above has
+        # already consolidated any _pending batches into _sorted
+        fresh = np.unique(fp[~existed]) if self.dedup_build else np.sort(fp)
+        if len(fresh):
+            at = np.searchsorted(self._sorted, fresh)
+            self._sorted = np.insert(self._sorted, at, fresh)
         return ~existed
 
     def put_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:

@@ -107,6 +107,14 @@ def _varopt_reduce(h: np.ndarray, w: np.ndarray, k: int, seed: int):
     prev = np.concatenate(([0.0], c[:-1]))
     sel = np.floor(c - U) > np.floor(prev - U)
     chosen = small[so[sel]]
+    if len(chosen) < m:
+        # float edge: after the m/c[-1] rescale an increment for a p==1 item
+        # (weight exactly tau) can marginally exceed 1.0, letting one floor
+        # interval absorb two grid points; top up deterministically (earliest
+        # unchosen in canonical order) so sample size is exactly m and
+        # est.sum() == w.sum() holds
+        extra = small[so[~sel]][: m - len(chosen)]
+        chosen = np.concatenate([chosen, extra])
     keep = np.concatenate([sure, chosen])
     est = np.concatenate([w[sure].astype(np.float64), np.full(len(chosen), tau)])
     return keep, est, tau

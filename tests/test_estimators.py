@@ -593,6 +593,20 @@ def test_sketch_ks_sql_surface(spark):
     d = spark.sql("SELECT sketch_ks(a, b) d FROM ksv").collect()[0].d
     # exact KS between Exp(1) and Exp(1/2): sup at x = 2 ln 2, value 0.25
     assert abs(d - 0.25) <= 2 * a.rank_error_bound() + 0.02
+    # NULL input -> SQL NULL (not NaN): IS NOT NULL must filter it out
+    spark.createDataFrame(
+        [(bytearray(a.to_bytes()), None)], "a binary, b binary"
+    ).createOrReplaceTempView("ksv_null")
+    assert (
+        spark.sql("SELECT sketch_ks(a, b) d FROM ksv_null").collect()[0].d is None
+    )
+    assert (
+        spark.sql(
+            "SELECT count(*) c FROM (SELECT sketch_ks(a, b) d FROM ksv_null) "
+            "WHERE d IS NOT NULL"
+        ).collect()[0].c
+        == 0
+    )
 
 
 def test_ks_distance_works_for_dd_and_req():

@@ -197,6 +197,14 @@ def test_sql_surface_sketch_contains_and_varopt_total(spark):
     total = spark.sql("SELECT varopt_total(sketch) t FROM vv").collect()[0].t
     exact = wdf.agg(F.sum("w")).collect()[0][0]
     assert abs(total - exact) <= 1e-6 * exact
+    # NULL blob -> SQL NULL (not NaN), per the docstring contract
+    spark.createDataFrame(
+        [(None,)], "sketch binary"
+    ).createOrReplaceTempView("vv_null")
+    assert (
+        spark.sql("SELECT varopt_total(sketch) t FROM vv_null").collect()[0].t
+        is None
+    )
 
 
 from hypothesis import given, settings, strategies as st

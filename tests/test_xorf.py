@@ -235,3 +235,52 @@ def test_freeze_map_deterministic_and_conflict_raises(spark):
 
     with pytest.raises(Exception):
         freeze_map(conflicted, "k", "v", shards=4).collect()
+
+
+def test_frozen_join_path_matches_broadcast_and_skips_driver_blobs(spark):
+    """The shard-join probe (serving path for blob tables beyond broadcast)
+    returns exactly the broadcast-UDF answer, and its plan carries the
+    probe as a JOIN against the blob table — no driver collect of blobs."""
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.operators import (
+        freeze_filter,
+        freeze_map,
+        frozen_lookup_join,
+        frozen_lookup_udf,
+        frozen_probe_udf,
+        frozen_semijoin,
+    )
+
+    shards = 8
+    dim = spark.range(0, 20000).select((F.col("id") * 3).alias("k"))
+    frozen = freeze_filter(dim, "k", fbits=8, shards=shards)
+    fact = spark.range(0, 70000).select(F.col("id").alias("k"))
+
+    # forcing the threshold to 0 bytes routes through the join path
+    joined = frozen_semijoin(spark, fact, "k", frozen, shards, broadcast_max_bytes=0)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan  # probe rides a join, not a broadcast closure
+    got = sorted(r.k for r in joined.collect())
+
+    probe = frozen_probe_udf(spark, frozen, shards)
+    want = sorted(
+        r.k for r in fact.filter(probe(F.xxhash64(F.col("k")))).collect()
+    )
+    assert got == want
+    members = {r.k for r in dim.collect()}
+    assert members <= set(got)  # zero false negatives on either path
+
+    # lookup twin: join-path values == broadcast-path values, NULLs agree
+    dimv = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    fm = freeze_map(dimv, "k", "v", vbits=7, shards=shards)
+    jl = frozen_lookup_join(fact, "k", fm, shards, out_col="v")
+    got_v = {r.k: r.v for r in jl.collect()}
+    lk = frozen_lookup_udf(spark, fm, shards)
+    want_v = {
+        r.k: r.v
+        for r in fact.select("k", lk(F.xxhash64(F.col("k"))).alias("v")).collect()
+    }
+    assert got_v == want_v
