@@ -1330,6 +1330,48 @@ def _q_membership_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(xr)
         .unionByName(s)
         .unionByName(c)
+        .unionByName(_xormap_lookup_row(spark, sf_dir))
+    )
+
+
+def _xormap_lookup_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen XOR static map (sketches/xormap.py) through the JOIN-path
+    lookup (operators/freeze.py frozen_lookup_join — shard-route + blob
+    join, no driver blob state): every frozen part key must return its
+    exact value (false_negatives counts misses AND wrong values — both
+    must be 0; the map is exact for members), strangers resolve NULL
+    except the 2^-f fingerprint tail."""
+    from guava_probably_spark.operators import freeze_map, frozen_lookup_join
+
+    part = _t(spark, sf_dir, "part")
+    shards = 8
+    dim = part.select("p_partkey", (F.col("p_partkey") % 97).alias("v"))
+    frozen = freeze_map(dim, "p_partkey", "v", fbits=8, vbits=7, shards=shards)
+    looked = frozen_lookup_join(part, "p_partkey", frozen, shards, out_col="lv")
+    bad = looked.filter(
+        F.col("lv").isNull() | (F.col("lv") != F.col("p_partkey") % 97)
+    ).count()
+    n = part.count()
+    maxk = part.agg(F.max("p_partkey").alias("m")).collect()[0].m or 0
+    strangers = spark.range(maxk + 1, maxk + 1 + 5000).withColumnRenamed(
+        "id", "p_partkey"
+    )
+    hits = (
+        frozen_lookup_join(strangers, "p_partkey", frozen, shards, out_col="lv")
+        .filter(F.col("lv").isNotNull())
+        .count()
+    )
+    bound = 2.0**-8
+    sigma = (bound * (1.0 - bound) / 5000.0) ** 0.5
+    return spark.createDataFrame(
+        [
+            Row(
+                name="xormap_frozen_lookup",
+                n_members=int(n),
+                false_negatives=int(bad),
+                fp_within=bool(hits / 5000.0 <= bound + 4 * sigma),
+            )
+        ]
     )
 
 
@@ -1401,7 +1443,12 @@ def _sbf_membership_row(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_frequency_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS point-frequency bracketing (exact ≤ est ≤ exact + εN) over two
-    tables/funnels; the exact_cnt column doubles as the exact-path check."""
+    tables/funnels; the exact_cnt column doubles as the exact-path check.
+    Also carries the blob-only drift monitors (mg_share_drift / sketch_ks,
+    functions/__init__.py) with EXACT-integer oracles, the weighted
+    quantile builds (KLL/t-digest ``update(weights=)``) checked against
+    the exact weighted CDF, and the hashed-feature logreg quality scores
+    (pipeline/classifier.py) as pinned fixed-point BIGINTs."""
     e = _cms_freq("events", "event_type")(spark, sf_dir).select(
         F.lit("cms_events_type").alias("name"),
         F.col("event_type").cast("string").alias("item"),
@@ -1414,7 +1461,187 @@ def _q_frequency_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_cnt",
         "within",
     )
-    return e.unionByName(l).unionByName(_grouped_cms_rows(spark, sf_dir))
+    return (
+        e.unionByName(l)
+        .unionByName(_grouped_cms_rows(spark, sf_dir))
+        .unionByName(_drift_rows(spark, sf_dir))
+        .unionByName(_weighted_quantile_rows(spark, sf_dir))
+        .unionByName(_logreg_rows(spark, sf_dir))
+    )
+
+
+def _drift_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-only drift monitors, hard-checked with exact integers.
+
+    mg_share_drift: events split by user_id parity, MG(k=64) on event_type
+    per half — k exceeds the type cardinality so both sketches are EXACT
+    (e = 0) and every certified bracket collapses to the true share delta
+    |c_a/n_a − c_b/n_b|; exact_cnt pins floor(lo · 2^20), which the oracle
+    recomputes from exact group counts with the same IEEE double ops.
+
+    sketch_ks (through the registered SQL surface): two rows whose KS
+    distance is an exact integer REGARDLESS of sketch compaction —
+    identical blobs (d = 0 exactly) and disjoint supports (rank is exactly
+    1 beyond a sketch's max and exactly 0 below its min, so d = 1
+    exactly)."""
+    from guava_probably_spark.functions import mg_share_drift, register_sql
+
+    events = _t(spark, sf_dir, "events")
+    a, _, _ = collect_sketch(
+        events.filter(F.col("user_id") % 2 == 0),
+        "event_type",
+        SketchSpec("mg", {"k": 64}),
+    )
+    b, _, _ = collect_sketch(
+        events.filter(F.col("user_id") % 2 == 1),
+        "event_type",
+        SketchSpec("mg", {"k": 64}),
+    )
+    exact = a.e == 0 and b.e == 0
+    rows = [
+        Row(
+            name="mg_share_drift_events",
+            item=str(item),
+            exact_cnt=int(math.floor(lo * 1048576.0)),
+            within=bool(exact and lo == hi),
+        )
+        for item, lo, hi in mg_share_drift(a, b)
+    ]
+    ka, _, _ = collect_sketch(events, "value", SketchSpec("kll", {"k": 200}))
+    kc, _, _ = collect_sketch(
+        events.select((F.col("value") + F.lit(1e9)).alias("value")),
+        "value",
+        SketchSpec("kll", {"k": 200}),
+    )
+    register_sql(spark)
+    blob_a, blob_c = bytearray(ka.to_bytes()), bytearray(kc.to_bytes())
+    spark.createDataFrame(
+        [("identical", blob_a, blob_a), ("disjoint", blob_a, blob_c)],
+        "item string, a binary, b binary",
+    ).createOrReplaceTempView("gp_ks_drift")
+    for r in spark.sql("SELECT item, sketch_ks(a, b) AS d FROM gp_ks_drift").collect():
+        rows.append(
+            Row(
+                name="ks_events_value",
+                item=r.item,
+                exact_cnt=int(math.floor(r.d * 1048576.0)),
+                within=bool(r.d == (0.0 if r.item == "identical" else 1.0)),
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def _weighted_quantile_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted quantile builds (``update(weights=)``, sketches/kll.py +
+    tdigest.py) over lineitem price weighted by quantity.  exact_cnt =
+    floor(exact weighted quantile), where "exact" is the smallest price
+    with cumulative weight ≥ q·W — the weighted-CDF recompute the DuckDB
+    oracle repeats verbatim (l_quantity is integer-valued, so double sums
+    are exact and order-free on both engines).  within = the sketch
+    estimate's exact weighted rank inside the published band."""
+    from pyspark.sql import Window
+
+    from guava_probably_spark.operators import collect_weighted_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    tw = float(li.agg(F.sum("l_quantity")).collect()[0][0])
+    win = Window.orderBy("l_extendedprice").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(win).alias("cw"),
+    )
+    qs = [0.25, 0.5, 0.75]
+    exact_q = {
+        q: float(
+            cum.filter(F.col("cw") >= F.lit(q * tw)).agg(F.min("v")).collect()[0][0]
+        )
+        for q in qs
+    }
+    rows = []
+    for kind, params, tag in (
+        ("kll", {"k": 200}, "kll"),
+        ("tdigest", {"delta": 200.0}, "td"),
+    ):
+        sk, _, _ = collect_weighted_sketch(
+            li, "l_extendedprice", "l_quantity", SketchSpec(kind, params)
+        )
+        ests = {q: float(sk.quantile(q)) for q in qs}
+        aggs = []
+        for i, q in enumerate(qs):
+            v = ests[q]
+            aggs.append(
+                (
+                    F.sum(
+                        F.when(F.col("l_extendedprice") < F.lit(v), F.col("l_quantity")).otherwise(0.0)
+                    )
+                    / F.lit(tw)
+                ).alias(f"lo{i}")
+            )
+            aggs.append(
+                (
+                    F.sum(
+                        F.when(F.col("l_extendedprice") <= F.lit(v), F.col("l_quantity")).otherwise(0.0)
+                    )
+                    / F.lit(tw)
+                ).alias(f"hi{i}")
+            )
+        band = li.agg(*aggs).collect()[0]
+        eps = sk.rank_error_bound() if hasattr(sk, "rank_error_bound") else 0.02
+        for i, q in enumerate(qs):
+            err = max(0.0, band[f"lo{i}"] - q, q - band[f"hi{i}"])
+            rows.append(
+                Row(
+                    name="weighted_quantile_lineitem",
+                    item=f"{tag}_p{int(q * 100)}",
+                    exact_cnt=int(math.floor(exact_q[q])),
+                    within=bool(err <= eps + 0.01),
+                )
+            )
+    return spark.createDataFrame(rows)
+
+
+def _logreg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature logistic-regression quality classifier
+    (pipeline/classifier.py): deterministic fit (GD from w = 0, fixed
+    iters/lr, no randomness) on documents labeled by a deterministic rule
+    (text contains the token 'spark' — perfectly separable from the
+    L1-normalized hashed bag-of-words features, so the convergence
+    certificate is sharp; the testdata's metadata columns are uncorrelated
+    with its synthetic vocabulary), then per-doc scores for
+    doc_id < 10 pinned as floor(score·2^12) BIGINTs.  2^12 (not 2^20)
+    because the gradient fold is partition-order float-associative to
+    ~1e-9 — 12 fixed bits keep a sharp value check with ~4e-6 flip margin
+    at a boundary.  The oracle pins the expected fixed-point literals
+    (sf0.01 is the only compare scale)."""
+    from guava_probably_spark.pipeline.classifier import quality_classifier_scores
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.col("text").contains("spark").cast("int").alias("label"),
+    )
+    scored, _, info = quality_classifier_scores(
+        docs, "doc_id", "text", "label", dim=1 << 16, iters=30, lr=2.0
+    )
+    hist = info["history"]
+    # the model must actually have learned (beat the coin) and the loss
+    # must be monotone down — the convergence certificate for fixed-lr GD
+    # on this convex objective
+    ok = hist[-1]["accuracy"] > 0.6 and all(
+        hist[i + 1]["loss"] <= hist[i]["loss"] + 1e-12 for i in range(len(hist) - 1)
+    )
+    rows = [
+        Row(
+            name="logreg_quality_score",
+            item=str(r.id),
+            exact_cnt=int(math.floor(r.score * 4096.0)),
+            within=bool(ok),
+        )
+        for r in scored.filter(F.col("id") < 10).collect()
+    ]
+    return spark.createDataFrame(rows)
 
 
 def _grouped_cms_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1910,6 +2137,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# floor(score · 2^12) for documents doc_id 0..9, pinned from the
+# deterministic fit in _logreg_rows (GD from w = 0, fixed iters/lr, labels
+# text-contains-'spark'; verified bit-identical across partitionings with
+# ≥0.18 fractional margin to every floor boundary).  One literal set per
+# testdata scale — the oracle picks the set whose corpus it is reading via
+# sum(n_chars) (scales share the 500-doc count): sf0.01 is the driver's
+# compare scale, sf0.001 is tests/test_entry.py's.  The 12-bit fixed point
+# absorbs the ~1e-9 partition-order float jitter of the gradient fold.
+_LOGREG_SCORES: dict[int, list[tuple[int, int]]] = {
+    149174: [  # sum(n_chars) at sf0.01
+        (0, 3152), (1, 3155), (2, 3146), (3, 3170), (4, 3148),
+        (5, 3145), (6, 3118), (7, 3149), (8, 3161), (9, 3159),
+    ],
+    153156: [  # sum(n_chars) at sf0.001
+        (0, 3191), (1, 3174), (2, 3167), (3, 3158), (4, 3183),
+        (5, 3156), (6, 3171), (7, 3167), (8, 3166), (9, 3172),
+    ],
+}
+_LOGREG_ORACLE = " UNION ALL ".join(
+    [""]
+    + [
+        "SELECT 'logreg_quality_score', CAST(t.id AS VARCHAR), "
+        "CAST(t.s AS BIGINT), true FROM (VALUES "
+        + ", ".join(f"({i}, {s})" for i, s in scores)
+        + ") AS t(id, s) "
+        f"WHERE (SELECT sum(n_chars) FROM documents) = {key}"
+        for key, scores in _LOGREG_SCORES.items()
+    ]
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         **pipeline_oracle_sql(),
@@ -1941,7 +2199,9 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'sbf_events_membership', count(*), "
             "CAST(0 AS BIGINT), true FROM events "
             "UNION ALL SELECT 'documents_text_membership', count(*), "
-            "CAST(0 AS BIGINT), true FROM documents"
+            "CAST(0 AS BIGINT), true FROM documents "
+            "UNION ALL SELECT 'xormap_frozen_lookup', count(*), "
+            "CAST(0 AS BIGINT), true FROM part"
         ),
         "cuckoo_delete": (
             "SELECT 'cuckoo_delete' AS name, "
@@ -1956,7 +2216,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_returnflag "
             "UNION ALL SELECT 'grouped_cms_user_freq', "
             "CAST(event_type AS VARCHAR), count(user_id), true "
-            "FROM events GROUP BY event_type"
+            "FROM events GROUP BY event_type "
+            # mg_share_drift: exact share-delta fixed points from exact
+            # group counts — same IEEE double ops as the Python brackets
+            "UNION ALL SELECT 'mg_share_drift_events', "
+            "CAST(event_type AS VARCHAR), CAST(floor(abs("
+            "count(*) FILTER (WHERE user_id % 2 = 0) / "
+            "CAST((SELECT count(*) FROM events WHERE user_id % 2 = 0) AS DOUBLE) "
+            "- count(*) FILTER (WHERE user_id % 2 = 1) / "
+            "CAST((SELECT count(*) FROM events WHERE user_id % 2 = 1) AS DOUBLE)"
+            ") * 1048576.0) AS BIGINT), true FROM events GROUP BY event_type "
+            # sketch_ks: identical blobs -> exactly 0; disjoint supports
+            # (value vs value + 1e9) -> exactly 1 = 2^20 fixed
+            "UNION ALL SELECT 'ks_events_value', 'identical', "
+            "CAST(0 AS BIGINT), true "
+            "UNION ALL SELECT 'ks_events_value', 'disjoint', "
+            "CAST(1048576 AS BIGINT), true "
+            # weighted quantiles: smallest price with cumulative quantity
+            # weight >= q*W (integer-valued weights -> exact double sums)
+            "UNION ALL SELECT 'weighted_quantile_lineitem', t.item, "
+            "(SELECT CAST(floor(min(v)) AS BIGINT) FROM "
+            "(SELECT l_extendedprice AS v, sum(l_quantity) OVER "
+            "(ORDER BY l_extendedprice) AS cw FROM lineitem) wq_c, "
+            "(SELECT sum(l_quantity) AS tw FROM lineitem) wq_w "
+            "WHERE cw >= t.f * tw), true "
+            "FROM (VALUES ('kll_p25', 0.25), ('kll_p50', 0.5), "
+            "('kll_p75', 0.75), ('td_p25', 0.25), ('td_p50', 0.5), "
+            "('td_p75', 0.75)) AS t(item, f)"
+            + _LOGREG_ORACLE
         ),
         "quantile_rank_grid": (
             "SELECT name, q_label, true AS within FROM (VALUES "
