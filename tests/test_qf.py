@@ -344,3 +344,43 @@ def test_qf_multiset_remove_then_probe_property(present):
     if len(survivors):
         assert sk.might_contain_batch(survivors).all()
     assert sk.size == len(vals) - len(uniq)
+
+
+def test_pack_bits_chunked_matches_one_shot(monkeypatch):
+    """The bounded-transient chunked pack/gather must be byte-identical to
+    a one-shot pack for every width, including non-byte-aligned widths and
+    a final partial chunk."""
+    import numpy as np
+
+    from guava_probably_spark.sketches import qf as qfmod
+
+    rng = np.random.default_rng(11)
+    for width in (2, 5, 8, 10, 13):
+        vals = rng.integers(0, 1 << width, size=2500, dtype=np.uint64)
+        one_shot = qfmod._pack_bits(vals, width).copy()
+        monkeypatch.setattr(qfmod, "_PACK_CHUNK", 1024)  # force 3 chunks
+        chunked = qfmod._pack_bits(vals, width)
+        assert chunked.tobytes() == one_shot.tobytes(), f"width {width}"
+        # gather across chunk boundaries returns the original values
+        idx = np.sort(rng.choice(2500, size=700, replace=False)).astype(np.int64)
+        got = qfmod._gather_packed(chunked, idx, width, 2500)
+        assert (got == vals[idx]).all(), f"width {width}"
+        monkeypatch.undo()
+
+
+def test_qf_dense_serialize_roundtrip_across_chunks(monkeypatch):
+    """A dense table spanning multiple pack chunks round-trips
+    byte-identically (serialize -> decode -> serialize)."""
+    import numpy as np
+
+    from guava_probably_spark.sketches import Sketch, qf as qfmod
+    from guava_probably_spark.sketches.qf import QuotientFilterSketch
+
+    monkeypatch.setattr(qfmod, "_PACK_CHUNK", 4096)
+    sk = QuotientFilterSketch(capacity=12000, fpp=0.01)
+    h = np.unique(np.random.default_rng(3).integers(0, 1 << 63, 9000, dtype=np.uint64))
+    sk.ingest_hashes(h, h)
+    blob = sk.to_bytes()
+    sk2 = Sketch.from_bytes(blob)
+    assert sk2.to_bytes() == blob
+    assert sk2.contains_hashes(h, h).all()
