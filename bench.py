@@ -84,6 +84,37 @@ def _note_mem(name: str) -> None:
     GC_MS[name] = _jvm_gc_ms()
 
 
+def stable_timed(timings: dict, name: str, fn, reps: int = 2, max_extra: int = 2):
+    """Warm once (worker fork + imports, JIT, page cache), then stamp the
+    per-query MIN over ``reps`` timed shots — and while the observed
+    spread says the window is noisy (max/min > 1.4), take up to
+    ``max_extra`` more shots so the min converges to the quiet-window
+    representative.  Single shots in this sandbox drift up to 3× on
+    OS memory-reclaim / contention windows (VERDICT r4: round-over-round
+    diffs false-flagged sub-second rows); the contention sampler still
+    attributes any residual excursion in the JSON's "contended" field."""
+    _note_mem(name)
+    fn()
+    ts = []
+    r = None
+    for _ in range(reps):
+        t0 = time.monotonic()
+        r = fn()
+        ts.append(time.monotonic() - t0)
+    extra = 0
+    while (
+        extra < max_extra
+        and min(ts) > 0.05
+        and max(ts) / min(ts) > 1.4
+    ):
+        t0 = time.monotonic()
+        fn()
+        ts.append(time.monotonic() - t0)
+        extra += 1
+    timings[name] = round(min(ts), 3)
+    return r
+
+
 # -- contention self-identification (r4 take-5 finding) ----------------------
 # Structural fixes eliminated the Python-transfer theory for the 3-5x
 # excursions: a run caught q_ngram_decontam (zero Python in the scan) AND
@@ -424,36 +455,21 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
     extras: dict = {}
 
     def timed(name, fn):
-        _note_mem(name)
-        t0 = time.monotonic()
-        r = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
-        return r
+        # warm + min-of-N (module doc on stable_timed): the r4 sketch-tier
+        # single shots drifted 1.6-2.4x on sub-second rows purely from
+        # ambient contention, which a naive round diff then false-flags
+        return stable_timed(timings, name, fn)
 
-    # warm once (worker fork+imports, JIT, page cache), then best-of-3 —
     # a 100 TB job runs for hours and amortizes cold-start; steady-state
-    # throughput is the honest number and best-of-N rejects scheduler noise
-    _note_mem("q_transcripts_multisketch")
-    transcripts_job(spark, t_path)
-    best = None
-    for _ in range(3):
-        t0 = time.monotonic()
-        out = transcripts_job(spark, t_path)
-        dt = time.monotonic() - t0
-        best = dt if best is None else min(best, dt)
-    timings["q_transcripts_multisketch"] = round(best, 3)
-    # warm + best-of-2 (multisketch above warms + takes best-of-3): a
-    # single shot recorded 15.3 s against a 2.8-3.4 s band once in r4 —
+    # throughput is the honest number and min-of-N rejects scheduler noise
+    out = stable_timed(
+        timings, "q_transcripts_multisketch", lambda: transcripts_job(spark, t_path), reps=3
+    )
+    # a single shot recorded 15.3 s against a 2.8-3.4 s band once in r4 —
     # one-off scheduler/compile noise, not scan cost
-    _note_mem("q_transcripts_jvmscan")
-    transcripts_job_jvmscan(spark, t_path)
-    best_s = None
-    for _ in range(2):
-        t0 = time.monotonic()
-        transcripts_job_jvmscan(spark, t_path)
-        dt = time.monotonic() - t0
-        best_s = dt if best_s is None else min(best_s, dt)
-    timings["q_transcripts_jvmscan"] = round(best_s, 3)
+    stable_timed(
+        timings, "q_transcripts_jvmscan", lambda: transcripts_job_jvmscan(spark, t_path)
+    )
     turns = out["hll_conv"][1]
     extras["transcripts_rows"] = turns
     extras["transcripts_distinct_convs_est"] = round(out["hll_conv"][0].estimate())
@@ -617,16 +633,10 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
         df = spark.read.parquet(t_path)
         return grouped_hll(df, "conv_id", "text", p=12, output="estimate", partitions=128).count()
 
-    # warm + best-of-2: the 8M-row shuffle makes this the noisiest query
-    _note_mem("q_grouped_hll_conv_highcard")
-    grouped_conv()
-    best_g = None
-    for _ in range(2):
-        t0 = time.monotonic()
-        extras["conv_groups"] = grouped_conv()
-        dt = time.monotonic() - t0
-        best_g = dt if best_g is None else min(best_g, dt)
-    timings["q_grouped_hll_conv_highcard"] = round(best_g, 3)
+    # the 8M-row shuffle makes this the noisiest query
+    extras["conv_groups"] = stable_timed(
+        timings, "q_grouped_hll_conv_highcard", grouped_conv
+    )
 
     def grouped_conv_prehash():
         # wide-value fast path: JVM-side xxhash64 means the ~230-byte text
@@ -640,15 +650,7 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
             partitions=128, prehash=True,
         ).count()
 
-    _note_mem("q_grouped_hll_conv_prehash")
-    grouped_conv_prehash()
-    best_g = None
-    for _ in range(2):
-        t0 = time.monotonic()
-        grouped_conv_prehash()
-        dt = time.monotonic() - t0
-        best_g = dt if best_g is None else min(best_g, dt)
-    timings["q_grouped_hll_conv_prehash"] = round(best_g, 3)
+    stable_timed(timings, "q_grouped_hll_conv_prehash", grouped_conv_prehash)
 
     def grouped_quantiles_conv():
         from guava_probably_spark.operators import grouped_quantiles
@@ -763,7 +765,6 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
             .collect()[0][0]
         )
 
-    sessionize_convs()
     timed("q_sessionize_convs", sessionize_convs)
 
     def running_tools():
@@ -775,15 +776,7 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
         ).count()
 
     # merge-prefix window: one 8M-row narrow shuffle + sorted vectorized pass
-    running_tools()
-    _note_mem("q_running_distinct_convs")
-    best_w = None
-    for _ in range(2):
-        t0 = time.monotonic()
-        running_tools()
-        dt = time.monotonic() - t0
-        best_w = dt if best_w is None else min(best_w, dt)
-    timings["q_running_distinct_convs"] = round(best_w, 3)
+    stable_timed(timings, "q_running_distinct_convs", running_tools)
 
     timed(
         "q_bloom_semijoin",
@@ -806,11 +799,7 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
     extras: dict = {}
 
     def timed(name, fn):
-        _note_mem(name)
-        t0 = time.monotonic()
-        r = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
-        return r
+        return stable_timed(timings, name, fn)
 
     from guava_probably_spark.pipeline.dedup import (
         exact_dedup,
@@ -826,19 +815,7 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
     )
 
     def warmed(name, fn):
-        """Warm once (python-worker spin-up / imports / page cache), then
-        best-of-2 — single-shot timings measured up to 3× run-to-run drift
-        from OS memory-reclaim noise in this sandbox."""
-        _note_mem(name)
-        fn()
-        best, r = None, None
-        for _ in range(2):
-            t0 = time.monotonic()
-            r = fn()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        return r
+        return stable_timed(timings, name, fn)
 
     big_docs = spark.read.parquet(d_path)
     n_docs = big_docs.count()
@@ -1002,7 +979,6 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
         )
         return connected_components(star.union(chain)).count()
 
-    components()
     timed("q_components_2m_edges", components)
 
     emb = spark.read.parquet(e_path)
@@ -1359,13 +1335,17 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
     return timings, extras
 
 
-def run_accuracy(spark, t_path: str) -> dict:
-    """Observed error vs published bound for every sketch family, at bench
-    scale (the BASELINE.json metric's 'observed-vs-bound FPP/error' clause).
+def run_accuracy(spark, t_path: str, e_path: str | None = None) -> dict:
+    """Observed error vs published bound for EVERY mergeable sketch family,
+    at bench scale (the BASELINE.json metric's 'observed-vs-bound FPP/error'
+    clause) — 18 families incl. the r5 admissions (qf/sbf/bottomk/
+    countsketch/tuple/varopt/shll, plus fd when ``e_path`` provides the
+    embeddings table).
 
-    One multi-sketch scan builds all 8 sketches; exact ground truth runs
-    beside it (countDistinct, per-key counts, tie-aware rank sums). All
-    inputs deterministic (seed 42) — reruns reproduce bit-identically.
+    One multi-sketch scan builds the single-column kinds; exact ground
+    truth runs beside it (countDistinct, per-key counts, tie-aware rank
+    sums). All inputs deterministic (seed 42) — reruns reproduce
+    bit-identically.
     """
     import numpy as np
     import pyspark.sql.functions as F
@@ -1388,6 +1368,18 @@ def run_accuracy(spark, t_path: str) -> dict:
         ("tdigest", "turn_idx", SketchSpec("tdigest", {"delta": td_delta})),
         ("dd", "turn_idx", SketchSpec("dd", {"alpha": 0.01})),
         ("req", "turn_idx", SketchSpec("req", {"k": 32})),
+        # round-5 admissions (VERDICT r4 item 6) — the remaining mergeable
+        # kinds, same one-scan build:
+        ("qf", "conv_id", SketchSpec("qf", {"capacity": cap, "fpp": fpp})),
+        ("sbf", "conv_id", SketchSpec("sbf", {"initial_capacity": 4096, "fpp": fpp})),
+        ("bottomk", "conv_id", SketchSpec("bottomk", {"k": 4096})),
+        (
+            "countsketch",
+            "conv_id",
+            SketchSpec("countsketch", {"width": 1 << 16, "depth": 5}),
+        ),
+        ("tuple", "conv_id", SketchSpec("tuple", {"k": 4096})),
+        ("varopt", "conv_id", SketchSpec("varopt", {"k": 4096})),
     ]
     built = collect_sketches_files(spark, t_path, targets)
     sks = {name: t[0] for name, t in built.items()}
@@ -1410,22 +1402,29 @@ def run_accuracy(spark, t_path: str) -> dict:
     non_members = spark.range(1_000_000).select(
         F.format_string("np-%012d", F.col("id")).alias("k"))
     members = df.select(F.col("conv_id").alias("k")).distinct()
-    for name in ("bloom", "cuckoo"):
+    sks["sbf"] = sks["sbf"].compact()
+    for name in ("bloom", "cuckoo", "qf", "sbf"):
         blob = sks[name].to_bytes()
         fp = non_members.filter(might_contain_udf(spark, blob)(F.col("k"))).count()
         fn = members.filter(~might_contain_udf(spark, blob)(F.col("k"))).count()
         obs = fp / 1_000_000
         exp = sks[name].expected_fpp()
+        # sbf's design point is the COMPOUND stage bound Σ stage_fpp (it
+        # grew from a deliberately small first stage); the single-structure
+        # kinds keep the configured design fpp
+        conf = (
+            sum(st.fpp for st in sks[name].stages) if name == "sbf" else fpp
+        )
         out[name] = {
             "observed_fpp": round(obs, 6), "expected_fpp": round(exp, 6),
-            "configured_fpp": fpp, "false_negatives": fn,
+            "configured_fpp": round(conf, 6), "false_negatives": fn,
             "overflow": built[name][2],
             # expected_fpp is the fill-level estimate; configured fpp is the
             # design point at full capacity — observed must sit within noise
             # of expected AND below configured (the old max() let a 22×
             # regression of observed-vs-expected pass as long as it stayed
             # under the design point)
-            "ok": bool(fn == 0 and obs <= 1.5 * exp + 1e-4 and obs <= fpp),
+            "ok": bool(fn == 0 and obs <= 1.5 * exp + 1e-4 and obs <= conf),
         }
 
     # -- frequency: CMS never under, over <= eps*N w.p. 1-delta; MG never
@@ -1507,6 +1506,148 @@ def run_accuracy(spark, t_path: str) -> dict:
         "bound_eps": round(float(eps), 6),
         "ok": bool(max(rels) <= eps),
     }
+
+    # -- bottom-k distinct: (k-1)/θ estimator, theta's RSE class ------------
+    bk = sks["bottomk"]
+    rel = abs(bk.estimate() - true_distinct) / true_distinct
+    out["bottomk"] = {
+        "estimate": int(round(bk.estimate())),
+        "rel_err": round(float(rel), 6),
+        "bound_3sigma": round(bk.relative_error_bound(), 6),
+        "ok": bool(rel <= bk.relative_error_bound()),
+    }
+
+    # -- tuple: HT distinct + distinct-key row-total (unit weights ⇒ per-key
+    #    multiplicities), each against its own plug-in band ----------------
+    tp = sks["tuple"]
+    d_rel = abs(tp.estimate() - true_distinct) / true_distinct
+    sum_err = abs(tp.sum_estimate() - n_rows)
+    sum_bound = tp.sum_error_estimate() + 1e-6 * n_rows
+    out["tuple"] = {
+        "distinct_rel_err": round(float(d_rel), 6),
+        "distinct_bound_3sigma": round(tp.relative_error_bound(), 6),
+        "sum_rel_err": round(float(sum_err / n_rows), 6),
+        "sum_bound_rel": round(float(sum_bound / n_rows), 6),
+        "ok": bool(d_rel <= tp.relative_error_bound() and sum_err <= sum_bound),
+    }
+
+    # -- countsketch: two-sided point error ≤ √(3·F2/w) w.h.p. PER KEY; over
+    #    ~200 sampled keys a few last-ulp excursions are expected at depth 5
+    #    (per-key failure ~1-2%), so the family check is 98% of keys inside
+    #    the per-key band and max ≤ 2× it ---------------------------------
+    cs = sks["countsketch"]
+    cs_est = np.asarray(cs.estimate(karr), dtype=np.float64)
+    cs_err = np.abs(cs_est - tru)
+    cs_bound = cs.error_bound()
+    frac_in = float((cs_err <= cs_bound).mean())
+    out["countsketch"] = {
+        "keys_checked": len(karr),
+        "max_abs_err": int(cs_err.max()),
+        "bound_per_key": int(math.ceil(cs_bound)),
+        "frac_within": round(frac_in, 4),
+        "ok": bool(frac_in >= 0.98 and cs_err.max() <= 2.0 * cs_bound),
+    }
+
+    # -- varopt: Σ est_weight == N EXACTLY (unit weights), sample size == k,
+    #    and a deterministic subset-sum (convs whose id ends in an even
+    #    digit) within 4σ of the plug-in bound Var ≤ τ·W_S ----------------
+    vo = sks["varopt"]
+    true_sub = df.filter(
+        (F.substring("conv_id", -1, 1).cast("int") % 2) == 0
+    ).count()
+    est_sub = sum(
+        w for key, w in vo.sample() if str(key)[-1].isdigit() and int(str(key)[-1]) % 2 == 0
+    )
+    se = math.sqrt(max(vo.tau, 0.0) * max(true_sub, 1.0))
+    sub_bound = 4.0 * se + 1e-6 * n_rows
+    out["varopt"] = {
+        "total_exact": bool(abs(vo.total_estimate() - n_rows) <= 1e-9 * n_rows),
+        "sample_size": vo.size,
+        "subset_rel_err": round(abs(est_sub - true_sub) / max(true_sub, 1), 6),
+        "subset_bound_rel": round(sub_bound / max(true_sub, 1), 6),
+        "ok": bool(
+            abs(vo.total_estimate() - n_rows) <= 1e-9 * n_rows
+            and vo.size == min(4096, n_rows)  # items are ROWS (unit weights)
+            and abs(est_sub - true_sub) <= sub_bound
+        ),
+    }
+
+    # -- shll: sliding-window HLL — distinct convs over the trailing half
+    #    time range from ONE blob vs the exact windowed count, HLL's RSE --
+    from guava_probably_spark.operators import collect_weighted_sketch
+
+    ts_df = df.withColumn("ts_epoch", F.col("ts").cast("timestamp").cast("long"))
+    sh, _, _ = collect_weighted_sketch(
+        ts_df, "conv_id", "ts_epoch", SketchSpec("shll", {"p": 12})
+    )
+    lo_ts, hi_ts = ts_df.agg(F.min("ts_epoch"), F.max("ts_epoch")).collect()[0]
+    half = (hi_ts - lo_ts) // 2
+    exact_half = (
+        ts_df.filter(F.col("ts_epoch") >= hi_ts - half)
+        .select("conv_id").distinct().count()
+    )
+    est_half = sh.estimate_window(half)
+    sh_rel = abs(est_half - exact_half) / max(exact_half, 1)
+    sh_bound = sh.relative_error_bound()
+    out["shll"] = {
+        "window_estimate": int(round(est_half)),
+        "window_exact": int(exact_half),
+        "rel_err": round(float(sh_rel), 6),
+        "bound_3sigma": round(float(sh_bound), 6),
+        "ok": bool(sh_rel <= sh_bound),
+    }
+
+    # -- fd (Frequent Directions over the bench embeddings): observed
+    #    spectral error λ_max(AᵀA − BᵀB) against the sketch's CERTIFIED
+    #    shift (itself ≤ 2·‖A‖_F²/ℓ); exact Gram computed distributed,
+    #    only the d×d partials reach the driver ---------------------------
+    if e_path is not None:
+        import pyarrow as pa
+
+        from guava_probably_spark.operators import collect_sketch as _cs
+
+        emb = spark.read.parquet(e_path)
+        fd_sk, _, _ = _cs(emb, "embedding", SketchSpec("fd", {"ell": 64}))
+
+        def gram_partial(batches):
+            import numpy as _np
+            import pyarrow as _pa
+
+            for batch in batches:
+                col = batch.column("embedding")
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                d = len(flat) // max(batch.num_rows, 1)
+                # float32 storage: accumulate the Gram in float64
+                x = flat.reshape(batch.num_rows, d).astype(_np.float64)
+                g = x.T @ x
+                yield _pa.RecordBatch.from_pydict(
+                    {"g": [g.ravel().tobytes()], "d": [int(d)]},
+                    schema=_pa.schema(
+                        [_pa.field("g", _pa.binary()), _pa.field("d", _pa.int64())]
+                    ),
+                )
+
+        parts = emb.select("embedding").mapInArrow(gram_partial, "g binary, d long").collect()
+        d = parts[0].d
+        gram = np.zeros((d, d))
+        for r in parts:
+            gram += np.frombuffer(r.g, dtype=np.float64).reshape(d, d)
+        eig = np.linalg.eigvalsh(gram - fd_sk.gram())
+        frob = float(np.trace(gram))
+        tol = 1e-6 * max(frob, 1.0)
+        out["fd"] = {
+            "spectral_err": round(float(max(eig[-1], 0.0)), 3),
+            "bound_shift": round(float(fd_sk.shift), 3),
+            "psd_ok": bool(eig[0] >= -tol),
+            "shift_le_2frob_over_ell": bool(
+                fd_sk.shift <= 2.0 * fd_sk.frob / fd_sk.ell + 1e-9
+            ),
+            "ok": bool(
+                eig[0] >= -tol
+                and eig[-1] <= fd_sk.shift + tol
+                and fd_sk.shift <= 2.0 * fd_sk.frob / fd_sk.ell + 1e-9
+            ),
+        }
     return out
 
 
@@ -1517,10 +1658,11 @@ def main() -> None:
 
     if "--accuracy" in sys.argv:
         t_path = transcripts_path(rows)
+        e_path = emb_path()  # before make_session: emb_path manages its own
         spark = make_session(CPUS)
         try:
             t0 = time.monotonic()
-            acc = run_accuracy(spark, t_path)
+            acc = run_accuracy(spark, t_path, e_path)
             dt = time.monotonic() - t0
         finally:
             spark.stop()
@@ -1529,8 +1671,28 @@ def main() -> None:
         md_rows = []
         for k in families:
             v = acc[k]
-            if "rel_err" in v:
+            if "window_estimate" in v:  # shll
+                o = (f"window rel err {v['rel_err']} "
+                     f"(est {v['window_estimate']} vs {v['window_exact']})")
+                b = f"{v['bound_3sigma']} (3σ)"
+            elif "rel_err" in v:
                 o, b = f"rel err {v['rel_err']}", f"{v['bound_3sigma']} (3σ)"
+            elif "distinct_rel_err" in v:  # tuple
+                o = (f"distinct rel err {v['distinct_rel_err']}, "
+                     f"sum rel err {v['sum_rel_err']}")
+                b = (f"{v['distinct_bound_3sigma']} (3σ) / "
+                     f"{v['sum_bound_rel']} (HT plug-in SE)")
+            elif "subset_rel_err" in v:  # varopt
+                o = (f"total exact = {v['total_exact']}, subset rel err "
+                     f"{v['subset_rel_err']}")
+                b = f"{v['subset_bound_rel']} (4σ of Var ≤ τ·W_S)"
+            elif "max_abs_err" in v:  # countsketch
+                o = (f"max |err| {v['max_abs_err']}, "
+                     f"{round(100 * v['frac_within'], 1)}% within per-key band")
+                b = f"√(3·F2/w) = {v['bound_per_key']} per key"
+            elif "spectral_err" in v:  # fd
+                o = f"spectral err {v['spectral_err']} (PSD {v['psd_ok']})"
+                b = f"certified shift {v['bound_shift']} ≤ 2‖A‖_F²/ℓ"
             elif "observed_fpp" in v:
                 o = (f"FPP {v['observed_fpp']} (expectedFpp {v['expected_fpp']}, "
                      f"FN {v['false_negatives']})")

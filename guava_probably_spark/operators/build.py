@@ -356,13 +356,17 @@ def build_partials_multi(
                 sk = sks[name]
                 if first:
                     _bind_funnel(sk, column)
-                if sk.funnel == FUNNEL_NONE:
+                ing = getattr(sk, "ingest_hashes", None)
+                if sk.funnel == FUNNEL_NONE or ing is None:
+                    # value-carrying kinds (bottomk witnesses, varopt
+                    # samples) have no hash-only ingest — same fallback as
+                    # the single-sketch build
                     sk.update(column)
                 else:
                     if c not in hashed:
                         _, h1, h2 = hash_column(column, sk.funnel)
                         hashed[c] = (h1, h2)
-                    ovs[name] += int(sk.ingest_hashes(*hashed[c]) or 0)
+                    ovs[name] += int(ing(*hashed[c]) or 0)
                 ns[name] += len(column) - column.null_count
             first = False
         if all(v == 0 for v in ns.values()):
@@ -503,13 +507,16 @@ def build_partials_files_multi(
                         sk = sks[name]
                         if first:
                             _bind_funnel(sk, column)
-                        if sk.funnel == FUNNEL_NONE:
+                        ing = getattr(sk, "ingest_hashes", None)
+                        if sk.funnel == FUNNEL_NONE or ing is None:
+                            # value-carrying kinds (bottomk witnesses,
+                            # varopt samples) have no hash-only ingest
                             sk.update(column)
                         else:
                             if c not in hashed:
                                 _, h1, h2 = hash_column(column, sk.funnel)
                                 hashed[c] = (h1, h2)
-                            ovs[name] += int(sk.ingest_hashes(*hashed[c]) or 0)
+                            ovs[name] += int(ing(*hashed[c]) or 0)
                         ns[name] += len(column) - column.null_count
                     first = False
         if all(v == 0 for v in ns.values()):
