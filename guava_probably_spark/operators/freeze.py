@@ -224,30 +224,51 @@ def _blob_lookup(blobs: pd.Series, hashes: pd.Series) -> pd.Series:
     return pd.Series(out).astype("Int64")
 
 
-def _join_blobs(fact: DataFrame, fact_col: str, frozen: DataFrame, shards: int):
+def _join_blobs(
+    fact: DataFrame, fact_col: str, frozen: DataFrame, shards: int, fanout: int = 1
+):
     """Route each fact row's xxhash64 to its shard and LEFT-join the blob
     table on shard — a shuffle-hash join (hinted: the blob table is big
     enough to have forced this path, never broadcast) that lands every
-    probe row next to exactly its shard's blob.  No driver collect."""
+    probe row next to exactly its shard's blob.  No driver collect.
+
+    ``fanout`` > 1 salts the join key: the blob table replicates ×fanout
+    (still tiny — shards·fanout rows) while fact rows spread across
+    (shard, salt) by a second hash, so join parallelism is shards·fanout
+    instead of capped at ``shards``.  At a 100-TB probe side with 4096
+    shards, fanout=64 turns 25 GB-per-task streams into ~400 MB tasks
+    without touching the blob layout."""
     hashed = fact.withColumn("__gp_h", F.xxhash64(F.col(fact_col))).withColumn(
         "__gp_shard", F.pmod(F.col("__gp_h"), F.lit(shards))
     )
     blobt = frozen.select(
         F.col("shard").alias("__gp_shard"), F.col("sketch").alias("__gp_blob")
-    ).hint("shuffle_hash")
-    return hashed.join(blobt, "__gp_shard", "left")
+    )
+    keys = ["__gp_shard"]
+    if fanout > 1:
+        hashed = hashed.withColumn(
+            "__gp_salt", F.pmod(F.xxhash64(F.col("__gp_h")), F.lit(fanout))
+        )
+        blobt = blobt.crossJoin(
+            fact.sparkSession.range(fanout).select(F.col("id").alias("__gp_salt"))
+        )
+        keys = ["__gp_shard", "__gp_salt"]
+    joined = hashed.join(blobt.hint("shuffle_hash"), keys, "left")
+    return joined, keys
 
 
 def frozen_probe_join(
-    fact: DataFrame, fact_col: str, frozen: DataFrame, shards: int
+    fact: DataFrame, fact_col: str, frozen: DataFrame, shards: int, fanout: int = 1
 ) -> DataFrame:
     """Prune ``fact`` against a frozen filter WITHOUT driver-side blob
     state: shard-route + join + executor-side probe (module doc).  Missing
-    shards join NULL blobs and probe False, matching the broadcast path."""
-    joined = _join_blobs(fact, fact_col, frozen, shards)
+    shards join NULL blobs and probe False, matching the broadcast path.
+    Raise ``fanout`` when the probe side is huge relative to ``shards``
+    (see _join_blobs)."""
+    joined, keys = _join_blobs(fact, fact_col, frozen, shards, fanout)
     return (
         joined.filter(_blob_probe(F.col("__gp_blob"), F.col("__gp_h")))
-        .drop("__gp_h", "__gp_shard", "__gp_blob")
+        .drop("__gp_h", "__gp_blob", *keys)
     )
 
 
@@ -257,13 +278,14 @@ def frozen_lookup_join(
     frozen: DataFrame,
     shards: int,
     out_col: str = "frozen_value",
+    fanout: int = 1,
 ) -> DataFrame:
     """``fact`` + a value column looked up from a frozen map, via the
     join path (no driver blob state); NULL where the fingerprint misses."""
-    joined = _join_blobs(fact, fact_col, frozen, shards)
+    joined, keys = _join_blobs(fact, fact_col, frozen, shards, fanout)
     return (
         joined.withColumn(out_col, _blob_lookup(F.col("__gp_blob"), F.col("__gp_h")))
-        .drop("__gp_h", "__gp_shard", "__gp_blob")
+        .drop("__gp_h", "__gp_blob", *keys)
     )
 
 

@@ -138,6 +138,22 @@ def main() -> None:
         fmt(frozen_semijoin(spark, events, "event_id", frozen, 8)),
     ))
 
+    from guava_probably_spark.operators import frozen_probe_join
+
+    sections.append((
+        "Frozen-filter probe (join path, beyond-broadcast blob tables)",
+        "The serving path for blob tables past broadcast size (~50 GB at "
+        "4·10^10 keys): the probe hash routes to its shard in codegen "
+        "(`pmod(xxhash64(k), shards)`), a `ShuffledHashJoin` lands every "
+        "probe row beside exactly its shard's blob (the blob side is "
+        "shards rows — hinted shuffle-hash, never broadcast on this "
+        "path), and the probe itself runs in `ArrowEvalPython` against "
+        "the joined blob column with a per-worker decode cache. NO "
+        "driver collect of blobs anywhere; `frozen_semijoin` picks this "
+        "plan automatically above the byte threshold.",
+        fmt(frozen_probe_join(events, "event_id", frozen, 8)),
+    ))
+
     for i in range(2):
         half = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == i)
         gh = build_grouped(half, "event_type", "user_id", SketchSpec("hll", {"p": 12}), salt=2)

@@ -284,3 +284,36 @@ def test_frozen_join_path_matches_broadcast_and_skips_driver_blobs(spark):
         for r in fact.select("k", lk(F.xxhash64(F.col("k"))).alias("v")).collect()
     }
     assert got_v == want_v
+
+
+def test_frozen_join_fanout_salted_equality(spark):
+    """fanout > 1 (salted blob replication for join parallelism beyond
+    `shards`) returns exactly the fanout=1 answer for both probe and
+    lookup."""
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.operators import (
+        freeze_filter,
+        freeze_map,
+        frozen_lookup_join,
+        frozen_probe_join,
+    )
+
+    shards = 4
+    dim = spark.range(0, 8000).select((F.col("id") * 5).alias("k"))
+    frozen = freeze_filter(dim, "k", fbits=8, shards=shards)
+    fact = spark.range(0, 45000).select(F.col("id").alias("k"))
+    base = sorted(r.k for r in frozen_probe_join(fact, "k", frozen, shards).collect())
+    salted = sorted(
+        r.k for r in frozen_probe_join(fact, "k", frozen, shards, fanout=8).collect()
+    )
+    assert base == salted
+
+    dimv = spark.range(0, 8000).select(F.col("id").alias("k"), (F.col("id") % 31).alias("v"))
+    fm = freeze_map(dimv, "k", "v", vbits=5, shards=shards)
+    a = {r.k: r.v for r in frozen_lookup_join(fact, "k", fm, shards, out_col="v").collect()}
+    b = {
+        r.k: r.v
+        for r in frozen_lookup_join(fact, "k", fm, shards, out_col="v", fanout=8).collect()
+    }
+    assert a == b
