@@ -31,6 +31,7 @@ from .checkpoint import (  # noqa: F401
 )
 from .grouped_hll import grouped_hll, grouped_hll_files  # noqa: F401
 from .window import running_distinct  # noqa: F401
+from .drift import ks_drift_report, share_drift_report  # noqa: F401
 from .store import merge_sketch_tables, write_bucketed_sketches  # noqa: F401
 from .sessionize import sessionize  # noqa: F401
 from .grouped_cms import grouped_cms  # noqa: F401
