@@ -686,6 +686,26 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
     grouped_theta_daily()
     timed("q_grouped_theta_daily", grouped_theta_daily)
 
+    def drift_report_daily():
+        # weekly-snapshot drift WITHOUT a rescan: two grouped-KLL builds
+        # (conv-parity halves keyed by day) then a KB-blob join computing
+        # per-day KS — the operators/drift.py report shape; the agg forces
+        # every pair
+        from guava_probably_spark.operators import ks_drift_report
+        from guava_probably_spark.operators.grouped_kll import grouped_kll
+
+        df = spark.read.parquet(t_path).withColumn(
+            "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        )
+        par = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+        a = grouped_kll(df.filter(par == 0), "day", "turn_idx", k=200, partitions=64)
+        b = grouped_kll(df.filter(par == 1), "day", "turn_idx", k=200, partitions=64)
+        return ks_drift_report(a, b, "key").agg(
+            F.count("*"), F.max("ks"), F.avg("ks")
+        ).collect()[0][0]
+
+    extras["drift_report_days"] = timed("q_drift_report_daily", drift_report_daily)
+
     def grouped_kll_conv():
         from guava_probably_spark.operators import grouped_kll
 
