@@ -84,6 +84,54 @@ def _note_mem(name: str) -> None:
     GC_MS[name] = _jvm_gc_ms()
 
 
+_QUERY_FNS: dict = {}  # name -> closure, for the end-of-tier re-quiet pass
+
+
+def requiet_flagged(
+    timings: dict, max_queries: int = 8, budget_s: float = 90.0
+) -> list:
+    """End-of-tier second chance for contention-flagged queries.
+
+    ``stable_timed``'s extra shots can't help when a stall window spans the
+    whole query (every shot is slow and the spread stays low) — but
+    excursion windows here are minutes-long, so by TIER END they have
+    usually passed.  Re-run the conclusively-stalled queries (steal / PSI /
+    GC signals, not mere low-busy), worst absolute time first, one shot
+    each under a time budget, and keep the min.  This is the in-artifact
+    version of 're-run until the movers' windows are quiet' (VERDICT r4
+    item 2): the driver stamps whatever one bench invocation prints."""
+    flagged = _contended_queries(timings)
+    todo = sorted(
+        (
+            q
+            for q, p in flagged.items()
+            if q in _QUERY_FNS
+            and (
+                p.get("steal_pct", 0) >= 1.5
+                or p.get("cpu_stall_pct", 0) >= 25.0
+                or p.get("mem_stall_pct", 0) >= 5.0
+                or p.get("gc_pct", 0) >= 20.0
+            )
+        ),
+        key=lambda q: -timings[q],
+    )[:max_queries]
+    spent, redone = 0.0, []
+    for q in todo:
+        if spent > budget_s:
+            break
+        t0 = time.monotonic()
+        try:
+            _QUERY_FNS[q]()
+        except Exception:
+            continue  # keep the recorded number; this pass only improves
+        dt = time.monotonic() - t0
+        spent += dt
+        if round(dt, 3) < timings[q]:
+            timings[q] = round(dt, 3)
+        redone.append(q)
+    return redone
+
+
 def stable_timed(timings: dict, name: str, fn, reps: int = 2, max_extra: int = 2):
     """Warm once (worker fork + imports, JIT, page cache), then stamp the
     per-query MIN over ``reps`` timed shots — and while the observed
@@ -93,6 +141,7 @@ def stable_timed(timings: dict, name: str, fn, reps: int = 2, max_extra: int = 2
     OS memory-reclaim / contention windows (VERDICT r4: round-over-round
     diffs false-flagged sub-second rows); the contention sampler still
     attributes any residual excursion in the JSON's "contended" field."""
+    _QUERY_FNS[name] = fn
     _note_mem(name)
     fn()
     ts = []
@@ -804,6 +853,7 @@ def run_queries(spark, sf_dir: str, t_path: str) -> tuple[dict, dict]:
             spark, lineitem, "l_partkey", part.filter(F.col("p_size") < 15), "p_partkey"
         ).count(),
     )
+    extras["requieted_sketch"] = requiet_flagged(timings)
     return timings, extras
 
 
@@ -1352,6 +1402,7 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
         return semantic_dedup_pairs(emb, cb_sd, threshold=0.999).count()
 
     extras["semdedup_pairs"] = warmed("q_semdedup_500k", semdedup)
+    extras["requieted_pipeline"] = requiet_flagged(timings)
     return timings, extras
 
 
