@@ -891,6 +891,32 @@ def run_pipeline_queries(spark, d_path: str, e_path: str) -> tuple[dict, dict]:
     n_docs = big_docs.count()
     extras["pipeline_docs"] = n_docs
 
+    # Pin the fast execution mode for the volatile text-scoring queries
+    # BEFORE the dedup heavies run: their steady-state speed is set by
+    # their FIRST execution's memory context — measured on this box,
+    # lm_quality first-run-after-minhash+wminhash settles at ~20 s on
+    # EVERY subsequent run (busy ~89%, no steal/PSI/GC, same plan) vs
+    # 5.5 s steady when its first run lands on the fresh session; the
+    # staged kernels and a JVM-only control show no such hysteresis, so
+    # the mode lives in the reused python workers' memory placement
+    # (THP/arena fragmentation at first touch). One early execution each
+    # while the session is unfragmented pins the fast mode for the timed
+    # runs below, at the cost of one quiet-mode execution each.
+    from guava_probably_spark.pipeline.contamination import (
+        ngram_overlap_contamination as _warm_decontam,
+    )
+    from guava_probably_spark.pipeline.dsir import dsir_select as _warm_dsir
+    from guava_probably_spark.pipeline.textops import lm_quality_score as _warm_lm
+
+    _ev_warm = big_docs.filter(F.col("doc_id") % 100 == 0)
+    _warm_lm(big_docs, _ev_warm, "doc_id", "text", n=2).agg(F.sum("ngrams")).collect()
+    _warm_decontam(
+        big_docs, _ev_warm, "doc_id", "text", n=13, threshold=0.8, fpp=1e-4
+    ).agg(F.sum("hits")).collect()
+    _warm_dsir(big_docs, _ev_warm, "doc_id", "text", k=10_000, buckets=10_000).agg(
+        F.sum("n_grams")
+    ).collect()
+
     warmed("q_exact_dedup_docs", lambda: exact_dedup(big_docs, "doc_id", "text").count())
     # agg over the computed columns forces the projection: a bare count()
     # let Catalyst prune the quality expressions entirely (same artifact as
