@@ -48,6 +48,18 @@ from ..sketches.xorf import XorFilter
 FROZEN_SCHEMA = "shard bigint, sketch binary, n bigint"
 
 
+# NULL-key handling: Spark's xxhash64(NULL) returns the CONSTANT seed
+# (42), so a naive probe sends every NULL key to one shard with one fixed
+# hash — if that hash aliases a member fingerprint there (chance 2^-f),
+# EVERY null row probes True.  The hash column must NOT be nulled to fix
+# this: a pandas_udf receiving a long column WITH nulls gets float64
+# (64-bit hashes lose low bits for the whole batch — measured: members
+# probe like strangers).  Instead the wrappers keep the hash column
+# non-null and make NULL keys deterministic OUTSIDE the hash: the join
+# path nulls the SHARD (no blob joins -> probe False / lookup NULL), the
+# broadcast path short-circuits the predicate before the UDF.
+
+
 def freeze_filter(
     df: DataFrame,
     col: str,
@@ -239,7 +251,12 @@ def _join_blobs(
     shards, fanout=64 turns 25 GB-per-task streams into ~400 MB tasks
     without touching the blob layout."""
     hashed = fact.withColumn("__gp_h", F.xxhash64(F.col(fact_col))).withColumn(
-        "__gp_shard", F.pmod(F.col("__gp_h"), F.lit(shards))
+        "__gp_shard",
+        # NULL keys route to a NULL shard (module note): they join no blob,
+        # so they probe False / look up NULL regardless of the 42-hash
+        F.when(F.col(fact_col).isNull(), F.lit(None).cast("bigint")).otherwise(
+            F.pmod(F.col("__gp_h"), F.lit(shards))
+        ),
     )
     blobt = frozen.select(
         F.col("shard").alias("__gp_shard"), F.col("sketch").alias("__gp_blob")
@@ -314,5 +331,11 @@ def frozen_semijoin(
     total = frozen.agg(F.sum(F.length("sketch"))).collect()[0][0] or 0
     if total <= broadcast_max_bytes:
         probe = frozen_probe_udf(spark, frozen, shards)
-        return fact.filter(probe(F.xxhash64(F.col(fact_col))))
+        # null-guard OUTSIDE the UDF (module note: nulling the hash column
+        # itself would float64 the whole batch in pandas and corrupt every
+        # 64-bit hash in it)
+        return fact.filter(
+            F.col(fact_col).isNotNull()
+            & probe(F.xxhash64(F.col(fact_col)))
+        )
     return frozen_probe_join(fact, fact_col, frozen, shards)

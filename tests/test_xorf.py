@@ -317,3 +317,39 @@ def test_frozen_join_fanout_salted_equality(spark):
         for r in frozen_lookup_join(fact, "k", fm, shards, out_col="v", fanout=8).collect()
     }
     assert a == b
+
+
+def test_frozen_join_path_null_keys_deterministic(spark):
+    """Spark's xxhash64(NULL) is the CONSTANT 42 — a naive probe would
+    send every null key to one shard with one fixed hash (all-or-nothing
+    at 2^-f). The built-in wrappers keep the hash column NON-null (a
+    nullable long batch arrives in pandas as float64, corrupting every
+    64-bit hash in it) and instead null the SHARD on the join path /
+    short-circuit the predicate on the broadcast path: probe False /
+    lookup NULL for every null key, deterministically."""
+    import pyspark.sql.functions as F
+
+    from guava_probably_spark.operators import (
+        freeze_filter,
+        freeze_map,
+        frozen_lookup_join,
+        frozen_probe_join,
+        frozen_semijoin,
+    )
+
+    dim = spark.range(0, 5000).select(F.col("id").alias("k"))
+    frozen = freeze_filter(dim, "k", fbits=8, shards=4)
+    fact = spark.range(0, 2000).select(
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("k")
+    )
+    out = frozen_probe_join(fact, "k", frozen, 4)
+    assert out.filter(F.col("k").isNull()).count() == 0
+    assert out.count() == fact.filter(F.col("k").isNotNull()).count()
+    # broadcast-mode semijoin wrapper: same null handling
+    out_b = frozen_semijoin(spark, fact, "k", frozen, 4)
+    assert out_b.filter(F.col("k").isNull()).count() == 0
+
+    fm = freeze_map(dim.withColumn("v", F.col("k") % 13), "k", "v", vbits=4, shards=4)
+    lk = frozen_lookup_join(fact, "k", fm, 4, out_col="v")
+    assert lk.filter(F.col("k").isNull() & F.col("v").isNotNull()).count() == 0
+    assert lk.filter(F.col("k").isNotNull() & F.col("v").isNull()).count() == 0
